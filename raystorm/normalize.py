@@ -1,0 +1,145 @@
+"""Vectorized tokenizers — exact ports of the reference's token rules.
+
+Three field modes, semantics lifted rule-for-rule from the reference
+(cited file:line, relative to /root/reference):
+
+- ``body``  — ``Indexer.java:113-140`` (``returnCleanedupPage`` steps
+  4+6; the HTML steps 1-3 don't apply to transcript text): lowercase,
+  strip ``https?://\\S+`` URLs, collapse ``[^a-z0-9]+`` to spaces, split
+  on whitespace, keep only pure-alpha tokens of length 1..30.
+- ``title`` — ``TitleIndexer.java:80-103`` (``cleanupTitle``): lowercase,
+  strip ``&entity;``, collapse ``[^a-z0-9]+``, keep ``[a-z][a-z0-9]*``
+  (implicitly non-numeric) of length <=30.
+- ``tool``  — ``URLIndexer.java:78-107`` (``extractTokensFromUrl``):
+  lowercase, collapse ``[^a-z]+``, keep pure-alpha length 2..30, minus
+  the ~50-entry stoplist (``URLIndexer.java:12-27``).
+
+Everything is Arrow-vectorized (pyarrow.compute RE2 kernels + numpy);
+no per-row Python in the hot path.  ``tokens_sql`` emits the equivalent
+DuckDB expression chain so the driver's oracle stays in lockstep.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: URLIndexer.java:12-27 — tokens considered "useless" in the URL/tool field
+TOOL_STOPLIST = (
+    "cgi", "action", "id", "page", "view", "list", "item", "detail",
+    "login", "logout", "register", "signup", "signin",
+    "search", "query", "q", "ref", "utm", "src", "sid", "session", "sessionid",
+    "token", "auth", "verify", "confirm",
+    "rss", "feed", "sitemap",
+    "xml", "json", "txt", "pdf", "csv",
+    "img", "image", "images",
+    "jpg", "jpeg", "png", "gif", "svg", "ico",
+    "css", "js",
+    "mobile", "m", "amp", "api",
+    "static", "assets", "content",
+    "temp", "tmp", "backup", "old", "new",
+    "error", "debug", "404", "500",
+)
+
+MODES = ("body", "title", "tool")
+
+# (pre-split replace chain [(pattern, replacement)...], keep-token regex)
+_MODE_RULES = {
+    "body": (
+        [(r"https?://\S+", " "), (r"[^a-z0-9]+", " ")],
+        r"^[a-z]{1,30}$",
+    ),
+    "title": (
+        [(r"&[a-zA-Z]+;", " "), (r"[^a-z0-9]+", " ")],
+        r"^[a-z][a-z0-9]{0,29}$",
+    ),
+    "tool": (
+        [(r"[^a-z]+", " ")],
+        r"^[a-z]{2,30}$",
+    ),
+}
+
+
+def tokenize_column(texts, mode: str = "body"):
+    """Tokenize a string Array/ChunkedArray -> (tokens, row_idx).
+
+    Returns ``tokens`` (numpy object array of kept tokens, in document
+    order) and ``row_idx`` (int64 array mapping each token back to its
+    input row).  Fully vectorized: RE2 replace -> split -> flatten via
+    list offsets -> anchored-regex keep mask (-> stoplist for tool mode).
+    """
+    replaces, keep = _MODE_RULES[mode]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not pa.types.is_string(texts.type) and not pa.types.is_large_string(texts.type):
+        texts = texts.cast(pa.string())  # e.g. an all-null block types as null
+    s = pc.utf8_lower(texts)
+    for pat, rep in replaces:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+    lists = pc.split_pattern(s, " ")
+    # flatten: values + per-row repeat counts from offsets
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts, nan=0).astype(np.int64)
+    row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    values = lists.flatten()
+    mask = pc.match_substring_regex(values, keep)
+    if mode == "tool":
+        mask = pc.and_(
+            mask, pc.invert(pc.is_in(values, value_set=pa.array(TOOL_STOPLIST)))
+        )
+    mask_np = mask.to_numpy(zero_copy_only=False)
+    mask_np = np.nan_to_num(mask_np, nan=False).astype(bool)
+    tokens = values.to_numpy(zero_copy_only=False)[mask_np]
+    return tokens, row_idx[mask_np]
+
+
+def doc_term_stats(tokens: np.ndarray, row_idx: np.ndarray, n_rows: int):
+    """Per-(row, term) tf + per-row token counts, vectorized.
+
+    Returns ``(rows, terms, tfs, dl)`` where ``rows/terms/tfs`` are the
+    exploded (row, term) -> term-frequency triples and ``dl[r]`` is row
+    r's kept-token count (the BM25 document length).  Mirrors the
+    per-doc ``HashSet`` dedup of ``Indexer.java:44-49`` when callers use
+    the pairs with binary tf (tf clamped to 1).
+    """
+    dl = np.bincount(row_idx, minlength=n_rows).astype(np.int32)
+    if len(tokens) == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, object),
+            np.empty(0, np.int32),
+            dl,
+        )
+    uniq, codes = np.unique(tokens, return_inverse=True)
+    key = row_idx * len(uniq) + codes
+    ukey, counts = np.unique(key, return_counts=True)
+    rows = ukey // len(uniq)
+    terms = uniq[ukey % len(uniq)]
+    return rows, terms, counts.astype(np.int32), dl
+
+
+def tokens_sql(col: str, mode: str = "body") -> str:
+    """DuckDB expression chain equivalent to ``tokenize_column``.
+
+    Emits a ``LATERAL``-unnest fragment; embed as
+    ``FROM <tbl>, {tokens_sql('text')}`` and filter with
+    ``WHERE {tokens_keep_sql('term', mode)}``.
+    """
+    replaces, _ = _MODE_RULES[mode]
+    expr = f"lower({col})"
+    for pat, rep in replaces:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return (
+        f"LATERAL (SELECT unnest(string_split(trim({expr}), ' ')) AS term) tok"
+    )
+
+
+def tokens_keep_sql(term_col: str, mode: str = "body") -> str:
+    """WHERE-clause fragment matching the keep mask of ``tokenize_column``."""
+    _, keep = _MODE_RULES[mode]
+    cond = f"regexp_full_match({term_col}, '{keep.strip('^$')}')"
+    if mode == "tool":
+        stop = ", ".join(f"'{t}'" for t in TOOL_STOPLIST)
+        cond += f" AND {term_col} NOT IN ({stop})"
+    return cond
