@@ -1,44 +1,152 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the raystorm library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is one implemented operator/pipeline from
+SURVEY.md §2; ``oracle_sql()`` carries the equivalent DuckDB SQL over the
+same parquet tables (the transcripts corpus is itself a deterministic,
+SQL-expressible derivation of the ``documents`` view — see
+raystorm/corpus.py — so the full index+query engine is oracle-checkable
+end to end).
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
+import pyarrow as pa
+
+from raystorm import build, corpus, normalize, query
+
+
+def _index_for(sf_dir: str) -> str:
+    """Build (once, cached+resumable) the index for sf_dir's corpus."""
+    cfg = build.BuildConfig(num_partitions=16, split_target=2000)
+    key = hashlib.sha256(f"{sf_dir}|{cfg.fingerprint(sf_dir)}".encode()).hexdigest()[:16]
+    index_dir = os.path.join("/tmp", "raystorm_index", key)
+    ds = corpus.transcripts_from_documents(sf_dir)
+    build.build_index(ds, index_dir, input_fingerprint=sf_dir, cfg=cfg)
+    return index_dir
+
+
+def _run_reference_queries(sf_dir: str, mode: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    index_dir = _index_for(sf_dir)
+    qds = rd.from_arrow(query.queries_table())
+    out = (
+        qds.map_batches(
+            query.QueryScorer,
+            fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=4,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    return out
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: build inverted index, evaluate the
+    reference query set with BM25 top-k via the scorer actor pool."""
+    return _run_reference_queries("/root/testdata/sf0.001", "bm25")
+
+
+# ---------------------------------------------------------------------------
+
+
+def _q_transcripts(sf_dir: str):
+    return corpus.transcripts_from_documents(sf_dir)
+
+
+def _q_tokenize_body(sf_dir: str):
+    def explode(batch: pa.Table) -> pa.Table:
+        toks, rows = normalize.tokenize_column(batch["text"], "body")
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"].take(pa.array(rows)),
+                "turn_idx": batch["turn_idx"].take(pa.array(rows)),
+                "term": pa.array(toks, pa.string()),
+            }
+        )
+
+    return corpus.transcripts_from_documents(sf_dir).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _q_term_stats(sf_dir: str):
+    """Exact df/cf per body term — the stats the reference never computes
+    (hardcoded N, df-from-string-length; SearchServer.java:17,123)."""
+    index_dir = _index_for(sf_dir)
+    idx = query.SegmentIndex(index_dir)
+    rows = [
+        (t, df, cf)
+        for (f, t), (df, cf, _idf) in sorted(idx.term_stats.items())
+        if f == "text"
+    ]
+    return pd.DataFrame(rows, columns=["term", "df", "cf"])
+
+
+def _q_corpus_stats(sf_dir: str):
+    index_dir = _index_for(sf_dir)
+    idx = query.SegmentIndex(index_dir)
+    gs = idx.global_stats["text"]
+    return pd.DataFrame(
+        {"n_docs": [gs["N"]], "total_tokens": [gs["total_tokens"]], "avgdl": [round(gs["avgdl"], 6)]}
+    )
+
+
+def _q_topk_bm25(sf_dir: str):
+    return _run_reference_queries(sf_dir, "bm25")
+
+
+def _q_topk_faithful(sf_dir: str):
+    return _run_reference_queries(sf_dir, "faithful")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts": _q_transcripts,
+        "tokenize_body": _q_tokenize_body,
+        "term_stats": _q_term_stats,
+        "corpus_stats": _q_corpus_stats,
+        "topk_bm25": _q_topk_bm25,
+        "topk_faithful": _q_topk_faithful,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcripts": (
+            f"WITH transcripts AS ({corpus.transcripts_sql()}) "
+            "SELECT * FROM transcripts"
+        ),
+        "tokenize_body": (
+            f"WITH transcripts AS ({corpus.transcripts_sql()}) "
+            f"SELECT conv_id, turn_idx, tok.term FROM transcripts, "
+            f"{normalize.tokens_sql('text', 'body')} "
+            f"WHERE {normalize.tokens_keep_sql('tok.term', 'body')}"
+        ),
+        "term_stats": (
+            f"WITH {query.corpus_ctes()} "
+            "SELECT t.term, CAST(count(*) AS BIGINT) AS df, CAST(sum(t.tf) AS BIGINT) AS cf "
+            "FROM tfs t GROUP BY t.term ORDER BY t.term"
+        ),
+        "corpus_stats": (
+            f"WITH {query.corpus_ctes()} "
+            "SELECT CAST(n AS BIGINT) AS n_docs, "
+            "CAST((SELECT count(*) FROM tokens) AS BIGINT) AS total_tokens, "
+            "round(avgdl, 6) AS avgdl FROM gstats"
+        ),
+        "topk_bm25": query.bm25_topk_sql(),
+        "topk_faithful": query.faithful_topk_sql(),
+    }

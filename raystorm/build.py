@@ -1,0 +1,480 @@
+"""Distributed, resumable inverted-index build — the engine's wide step.
+
+Replaces the reference's single-threaded posting build
+(``foldByKey("", acc+","+url)`` + driver-side put loop,
+``Indexer.java:55-75``, ``FlamePairRDDImpl.java:29-40``) with a real
+Ray Data shuffle:
+
+1. **docid pass** — tiny groupby to assign order-preserving docids
+   (``docids.DocIdCodec``).
+2. **stats pass** — tokenize (``map_batches``, Arrow-vectorized) ->
+   per-batch partial (field, term) -> (df, cf) rows -> one small
+   ``groupby.aggregate(Sum)`` over vocabulary-sized partials.  Yields
+   exact N, avgdl, df, cf, idf — the reference instead hardcodes
+   N=30000 (``SearchServer.java:17``) and derives df from posting-string
+   length at query time.
+3. **build pass** — tokenize again (streaming recompute; cheaper than
+   materializing the token stream at corpus scale), assign each
+   (field, term) row a term partition ``gpart = crc32(field:term) % P``;
+   **head terms** (df > split_target) are salted across
+   ``ceil(df/split_target)`` docid-range buckets so no single group
+   exceeds the split target (the skew handling the reference lacks —
+   its head terms all land in one fold bucket, SURVEY.md §4).  Then
+   ``groupby("gpart").map_groups`` sorts each partition by
+   (field, term, salt, docid) and writes delta+varint block segments
+   (``segments.encode_run``) + a per-partition dictionary + manifest.
+
+Resume: partitions whose ``_manifest.json`` carries the same build
+fingerprint are skipped *before* the shuffle (their token rows are
+filtered out), so a rerun after a crash only shuffles and writes the
+missing partitions.  Mirrors the crawler's resume-by-key semantics
+(``Crawler.java:337-351``) at partition granularity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+import zlib
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import normalize, segments
+from .docids import DocIdCodec
+
+#: sentinel "term" carrying per-turn doc stats through the token stream
+DOC_SENTINEL = "\x00doc"
+
+TOKEN_SCHEMA = pa.schema(
+    [
+        ("field", pa.string()),
+        ("term", pa.string()),
+        ("docid", pa.int64()),
+        ("tf", pa.int32()),
+        ("dl", pa.int32()),
+    ]
+)
+
+
+@dataclass
+class BuildConfig:
+    #: (input column, tokenizer mode) per indexed field
+    fields: tuple = (("text", "body"), ("tool", "tool"))
+    num_partitions: int = 16
+    #: max postings per term run; head terms are salted into
+    #: ceil(df/split_target) docid-range buckets
+    split_target: int = 100_000
+    k1: float = 1.2
+    b: float = 0.75
+    batch_size: int = 4096
+
+    def fingerprint(self, input_fingerprint: str) -> str:
+        import hashlib
+
+        cfg = json.dumps(asdict(self), sort_keys=True, default=list)
+        return hashlib.sha256(f"{cfg}|{input_fingerprint}".encode()).hexdigest()[:16]
+
+
+_BROADCAST_CACHE: dict = {}
+
+
+def _get_ref(ref):
+    """ray.get an ObjectRef once per worker process (broadcast pattern)."""
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+class TokenizeStage:
+    """transcripts batch -> (field, term, docid, tf, dl) token rows.
+
+    Stateless w.r.t. the corpus but holds the broadcast DocIdCodec;
+    passed as a callable class so codec deserialization happens once per
+    actor (``__init__``), not once per batch.
+    """
+
+    def __init__(self, codec_ref, fields):
+        self.codec_ref = codec_ref
+        self.fields = fields
+        self._codec = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._codec is None:
+            obj = self.codec_ref
+            self._codec = _get_ref(obj) if not isinstance(obj, DocIdCodec) else obj
+        docids = self._codec.encode(batch["conv_id"], batch["turn_idx"])
+        out_fields, out_terms, out_docids, out_tfs, out_dls = [], [], [], [], []
+        n = len(docids)
+        for col, mode in self.fields:
+            toks, rows = normalize.tokenize_column(batch[col], mode)
+            r, t, tf, dl = normalize.doc_term_stats(toks, rows, n)
+            out_fields.append(np.full(len(r), col, object))
+            out_terms.append(t)
+            out_docids.append(docids[r])
+            out_tfs.append(tf)
+            out_dls.append(dl[r])
+            # one sentinel row per turn: carries dl for N/avgdl stats
+            out_fields.append(np.full(n, col, object))
+            out_terms.append(np.full(n, DOC_SENTINEL, object))
+            out_docids.append(docids)
+            out_tfs.append(np.zeros(n, np.int32))
+            out_dls.append(dl)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_fields), pa.string()),
+                pa.array(np.concatenate(out_terms), pa.string()),
+                pa.array(np.concatenate(out_docids), pa.int64()),
+                pa.array(np.concatenate(out_tfs), pa.int32()),
+                pa.array(np.concatenate(out_dls), pa.int32()),
+            ],
+            schema=TOKEN_SCHEMA,
+        )
+
+
+def _partial_stats(batch: pa.Table) -> pa.Table:
+    """Pre-aggregate (field, term) -> (df, cf) within a batch (combiner)."""
+    f = batch["field"].to_numpy(zero_copy_only=False)
+    t = batch["term"].to_numpy(zero_copy_only=False)
+    tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = np.char.add(np.char.add(f.astype(str), "\x01"), t.astype(str))
+    uniq, inv = np.unique(key, return_inverse=True)
+    df_part = np.bincount(inv)
+    is_doc = np.array([k.split("\x01", 1)[1] == DOC_SENTINEL for k in uniq])
+    # cf: sum tf per term; for sentinel rows sum dl (=> corpus token count)
+    weights = np.where(is_doc[inv], dl, tf)
+    cf_part = np.bincount(inv, weights=weights).astype(np.int64)
+    fields_out = [k.split("\x01", 1)[0] for k in uniq]
+    terms_out = [k.split("\x01", 1)[1] for k in uniq]
+    return pa.table(
+        {
+            "field": pa.array(fields_out, pa.string()),
+            "term": pa.array(terms_out, pa.string()),
+            "df": pa.array(df_part, pa.int64()),
+            "cf": pa.array(cf_part, pa.int64()),
+        }
+    )
+
+
+def compute_stats(tokens_ds) -> pd.DataFrame:
+    """Exact per-(field, term) df/cf + per-field doc stats (small shuffle)."""
+    from ray.data.aggregate import Sum
+
+    partials = tokens_ds.map_batches(_partial_stats, batch_format="pyarrow")
+    agg = partials.groupby(["field", "term"]).aggregate(
+        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+    )
+    return agg.to_pandas()
+
+
+def lucene_idf(N: int, df: np.ndarray) -> np.ndarray:
+    """Pinned BM25 idf: ln(1 + (N - df + .5)/(df + .5)) — always > 0.
+
+    (Deliberately not the reference's ln(N/(1+df)) — that one is kept
+    for the 'faithful' scoring mode, see query.py.)
+    """
+    df = df.astype(np.float64)
+    return np.log1p((N - df + 0.5) / (df + 0.5))
+
+
+class AssignPartition:
+    """Add gpart/salt columns; drop sentinel rows + completed partitions."""
+
+    def __init__(self, splits_ref, num_partitions, span, completed):
+        self.splits_ref = splits_ref
+        self.P = num_partitions
+        self.span = max(1, span)
+        self.completed = completed
+        self._splits = None
+
+    @staticmethod
+    def hash_term(field: str, term: str, salt: int) -> int:
+        return zlib.crc32(f"{field}\x01{term}\x01{salt}".encode())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._splits is None:
+            obj = self.splits_ref
+            self._splits = _get_ref(obj) if not isinstance(obj, dict) else obj
+        t = batch["term"].to_numpy(zero_copy_only=False)
+        f = batch["field"].to_numpy(zero_copy_only=False)
+        keep = t != DOC_SENTINEL
+        t, f = t[keep], f[keep]
+        docid = batch["docid"].to_numpy(zero_copy_only=False)[keep]
+        key = np.char.add(np.char.add(f.astype(str), "\x01"), t.astype(str))
+        uniq, inv = np.unique(key, return_inverse=True)
+        n_splits_u = np.array([self._splits.get(k, 1) for k in uniq], np.int64)
+        n_splits = n_splits_u[inv]
+        salt = (docid * n_splits) // self.span  # docid-range buckets
+        # crc32 per unique (field, term, salt) triple only
+        ut, uinv = np.unique(
+            np.char.add(np.char.add(key, "\x01"), salt.astype(str)),
+            return_inverse=True,
+        )
+        gpart_u = np.array(
+            [zlib.crc32(s.encode()) % self.P for s in ut], np.int32
+        )
+        gpart = gpart_u[uinv]
+        out = pa.table(
+            {
+                "field": pa.array(f, pa.string()),
+                "term": pa.array(t, pa.string()),
+                "docid": pa.array(docid, pa.int64()),
+                "tf": pa.array(batch["tf"].to_numpy(zero_copy_only=False)[keep], pa.int32()),
+                "dl": pa.array(batch["dl"].to_numpy(zero_copy_only=False)[keep], pa.int32()),
+                "salt": pa.array(salt.astype(np.int32), pa.int32()),
+                "gpart": pa.array(gpart, pa.int32()),
+            }
+        )
+        if self.completed:
+            mask = ~np.isin(gpart, list(self.completed))
+            out = out.filter(pa.array(mask))
+        return out
+
+
+class PartitionWriter:
+    """map_groups fn: one term partition -> segment + dict + manifest."""
+
+    def __init__(self, index_dir, stats_ref, global_stats, cfg, build_fp):
+        self.__name__ = "PartitionWriter"  # map_groups wraps plain functions
+        self.index_dir = index_dir
+        self.stats_ref = stats_ref
+        self.global_stats = global_stats  # {field: {"N":..., "avgdl":...}}
+        self.cfg = cfg
+        self.build_fp = build_fp
+        self._idf = None
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        if self._idf is None:
+            obj = self.stats_ref
+            self._idf = _get_ref(obj) if not isinstance(obj, dict) else obj
+        gpart = int(group["gpart"].iloc[0])
+        f = group["field"].to_numpy()
+        t = group["term"].to_numpy()
+        salt = group["salt"].to_numpy()
+        docid = group["docid"].to_numpy()
+        tf = group["tf"].to_numpy().astype(np.int64)
+        dl = group["dl"].to_numpy().astype(np.int64)
+        order = np.lexsort((docid, salt, t, f))
+        f, t, salt, docid, tf, dl = (
+            a[order] for a in (f, t, salt, docid, tf, dl)
+        )
+        # run boundaries on the sorted arrays
+        change = np.empty(len(t), bool)
+        change[0] = True
+        change[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1]) | (salt[1:] != salt[:-1])
+        boundaries = np.nonzero(change)[0]
+        ends = np.append(boundaries[1:], len(t))
+
+        blobs: list[bytes] = []
+        dict_rows = {
+            "field": [], "term": [], "salt": [], "df": [], "cf": [],
+            "offset": [], "nbytes": [], "max_score": [],
+            "first_docid": [], "last_docid": [],
+        }
+        offset = 0
+        for s, e in zip(boundaries, ends):
+            field_name, term = f[s], t[s]
+            gs = self.global_stats[field_name]
+            idf = self._idf.get((field_name, term), 0.0)
+            blob = segments.encode_run(
+                docid[s:e], tf[s:e], dl[s:e], idf, gs["avgdl"], self.cfg.k1, self.cfg.b
+            )
+            scores = segments.bm25_term_scores(
+                tf[s:e], dl[s:e], idf, gs["avgdl"], self.cfg.k1, self.cfg.b
+            )
+            blobs.append(blob)
+            dict_rows["field"].append(field_name)
+            dict_rows["term"].append(term)
+            dict_rows["salt"].append(int(salt[s]))
+            dict_rows["df"].append(int(e - s))
+            dict_rows["cf"].append(int(tf[s:e].sum()))
+            dict_rows["offset"].append(offset)
+            dict_rows["nbytes"].append(len(blob))
+            dict_rows["max_score"].append(float(scores.max()))
+            dict_rows["first_docid"].append(int(docid[s]))
+            dict_rows["last_docid"].append(int(docid[e - 1]))
+            offset += len(blob)
+
+        part_dir = os.path.join(self.index_dir, "parts", f"part-{gpart:05d}")
+        tmp_dir = part_dir + f".tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp_dir, exist_ok=True)
+        with open(os.path.join(tmp_dir, "postings.bin"), "wb") as fh:
+            for blob in blobs:
+                fh.write(blob)
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({k: v for k, v in dict_rows.items()}),
+            os.path.join(tmp_dir, "terms.parquet"),
+        )
+        manifest = {
+            "partition": gpart,
+            "terms": len(blobs),
+            "postings": int(len(docid)),
+            "bytes": offset,
+            "elapsed_s": round(time.time() - t0, 4),
+            "build_fingerprint": self.build_fp,
+            "status": "complete",
+        }
+        with open(os.path.join(tmp_dir, "_manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+        if os.path.exists(part_dir):
+            shutil.rmtree(tmp_dir)  # concurrent/stale rerun already wrote it
+        else:
+            try:
+                os.replace(tmp_dir, part_dir)
+            except OSError:
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+        return pd.DataFrame([manifest])
+
+
+def completed_partitions(index_dir: str, build_fp: str) -> set[int]:
+    done = set()
+    parts_dir = os.path.join(index_dir, "parts")
+    if not os.path.isdir(parts_dir):
+        return done
+    for name in os.listdir(parts_dir):
+        mpath = os.path.join(parts_dir, name, "_manifest.json")
+        if os.path.isfile(mpath):
+            try:
+                m = json.load(open(mpath))
+            except (json.JSONDecodeError, OSError):
+                continue
+            if m.get("build_fingerprint") == build_fp and m.get("status") == "complete":
+                done.add(int(m["partition"]))
+    return done
+
+
+def build_index(
+    ds,
+    index_dir: str,
+    input_fingerprint: str = "",
+    cfg: BuildConfig | None = None,
+    codec: DocIdCodec | None = None,
+) -> dict:
+    """Build (or resume) the full index for a transcripts Dataset.
+
+    Returns the global manifest dict.  ``ds`` must be re-iterable (a lazy
+    Dataset — it is consumed by multiple passes).
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    cfg = cfg or BuildConfig()
+    build_fp = cfg.fingerprint(input_fingerprint)
+    os.makedirs(index_dir, exist_ok=True)
+
+    # fast path: finished build with same fingerprint
+    gpath = os.path.join(index_dir, "manifest.json")
+    if os.path.isfile(gpath):
+        try:
+            m = json.load(open(gpath))
+        except (json.JSONDecodeError, OSError):
+            m = {}
+        if m.get("build_fingerprint") == build_fp and m.get("status") == "complete":
+            return m
+
+    t_start = time.time()
+    # 1. docid pass
+    codec = codec or DocIdCodec.from_dataset(ds)
+    codec_ref = ray.put(codec)
+
+    tokens = ds.map_batches(
+        TokenizeStage(codec_ref, cfg.fields),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+
+    # 2. stats pass
+    stats = compute_stats(tokens)
+    doc_stats = stats[stats.term == DOC_SENTINEL]
+    term_stats = stats[stats.term != DOC_SENTINEL].reset_index(drop=True)
+    global_stats = {}
+    for col, _mode in cfg.fields:
+        row = doc_stats[doc_stats.field == col]
+        n_docs = int(row.df.iloc[0]) if len(row) else 0
+        total_tokens = int(row.cf.iloc[0]) if len(row) else 0
+        global_stats[col] = {
+            "N": n_docs,
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+            "total_tokens": total_tokens,
+        }
+    # idf per (field, term)
+    idf_map = {}
+    for col, _mode in cfg.fields:
+        sub = term_stats[term_stats.field == col]
+        idfs = lucene_idf(global_stats[col]["N"], sub.df.to_numpy())
+        idf_map.update(
+            {(col, t): float(v) for t, v in zip(sub.term.to_numpy(), idfs)}
+        )
+    splits = {
+        f"{r.field}\x01{r.term}": int(-(-r.df // cfg.split_target))
+        for r in term_stats.itertuples()
+        if r.df > cfg.split_target
+    }
+
+    # 3. build pass (resume-aware)
+    done = completed_partitions(index_dir, build_fp)
+    stats_ref = ray.put(idf_map)
+    splits_ref = ray.put(splits)
+    assigned = tokens.map_batches(
+        AssignPartition(splits_ref, cfg.num_partitions, codec.span, done),
+        batch_format="pyarrow",
+    )
+    writer = PartitionWriter(index_dir, stats_ref, global_stats, cfg, build_fp)
+    new_manifests = (
+        assigned.groupby("gpart").map_groups(writer, batch_format="pandas").to_pandas()
+    )
+
+    # 4. persist codec + stats + global manifest
+    pq.write_table(codec.to_table(), os.path.join(index_dir, "convmap.parquet"))
+    ts = term_stats.copy()
+    idf_all = np.concatenate(
+        [
+            lucene_idf(
+                global_stats[c]["N"],
+                ts[ts.field == c].df.to_numpy(),
+            )
+            for c, _m in cfg.fields
+        ]
+    ) if len(ts) else np.empty(0)
+    ts = pd.concat([ts[ts.field == c] for c, _m in cfg.fields]) if len(ts) else ts
+    ts["idf"] = idf_all
+    pq.write_table(
+        pa.Table.from_pandas(ts.reset_index(drop=True), preserve_index=False),
+        os.path.join(index_dir, "terms_stats.parquet"),
+    )
+
+    all_parts = completed_partitions(index_dir, build_fp)
+    part_manifests = []
+    for p in sorted(all_parts):
+        mpath = os.path.join(index_dir, "parts", f"part-{p:05d}", "_manifest.json")
+        part_manifests.append(json.load(open(mpath)))
+    manifest = {
+        "build_fingerprint": build_fp,
+        "input_fingerprint": input_fingerprint,
+        "config": asdict(cfg),
+        "global_stats": global_stats,
+        "n_convs": int(len(codec.conv_ids)),
+        "docid_span": codec.span,
+        "num_partitions": cfg.num_partitions,
+        "partitions": part_manifests,
+        "n_terms": int(len(term_stats)),
+        "n_head_terms_split": len(splits),
+        "resumed_partitions": sorted(done),
+        "elapsed_s": round(time.time() - t_start, 4),
+        "status": "complete",
+    }
+    with open(gpath, "w") as fh:
+        json.dump(manifest, fh, indent=1, default=str)
+    return manifest

@@ -1,0 +1,383 @@
+"""Query engine: segment reader + BM25 / faithful top-k scoring.
+
+The reference's query path (``SearchServer.java:103-266``) does one KVS
+point-read per (term, index) plus per-candidate PageRank/title lookups.
+Here the whole index is loaded once per scorer *actor*
+(``SegmentIndex`` in ``__init__`` — the actor-pool pattern for the
+stateful stage), and queries are evaluated as a Ray Data
+``map_batches`` over a queries table.
+
+Scoring modes (both deterministic; accumulation order pinned to sorted
+query terms, tie-break (conv_id, turn_idx) asc — SURVEY.md §7.5.1):
+
+- ``bm25``:  score(d) = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+  idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (Lucene-positive variant),
+  k1=1.2 b=0.75, over unique body-tokenized query terms.
+- ``faithful``: the reference ranker's formula
+  (``SearchServer.java:14-17, 123, 140``): per *raw* query token
+  (duplicates double-count, as the reference's loop does), presence in
+  the text field adds 1.5·ln(N/(1+df_text)), presence in the tool field
+  adds 1.0·ln(N/(1+df_tool)); tf ignored (the reference's indexes are
+  binary — ``Indexer.java:44-49``).  We use the true corpus N where the
+  reference hardcodes 30000 (``SearchServer.java:17``) — documented
+  deviation.
+
+Ranking: row_number over (round(score, 9) desc, conv_id asc,
+turn_idx asc); emitted score rounded to 6 decimals.  The rounding pins
+rank-identity between numpy and the DuckDB oracle despite float-sum
+ordering differences (~1e-15 relative).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import corpus, normalize, segments
+from .docids import DocIdCodec
+
+RANK_ROUND = 9
+SCORE_ROUND = 6
+
+
+class SegmentIndex:
+    """Loads the on-disk index once; answers term lookups + top-k queries."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        manifest = json.load(open(os.path.join(index_dir, "manifest.json")))
+        self.manifest = manifest
+        self.k1 = manifest["config"]["k1"]
+        self.b = manifest["config"]["b"]
+        self.global_stats = manifest["global_stats"]
+        self.field_modes = dict(manifest["config"]["fields"])
+        self.codec = DocIdCodec.from_table(
+            pq.read_table(os.path.join(index_dir, "convmap.parquet"))
+        )
+        ts = pq.read_table(os.path.join(index_dir, "terms_stats.parquet"))
+        self.term_stats: dict[tuple[str, str], tuple[int, int, float]] = {}
+        for f, t, df, cf, idf in zip(
+            ts["field"].to_pylist(),
+            ts["term"].to_pylist(),
+            ts["df"].to_pylist(),
+            ts["cf"].to_pylist(),
+            ts["idf"].to_pylist(),
+        ):
+            self.term_stats[(f, t)] = (df, cf, idf)
+        # dictionary: (field, term) -> list of runs (salt, part, offset, nbytes)
+        self.runs: dict[tuple[str, str], list[tuple[int, int, int, int]]] = {}
+        parts_dir = os.path.join(index_dir, "parts")
+        self._part_data: dict[int, np.memmap] = {}
+        if os.path.isdir(parts_dir):
+            for name in sorted(os.listdir(parts_dir)):
+                if not name.startswith("part-") or "." in name:
+                    continue
+                p = int(name.split("-")[1])
+                tdict = pq.read_table(os.path.join(parts_dir, name, "terms.parquet"))
+                for f, t, salt, off, nb in zip(
+                    tdict["field"].to_pylist(),
+                    tdict["term"].to_pylist(),
+                    tdict["salt"].to_pylist(),
+                    tdict["offset"].to_pylist(),
+                    tdict["nbytes"].to_pylist(),
+                ):
+                    self.runs.setdefault((f, t), []).append((salt, p, off, nb))
+        for runs in self.runs.values():
+            runs.sort()  # salt order == docid-range order
+
+    def _part(self, p: int) -> np.memmap:
+        if p not in self._part_data:
+            self._part_data[p] = np.memmap(
+                os.path.join(self.index_dir, "parts", f"part-{p:05d}", "postings.bin"),
+                dtype=np.uint8,
+                mode="r",
+            )
+        return self._part_data[p]
+
+    def postings(self, term: str, field: str = "text"):
+        """Decoded posting list (docids, tfs, dls) or None."""
+        runs = self.runs.get((field, term))
+        if not runs:
+            return None
+        parts = [
+            segments.decode_run(self._part(p)[off : off + nb])
+            for _salt, p, off, nb in runs
+        ]
+        if len(parts) == 1:
+            return parts[0]
+        return tuple(np.concatenate([pr[i] for pr in parts]) for i in range(3))
+
+    # ----- scoring -----
+    def topk(self, query_text: str, k: int, mode: str = "bm25") -> pd.DataFrame:
+        if mode == "bm25":
+            docids, scores = self._score_bm25(query_text)
+        elif mode == "faithful":
+            docids, scores = self._score_faithful(query_text)
+        else:
+            raise ValueError(mode)
+        if len(docids) == 0:
+            return pd.DataFrame(
+                {"rank": np.empty(0, np.int32), "conv_id": [], "turn_idx": np.empty(0, np.int32), "score": []}
+            )
+        r = np.round(scores, RANK_ROUND)
+        if len(docids) > k:
+            top = np.argpartition(-r, k - 1)[: max(k, 1)]
+            # re-tighten: candidates tied at the boundary need docid order
+            boundary = np.min(r[top])
+            cand = np.nonzero(r >= boundary)[0]
+        else:
+            cand = np.arange(len(docids))
+        order = np.lexsort((docids[cand], -r[cand]))[:k]
+        sel = cand[order]
+        conv, turn = self.codec.decode(docids[sel])
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                "conv_id": conv,
+                "turn_idx": turn,
+                "score": np.round(scores[sel], SCORE_ROUND),
+            }
+        )
+
+    def _score_bm25(self, query_text: str):
+        toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
+        terms = sorted(set(toks.tolist()))
+        gs = self.global_stats["text"]
+        id_chunks, sc_chunks = [], []
+        for t in terms:
+            post = self.postings(t, "text")
+            if post is None:
+                continue
+            docids, tfs, dls = post
+            _df, _cf, idf = self.term_stats[("text", t)]
+            sc = segments.bm25_term_scores(tfs, dls, idf, gs["avgdl"], self.k1, self.b)
+            id_chunks.append(docids)
+            sc_chunks.append(sc)
+        return _accumulate(id_chunks, sc_chunks)
+
+    def _score_faithful(self, query_text: str):
+        # reference loop: raw lowercase whitespace tokens, duplicates kept
+        # (SearchServer.java:108); each term adds W_f * ln(N/(1+df)) per
+        # posting membership.
+        raw = [t for t in query_text.lower().split() if t]
+        id_chunks, sc_chunks = [], []
+        for field, weight in (("text", 1.5), ("tool", 1.0)):
+            N = self.global_stats[field]["N"]
+            for t in sorted(raw):
+                post = self.postings(t, field)
+                if post is None:
+                    continue
+                docids = post[0]
+                df = len(docids)
+                idf = np.log(N / (1.0 + df)) if N else 0.0
+                id_chunks.append(docids)
+                sc_chunks.append(np.full(len(docids), weight * idf))
+        return _accumulate(id_chunks, sc_chunks)
+
+
+def _accumulate(id_chunks, sc_chunks):
+    """Sum per-term score arrays into per-doc totals (order-pinned)."""
+    if not id_chunks:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    ids = np.concatenate(id_chunks)
+    scs = np.concatenate(sc_chunks)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    totals = np.bincount(inv, weights=scs)
+    return uniq, totals
+
+
+class QueryScorer:
+    """Actor-pool stage: queries batch -> top-k rows.
+
+    Use as ``queries_ds.map_batches(QueryScorer, fn_constructor_kwargs=
+    {"index_dir": ..., "mode": ...}, concurrency=N, batch_size=B)`` —
+    the index loads once per actor (``__init__``), per the stateful-
+    stage pattern (SURVEY.md §7.3).
+    """
+
+    def __init__(self, index_dir: str, mode: str = "bm25"):
+        self.index = SegmentIndex(index_dir)
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for qid, text, k in zip(
+            batch["query_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["k"].to_pylist(),
+        ):
+            df = self.index.topk(text, int(k), self.mode)
+            df.insert(0, "query_id", qid)
+            out.append(df)
+        res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"query_id": [], "rank": [], "conv_id": [], "turn_idx": [], "score": []}
+        )
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Reference query set (FIXTURES.md §2) over the documents-derived corpus:
+# head/mid/tail/absent single terms, multi-term, a duplicate-term query.
+# ---------------------------------------------------------------------------
+REFERENCE_QUERIES = (
+    ("q01", "the", 10),
+    ("q02", "merge", 10),
+    ("q03", "customer", 10),
+    ("q04", "zzzabsent", 10),
+    ("q05", "hash join", 10),
+    ("q06", "sort merge join", 10),
+    ("q07", "window agg stream", 10),
+    ("q08", "the the", 10),  # duplicate-term semantics pin
+    ("q09", "spark vector query", 10),
+    ("q10", "big small fast slow", 10),
+)
+
+
+def queries_table() -> pa.Table:
+    q = list(zip(*REFERENCE_QUERIES))
+    return pa.table(
+        {
+            "query_id": pa.array(q[0], pa.string()),
+            "text": pa.array(q[1], pa.string()),
+            "k": pa.array(q[2], pa.int32()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (composes corpus/normalize SQL mirrors)
+# ---------------------------------------------------------------------------
+
+
+def _queries_values(queries=REFERENCE_QUERIES) -> str:
+    return ", ".join(f"('{qid}', '{text}', {k})" for qid, text, k in queries)
+
+
+def _qterms_values(queries=REFERENCE_QUERIES, dedup=True) -> str:
+    """Explode query texts to (query_id, term[, mult]) VALUES."""
+    rows = []
+    for qid, text, _k in queries:
+        toks = text.lower().split()
+        if dedup:
+            for t in sorted(set(toks)):
+                rows.append(f"('{qid}', '{t}')")
+        else:
+            from collections import Counter
+
+            for t, c in sorted(Counter(toks).items()):
+                rows.append(f"('{qid}', '{t}', {c})")
+    return ", ".join(rows)
+
+
+def corpus_ctes() -> str:
+    """Shared CTE chain: transcripts -> body tokens -> tf/dl/df/stats."""
+    return f"""
+transcripts AS ({corpus.transcripts_sql()}),
+tokens AS (
+  SELECT conv_id, turn_idx, tok.term
+  FROM transcripts, {normalize.tokens_sql('text', 'body')}
+  WHERE {normalize.tokens_keep_sql('tok.term', 'body')}
+),
+tfs AS (
+  SELECT conv_id, turn_idx, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokens GROUP BY conv_id, turn_idx, term
+),
+doclen AS (
+  SELECT conv_id, turn_idx, count(*) AS dl FROM tokens GROUP BY conv_id, turn_idx
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+gstats AS (
+  SELECT (SELECT count(*) FROM transcripts) AS n,
+         (SELECT count(*) FROM tokens) * 1.0 / (SELECT count(*) FROM transcripts) AS avgdl
+)"""
+
+
+def bm25_topk_sql(queries=REFERENCE_QUERIES, k1: float = 1.2, b: float = 0.75) -> str:
+    """Full oracle query for the BM25 reference-query evaluation."""
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""
+
+
+def faithful_topk_sql(queries=REFERENCE_QUERIES) -> str:
+    """Oracle for the faithful (reference-formula) scoring mode."""
+    return f"""
+WITH transcripts AS ({corpus.transcripts_sql()}),
+tokens_text AS (
+  SELECT DISTINCT conv_id, turn_idx, tok.term
+  FROM transcripts, {normalize.tokens_sql('text', 'body')}
+  WHERE {normalize.tokens_keep_sql('tok.term', 'body')}
+),
+tokens_tool AS (
+  SELECT DISTINCT conv_id, turn_idx, tok.term
+  FROM transcripts, {normalize.tokens_sql('tool', 'tool')}
+  WHERE {normalize.tokens_keep_sql('tok.term', 'tool')}
+),
+df_text AS (SELECT term, count(*) AS df FROM tokens_text GROUP BY term),
+df_tool AS (SELECT term, count(*) AS df FROM tokens_tool GROUP BY term),
+n AS (SELECT count(*) AS n FROM transcripts),
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qtokens(query_id, term, mult) AS (VALUES {_qterms_values(queries, dedup=False)}),
+contrib AS (
+  SELECT q.query_id, tt.conv_id, tt.turn_idx,
+         q.mult * 1.5 * ln(n.n / (1.0 + d.df)) AS score
+  FROM qtokens q
+  JOIN tokens_text tt ON tt.term = q.term
+  JOIN df_text d ON d.term = q.term CROSS JOIN n
+  UNION ALL
+  SELECT q.query_id, tl.conv_id, tl.turn_idx,
+         q.mult * 1.0 * ln(n.n / (1.0 + d.df)) AS score
+  FROM qtokens q
+  JOIN tokens_tool tl ON tl.term = q.term
+  JOIN df_tool d ON d.term = q.term CROSS JOIN n
+),
+scores AS (
+  SELECT query_id, conv_id, turn_idx, sum(score) AS score
+  FROM contrib GROUP BY query_id, conv_id, turn_idx
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""
