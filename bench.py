@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Benchmark harness for the raystorm engine (driver contract).
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ..., "num_cpus": N}
+
+``--scaling``: run the same headline build twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and report throughput at
+both plus scaling efficiency = (T_8 / T_32) / 4 — the sandbox stand-in
+for the north_rule's N -> 4N node criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+import uuid
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
+
+#: synthetic build-throughput corpus (deterministic; FIXTURES.md §1)
+SYNTH_CONVS = 3000
+
+
+def _sf_label(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def run_suite(sf_dir: str, num_cpus: int, synth_convs: int = SYNTH_CONVS) -> dict:
+    """Run all timed stages inside an already-initialised Ray session."""
+    import ray.data as rd
+
+    from raystorm import build, corpus, query
+
+    run_dir = os.path.join("/tmp", "raystorm_bench", uuid.uuid4().hex[:12])
+    os.makedirs(run_dir, exist_ok=True)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    try:
+        # -- 1. index build over the sf corpus (fresh dir: timed cold) -------
+        cfg = build.BuildConfig(num_partitions=max(16, num_cpus), split_target=50_000)
+        ds = corpus.transcripts_from_documents(sf_dir)
+        t0 = time.perf_counter()
+        idx_sf = os.path.join(run_dir, "index_sf")
+        manifest = build.build_index(ds, idx_sf, input_fingerprint=sf_dir, cfg=cfg)
+        timings["build_sf"] = time.perf_counter() - t0
+        n_turns = sum(g["N"] for g in [manifest["global_stats"]["text"]])
+        extras["build_sf_turns"] = n_turns
+        extras["build_sf_turns_per_sec"] = n_turns / timings["build_sf"]
+
+        # -- 2. batch query evaluation (actor pool) over the reference set ---
+        t0 = time.perf_counter()
+        qds = rd.from_arrow(query.queries_table())
+        out = qds.map_batches(
+            query.QueryScorer,
+            fn_constructor_kwargs={"index_dir": idx_sf, "mode": "bm25"},
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=4,
+        ).to_pandas()
+        timings["query_batch_bm25"] = time.perf_counter() - t0
+        extras["query_batch_rows"] = float(len(out))
+
+        # -- 3. per-query latency p50/p99 (warm index, serving path) ---------
+        idx = query.SegmentIndex(idx_sf)
+        lat = []
+        qset = query.REFERENCE_QUERIES
+        for _rep in range(20):
+            for _qid, text, k in qset:
+                t0 = time.perf_counter()
+                idx.topk(text, int(k), "bm25")
+                lat.append(time.perf_counter() - t0)
+        lat.sort()
+        extras["query_p50_ms"] = 1000 * statistics.median(lat)
+        extras["query_p99_ms"] = 1000 * lat[int(0.99 * (len(lat) - 1))]
+        timings["query_latency_sweep"] = sum(lat)
+
+        # -- 4. large synthetic build (headline throughput; Zipf skew) -------
+        synth_dir = corpus.synth_transcripts(n_convs=synth_convs)
+        sds = rd.read_parquet(synth_dir)
+        t0 = time.perf_counter()
+        idx_sy = os.path.join(run_dir, "index_synth")
+        m2 = build.build_index(
+            sds,
+            idx_sy,
+            input_fingerprint=synth_dir,
+            cfg=build.BuildConfig(num_partitions=max(32, num_cpus), split_target=20_000),
+        )
+        timings["build_synth"] = time.perf_counter() - t0
+        sy_turns = m2["global_stats"]["text"]["N"]
+        extras["build_synth_turns"] = sy_turns
+        extras["build_synth_turns_per_sec"] = sy_turns / timings["build_synth"]
+
+        # -- 5. auxiliary pipelines (added as operators land) ----------------
+        try:
+            from raystorm import pipelines
+
+            for name, fn in pipelines.bench_pipelines().items():
+                t0 = time.perf_counter()
+                fn(sf_dir)
+                timings[name] = time.perf_counter() - t0
+        except ImportError:
+            pass
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+    total = sum(timings.values())
+    return {
+        "metric": "raystorm headline suite wall time (index build + BM25 query eval + ops)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "extras": {k: round(v, 4) for k, v in extras.items()},
+        "sf": _sf_label(sf_dir),
+        "num_cpus": num_cpus,
+    }
+
+
+def main_single(sf_dir: str, num_cpus: int, synth_convs: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    try:
+        return run_suite(sf_dir, num_cpus, synth_convs)
+    finally:
+        ray.shutdown()
+
+
+def main_scaling(sf_dir: str) -> dict:
+    """Fresh-process runs at 8 and 32 CPUs; report scaling efficiency."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = sf_dir
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--json-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["queries"]["build_synth"]
+    t32 = results[32]["queries"]["build_synth"]
+    tp8 = results[8]["extras"]["build_synth_turns_per_sec"]
+    tp32 = results[32]["extras"]["build_synth_turns_per_sec"]
+    eff = (t8 / t32) / 4.0
+    return {
+        "metric": "index-build scaling efficiency, num_cpus 8 -> 32 (N -> 4N)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "queries": {
+            "build_synth_8cpu_sec": round(t8, 3),
+            "build_synth_32cpu_sec": round(t32, 3),
+            "turns_per_sec_8cpu": round(tp8, 1),
+            "turns_per_sec_32cpu": round(tp32, 1),
+            "total_8cpu_sec": results[8]["value"],
+            "total_32cpu_sec": results[32]["value"],
+        },
+        "sf": results[32]["sf"],
+        "num_cpus": 32,
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--json-only", action="store_true", help="suppress non-JSON output")
+    ap.add_argument("--synth-convs", type=int, default=SYNTH_CONVS)
+    args = ap.parse_args()
+    if args.scaling:
+        out = main_scaling(SF_DIR)
+    else:
+        out = main_single(SF_DIR, NUM_CPUS, args.synth_convs)
+    print(json.dumps(out))
