@@ -1,0 +1,308 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The large-scale training-data-pipeline operations the task brief adds on
+top of the reference's own inventory: language ID, quality scoring,
+token counting and document fingerprinting — each a stateless,
+Arrow-vectorized ``map_batches`` stage with an exact DuckDB SQL mirror.
+
+These are the transcript-era analogs of the reference's corpus-quality
+job (``/root/reference/src/cis5550/jobs/CrawlQualityAnalyzer.java:22-56``
+— host/code/size/language distributions with warning thresholds) and
+its language filter (``Crawler.java:816-821``).
+
+All hashing used for fingerprints is the shared 60-bit md5 prefix
+(``md5int60``) so numpy and DuckDB agree bit-for-bit:
+``int(md5(s)[:15], 16)`` == ``('0x' || substring(md5(s),1,15))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# shared deterministic hash (numpy + SQL mirror)
+# ---------------------------------------------------------------------------
+
+
+def md5int60(s: str) -> int:
+    """First 60 bits of md5 — fits BIGINT, reproducible in DuckDB."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def md5int60_np(strings: np.ndarray) -> np.ndarray:
+    """Vectorized-over-uniques md5int60 (vocab-sized hash work, not row-sized)."""
+    uniq, inv = np.unique(strings, return_inverse=True)
+    hashed = np.array([md5int60(u) for u in uniq], np.int64)
+    return hashed[inv]
+
+
+def md5int60_sql(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+#: tiny per-language stopword lists; overlaps are fine — argmax with
+#: (hits desc, lang asc) tie-break is pinned on both sides.
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "los", "las", "y", "es", "que", "una", "por"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "dans"),
+}
+UNKNOWN_LANG = "und"
+
+
+def lang_id(sf_dir: str):
+    """Predict a language per document by stopword-marker hits.
+
+    Vectorized: one pass over the exploded word array per language
+    (``np.isin`` against an 8-word set), per-doc counts via
+    ``np.bincount`` — no per-row Python.
+    """
+    import ray.data as rd
+
+    langs = sorted(LANG_MARKERS)
+    marker_sets = {l: np.array(LANG_MARKERS[l], object) for l in langs}
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        words, rows = [], []
+        for i, t in enumerate(texts):
+            ws = (t or "").lower().split()
+            words.extend(ws)
+            rows.extend([i] * len(ws))
+        warr = np.array(words, object)
+        rarr = np.array(rows, np.int64)
+        hits = np.zeros((n, len(langs)), np.int64)
+        for j, l in enumerate(langs):
+            m = np.isin(warr, marker_sets[l])
+            hits[:, j] = np.bincount(rarr[m], minlength=n)
+        best = hits.argmax(axis=1)  # ties -> lowest index == lang asc
+        pred = np.array(langs, object)[best]
+        pred[hits.max(axis=1) == 0] = UNKNOWN_LANG
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pa.array(pred, pa.string()),
+                "marker_hits": pa.array(hits.max(axis=1), pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def lang_id_sql() -> str:
+    marker_rows = ", ".join(
+        f"('{l}', '{w}')" for l in sorted(LANG_MARKERS) for w in LANG_MARKERS[l]
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+markers(lang, w) AS (VALUES {marker_rows}),
+hits AS (
+  SELECT d.doc_id, m.lang, count(*) AS c
+  FROM words d JOIN markers m ON d.w = m.w
+  GROUP BY d.doc_id, m.lang
+),
+best AS (
+  SELECT doc_id, lang, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       coalesce(b.lang, '{UNKNOWN_LANG}') AS pred_lang,
+       CAST(coalesce(b.c, 0) AS BIGINT) AS marker_hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (length / punctuation / stopword ratios)
+# ---------------------------------------------------------------------------
+
+QUALITY_STOPWORDS = LANG_MARKERS["en"]
+ROUND = 6
+
+
+def quality_score(sf_dir: str):
+    """Per-document quality features + composite score.
+
+    score = 0.3·min(1, n_words/50) + 0.4·stopword_ratio + 0.3·alpha_ratio
+    — the length/punct/stopword-ratio heuristic family from the task
+    brief, shaped like CrawlQualityAnalyzer's size/language checks.
+    """
+    import ray.data as rd
+
+    sw = np.array(QUALITY_STOPWORDS, object)
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        alpha_chars = pc.count_substring_regex(text, "[a-z]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        texts = text.to_pylist()
+        n = len(texts)
+        n_words = np.zeros(n, np.int64)
+        words, rows = [], []
+        for i, t in enumerate(texts):
+            ws = (t or "").lower().split()
+            n_words[i] = len(ws)
+            words.extend(ws)
+            rows.extend([i] * len(ws))
+        m = np.isin(np.array(words, object), sw)
+        sw_hits = np.bincount(np.array(rows, np.int64)[m], minlength=n)
+        nw = np.maximum(n_words, 1).astype(np.float64)
+        nc = np.maximum(n_chars, 1)
+        stop_ratio = sw_hits / nw
+        alpha_ratio = alpha_chars / nc
+        comp = 0.3 * np.minimum(1.0, n_words / 50.0) + 0.4 * stop_ratio + 0.3 * alpha_ratio
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(n_chars.astype(np.int64), pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "stopword_ratio": pa.array(np.round(stop_ratio, ROUND)),
+                "alpha_ratio": pa.array(np.round(alpha_ratio, ROUND)),
+                "quality": pa.array(np.round(comp, ROUND)),
+            }
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def quality_score_sql() -> str:
+    sw = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_words,
+         len(list_filter(string_split(lower(text), ' '), x -> x IN ({sw}))) AS sw_hits,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(sw_hits * 1.0 / greatest(n_words, 1), {ROUND}) AS stopword_ratio,
+       round(alpha_chars * 1.0 / greatest(n_chars, 1), {ROUND}) AS alpha_ratio,
+       round(0.3 * least(1.0, n_words / 50.0)
+             + 0.4 * (sw_hits * 1.0 / greatest(n_words, 1))
+             + 0.3 * (alpha_chars * 1.0 / greatest(n_chars, 1)), {ROUND}) AS quality
+FROM base ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
+def token_count(sf_dir: str):
+    """Whitespace token count + BPE-ish regex token count per document.
+
+    Both counts via pyarrow RE2 kernels (``count_substring_regex``) —
+    zero per-row Python.
+    """
+    import ray.data as rd
+
+    def count(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        ws = pc.count_substring_regex(low, r"[^ ]+")
+        bpe = pc.count_substring_regex(low, BPE_ISH)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ws_tokens": ws.cast(pa.int64()),
+                "bpe_tokens": bpe.cast(pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(count, batch_format="pyarrow").sort("doc_id")
+
+
+def token_count_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[^ ]+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_ISH}')) AS BIGINT) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (content hash + min-token-hash)
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(sf_dir: str):
+    """Per-doc content fingerprint: exact 60-bit md5 of the text plus the
+    min md5 over distinct words (a 1-permutation MinHash — the building
+    block dedup.py scales out to 16 permutations)."""
+    import ray.data as rd
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        content = np.array([md5int60(t or "") for t in texts], np.int64)
+        min_tok = np.empty(len(texts), np.int64)
+        words, rows = [], []
+        for i, t in enumerate(texts):
+            for w in set((t or "").lower().split()):
+                words.append(w)
+                rows.append(i)
+        if words:
+            h = md5int60_np(np.array(words, object))
+            r = np.array(rows, np.int64)
+            order = np.lexsort((h, r))
+            r, h = r[order], h[order]
+            first = np.searchsorted(r, np.arange(len(texts)))
+            has = np.append(first[1:], len(r)) > first
+            min_tok[:] = np.iinfo(np.int64).max
+            min_tok[has] = h[first[has]]
+        else:
+            min_tok[:] = np.iinfo(np.int64).max
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "content_hash": pa.array(content, pa.int64()),
+                "min_token_hash": pa.array(min_tok, pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
+
+
+def fingerprint_sql() -> str:
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+mins AS (
+  SELECT doc_id, min({md5int60_sql('w')}) AS min_token_hash
+  FROM words WHERE w <> '' GROUP BY doc_id
+)
+SELECT d.doc_id,
+       {md5int60_sql('d.text')} AS content_hash,
+       coalesce(m.min_token_hash, 9223372036854775807) AS min_token_hash
+FROM documents d LEFT JOIN mins m USING (doc_id)
+ORDER BY d.doc_id
+"""

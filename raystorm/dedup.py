@@ -1,0 +1,592 @@
+"""Deduplication operators over the ``documents`` table.
+
+Exact, MinHash+LSH, SimHash and n-gram-Jaccard dedup — the training-
+data-pipeline near-dup family the task brief adds beyond the reference's
+own exact-only dedup (``/root/reference/src/cis5550/flame/
+FlameRDDImpl.java:48-52`` ``distinct()``; ``Crawler.java:279-298``
+crawl-dedup anti-join; SURVEY.md §2.2 "No near-dup (simhash etc.)
+exists").
+
+Every stage is Ray-Data-shaped for scale:
+
+- shingling / hashing: stateless Arrow ``map_batches`` (hash work is
+  per *unique* token, not per row — ``analysis.md5int60_np``);
+- candidate generation: ``groupby(bucket)`` shuffle; pair explosion
+  happens inside ``map_groups`` on bucket-sized groups only;
+- verification: exact Jaccard via a second ``groupby`` over candidate
+  pairs, doc shingle-counts broadcast (``ray.put``) into the verify
+  stage — never a full cross join.
+
+Exact DuckDB mirrors are emitted for the driver oracle; all hashes are
+the shared 60-bit md5 (``analysis.md5int60``) so both sides agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .analysis import md5int60, md5int60_np, md5int60_sql
+
+ROUND = 6
+
+#: n-gram Jaccard / MinHash verification threshold
+JACCARD_T = 0.1
+#: MinHash permutations / LSH banding (8 bands x 2 rows)
+N_PERMS = 16
+N_BANDS = 8
+#: SimHash: 32-bit, near-dup at hamming <= 10
+SIMHASH_BITS = 32
+HAMMING_T = 10
+#: embedding near-dup threshold
+COSINE_T = 0.4
+
+_BROADCAST_CACHE: dict = {}
+
+
+def _get_ref(ref):
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by ngram-Jaccard and MinHash; pinned vs SQL)
+# ---------------------------------------------------------------------------
+
+
+def shingle_row(text: str) -> list[str]:
+    """Distinct 3-word shingles; whole text if shorter than 3 words."""
+    words = (text or "").lower().split(" ")
+    n = max(1, len(words) - 2)
+    return sorted({" ".join(words[i : i + 3]) for i in range(n)})
+
+
+def _shingle_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> (doc_id, sh_hash) distinct shingle rows."""
+    doc_ids, hashes = [], []
+    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        shs = shingle_row(text)
+        doc_ids.extend([did] * len(shs))
+        hashes.extend(shs)
+    h = md5int60_np(np.array(hashes, object)) if hashes else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "sh_hash": pa.array(h, pa.int64()),
+        }
+    )
+
+
+SHINGLES_SQL = f"""
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(d.parts, s.i, s.i + 2), ' ') AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS parts FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, greatest(1, len(d.parts) - 2))) AS i) s
+),
+shingle_hashes AS (
+  SELECT doc_id, {md5int60_sql('sh')} AS sh_hash FROM shingles
+)"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup  (hash-partition + per-group first — SURVEY.md §2.2 distinct)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str):
+    """Assign each document to its exact-duplicate group.
+
+    Output: (doc_id, rep_doc_id, group_size) — rep = min doc_id of the
+    group of identical texts.  groupby(content-hash) -> per-group first;
+    the 100 TB shape: the hash is 60-bit uniform, so groups spread
+    evenly and no driver-side state exists.
+    """
+    from ray.data.aggregate import Count, Min
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h = np.array([md5int60(t or "") for t in batch["text"].to_pylist()], np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "h": pa.array(h, pa.int64())})
+
+    hashed = _docs(sf_dir).map_batches(hash_batch, batch_format="pyarrow")
+    groups = hashed.groupby("h").aggregate(
+        Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="group_size")
+    )
+    joined = hashed.join(
+        groups, join_type="inner", num_partitions=4, on=("h",)
+    ).drop_columns(["h"])
+    pdf = joined.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pdf[["doc_id", "rep_doc_id", "group_size"]]
+
+
+DEDUP_EXACT_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, {md5int60_sql('text')} AS h FROM documents
+),
+groups AS (
+  SELECT h, min(doc_id) AS rep_doc_id, CAST(count(*) AS BIGINT) AS group_size
+  FROM hashed GROUP BY h
+)
+SELECT a.doc_id, g.rep_doc_id, g.group_size
+FROM hashed a JOIN groups g USING (h)
+ORDER BY a.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard  (exact pairwise over shared-shingle candidates)
+# ---------------------------------------------------------------------------
+
+
+class _PairsFromGroup:
+    """map_groups fn: one shingle bucket -> candidate (doc_a, doc_b) pairs."""
+
+    def __init__(self):
+        self.__name__ = "PairsFromGroup"
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        docs = np.unique(group["doc_id"].to_numpy())
+        if len(docs) < 2:
+            return pd.DataFrame({"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64)})
+        a, b = np.triu_indices(len(docs), k=1)
+        return pd.DataFrame({"doc_a": docs[a], "doc_b": docs[b]})
+
+
+def _verified_pairs(sf_dir: str, candidates):
+    """candidates (doc_a, doc_b[, dup rows]) -> exact-Jaccard-verified pairs.
+
+    Shingle-count map is conversation-table sized -> broadcast lookup
+    in the verify stage, not a third shuffle.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    shingles = _docs(sf_dir).map_batches(_shingle_batch, batch_format="pyarrow")
+    common = candidates.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="common")
+    )
+    counts = (
+        shingles.groupby("doc_id").count().to_pandas()
+    )  # (doc_id, count()) — |docs| rows, small side
+    cmap = dict(zip(counts["doc_id"].astype(int), counts["count()"].astype(int)))
+    cref = ray.put(cmap)
+
+    class Verify:
+        def __init__(self, cref):
+            self.cref = cref
+            self._m = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._m is None:
+                obj = self.cref
+                self._m = _get_ref(obj) if not isinstance(obj, dict) else obj
+            a = batch["doc_a"].to_numpy(zero_copy_only=False)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False)
+            c = batch["common"].to_numpy(zero_copy_only=False).astype(np.float64)
+            na = np.array([self._m[int(x)] for x in a], np.float64)
+            nb = np.array([self._m[int(x)] for x in b], np.float64)
+            j = np.round(c / (na + nb - c), ROUND)
+            keep = j >= JACCARD_T
+            return pa.table(
+                {
+                    "doc_a": pa.array(a[keep], pa.int64()),
+                    "doc_b": pa.array(b[keep], pa.int64()),
+                    "jaccard": pa.array(j[keep]),
+                }
+            )
+
+    out = common.map_batches(Verify(cref), batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    """All document pairs with 3-gram-shingle Jaccard >= 0.1 (exact).
+
+    Candidates from the shingle inverted list (groupby(sh_hash) ->
+    pair explosion inside bucket-sized groups), intersection counts via
+    a pair groupby, union sizes from broadcast doc shingle-counts.
+    At 100 TB, ultra-hot shingles would be df-capped (documented
+    candidate-loss); the sf corpora have no such shingles, and the
+    MinHash path below is the scale route anyway.
+    """
+    shingles = _docs(sf_dir).map_batches(_shingle_batch, batch_format="pyarrow")
+    candidates = shingles.groupby("sh_hash").map_groups(
+        _PairsFromGroup(), batch_format="pandas"
+    )
+    return _verified_pairs(sf_dir, candidates)
+
+
+_VERIFY_SQL_TAIL = f"""
+pair_common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shingle_hashes a JOIN shingle_hashes b
+    ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sh_counts AS (SELECT doc_id, count(*) AS n FROM shingle_hashes GROUP BY doc_id)
+"""
+
+
+def dedup_ngram_jaccard_sql() -> str:
+    return f"""
+WITH {SHINGLES_SQL},
+{_VERIFY_SQL_TAIL}
+SELECT p.doc_a, p.doc_b,
+       round(p.common * 1.0 / (ca.n + cb.n - p.common), {ROUND}) AS jaccard
+FROM pair_common p
+JOIN sh_counts ca ON ca.doc_id = p.doc_a
+JOIN sh_counts cb ON cb.doc_id = p.doc_b
+WHERE round(p.common * 1.0 / (ca.n + cb.n - p.common), {ROUND}) >= {JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH  (shingle -> minhash -> band -> bucket groupby -> verify)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> (doc_id, band, band_sig) LSH bucket rows.
+
+    sig[p] = min over shingles of md5int60(f"{p}|{shingle}"); bands of
+    N_PERMS/N_BANDS rows, band signature = joined sig values.
+    """
+    rows_per_band = N_PERMS // N_BANDS
+    doc_ids, bands, sigs = [], [], []
+    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        shs = shingle_row(text)
+        mins = [
+            min(md5int60(f"{p}|{s}") for s in shs) for p in range(N_PERMS)
+        ]
+        for b in range(N_BANDS):
+            seg = mins[b * rows_per_band : (b + 1) * rows_per_band]
+            doc_ids.append(did)
+            bands.append(b)
+            sigs.append(",".join(str(v) for v in seg))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "band_sig": pa.array(sigs, pa.string()),
+        }
+    )
+
+
+def dedup_minhash(sf_dir: str):
+    """MinHash(16)+LSH(8x2) near-dup pairs, verified at Jaccard >= 0.1.
+
+    The scale path for near-dup: candidate volume is bucket-bounded, no
+    shingle-join blowup.  Output is the *verified* (exact-Jaccard)
+    subset of LSH candidates — deterministic, and mirrored exactly by
+    the SQL oracle (same permutation hashes, same banding).
+    """
+    sigs = _docs(sf_dir).map_batches(_minhash_batch, batch_format="pyarrow")
+    candidates = sigs.groupby(["band", "band_sig"]).map_groups(
+        _PairsFromGroup(), batch_format="pandas"
+    )
+
+    # LSH can emit the same pair from multiple bands -> dedup before verify
+    from ray.data.aggregate import Count
+
+    cand_unique = (
+        candidates.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="nb"))
+        .drop_columns(["nb"])
+    )
+    # re-join candidates with shingle sets to count intersections:
+    # verification = exact Jaccard over candidate pairs only
+    shingles = _docs(sf_dir).map_batches(_shingle_batch, batch_format="pyarrow")
+    import ray
+
+    cand_pdf = cand_unique.to_pandas()
+    if len(cand_pdf) == 0:
+        return pd.DataFrame(
+            {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64), "jaccard": np.empty(0)}
+        )
+    cand_ref = ray.put(set(zip(cand_pdf.doc_a.astype(int), cand_pdf.doc_b.astype(int))))
+
+    class FilterPairs:
+        """shingle bucket -> only pairs that are LSH candidates."""
+
+        def __init__(self, cand_ref):
+            self.__name__ = "FilterPairs"
+            self.cand_ref = cand_ref
+            self._cand = None
+
+        def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+            if self._cand is None:
+                obj = self.cand_ref
+                self._cand = _get_ref(obj) if not isinstance(obj, set) else obj
+            docs = np.unique(group["doc_id"].to_numpy())
+            out_a, out_b = [], []
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    if (int(docs[i]), int(docs[j])) in self._cand:
+                        out_a.append(docs[i])
+                        out_b.append(docs[j])
+            return pd.DataFrame(
+                {"doc_a": np.array(out_a, np.int64), "doc_b": np.array(out_b, np.int64)}
+            )
+
+    filtered = shingles.groupby("sh_hash").map_groups(
+        FilterPairs(cand_ref), batch_format="pandas"
+    )
+    return _verified_pairs(sf_dir, filtered)
+
+
+def dedup_minhash_sql() -> str:
+    rows_per_band = N_PERMS // N_BANDS
+    perm_rows = ", ".join(f"({p})" for p in range(N_PERMS))
+    return f"""
+WITH {SHINGLES_SQL},
+perms(p) AS (VALUES {perm_rows}),
+sigs AS (
+  SELECT s.doc_id, pr.p,
+         min({md5int60_sql("pr.p || '|' || s.sh")}) AS mh
+  FROM shingles s CROSS JOIN perms pr
+  GROUP BY s.doc_id, pr.p
+),
+bands AS (
+  SELECT doc_id, CAST(p / {rows_per_band} AS INTEGER) AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(p / {rows_per_band} AS INTEGER)
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+{_VERIFY_SQL_TAIL}
+SELECT p.doc_a, p.doc_b,
+       round(p.common * 1.0 / (ca.n + cb.n - p.common), {ROUND}) AS jaccard
+FROM pair_common p
+JOIN candidates c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+JOIN sh_counts ca ON ca.doc_id = p.doc_a
+JOIN sh_counts cb ON cb.doc_id = p.doc_b
+WHERE round(p.common * 1.0 / (ca.n + cb.n - p.common), {ROUND}) >= {JACCARD_T}
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash  (32-bit tf-weighted; hamming-ball near-dup)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> (doc_id, simhash) — vectorized bit accumulation."""
+    texts = batch["text"].to_pylist()
+    n = len(texts)
+    out = np.zeros(n, np.int64)
+    words, rows = [], []
+    for i, t in enumerate(texts):
+        ws = (t or "").lower().split()
+        words.extend(ws)
+        rows.extend([i] * len(ws))
+    if words:
+        h = md5int60_np(np.array(words, object)) & ((1 << SIMHASH_BITS) - 1)
+        r = np.array(rows, np.int64)
+        bits = ((h[:, None] >> np.arange(SIMHASH_BITS)) & 1) * 2 - 1  # ±1
+        acc = np.zeros((n, SIMHASH_BITS), np.int64)
+        np.add.at(acc, r, bits)
+        out = ((acc > 0).astype(np.int64) << np.arange(SIMHASH_BITS)).sum(axis=1)
+    return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())})
+
+
+def simhash_docs(sf_dir: str):
+    """Per-document 32-bit tf-weighted SimHash."""
+    return (
+        _docs(sf_dir)
+        .map_batches(_simhash_batch, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def simhash_docs_sql() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, w, count(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) GROUP BY doc_id, w
+),
+wh AS (
+  SELECT doc_id, tf, {md5int60_sql('w')} & {(1 << SIMHASH_BITS) - 1} AS h FROM words
+),
+v AS (
+  SELECT doc_id, b.j,
+         sum(CASE WHEN (h >> b.j) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j) b
+  GROUP BY doc_id, b.j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+FROM v GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def dedup_simhash(sf_dir: str):
+    """Document pairs within hamming distance <= 10 of each other's SimHash.
+
+    Candidates via 4 bit-bands of 8 bits (any shared band -> candidate;
+    standard SimHash blocking), verified by exact hamming distance.
+    Scale shape: band groupby, no full cross join.
+    """
+    n_bands, band_bits = 4, SIMHASH_BITS // 4
+    sims = _docs(sf_dir).map_batches(_simhash_batch, batch_format="pyarrow")
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        s = batch["simhash"].to_numpy(zero_copy_only=False)
+        mask = (1 << band_bits) - 1
+        ds_, bands_, keys_, sh_ = [], [], [], []
+        for b in range(n_bands):
+            ds_.append(d)
+            bands_.append(np.full(len(d), b, np.int32))
+            keys_.append((s >> (b * band_bits)) & mask)
+            sh_.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(ds_), pa.int64()),
+                "band": pa.array(np.concatenate(bands_), pa.int32()),
+                "band_key": pa.array(np.concatenate(keys_), pa.int64()),
+                "simhash": pa.array(np.concatenate(sh_), pa.int64()),
+            }
+        )
+
+    class BandPairs:
+        def __init__(self):
+            self.__name__ = "BandPairs"
+
+        def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+            g = group.drop_duplicates("doc_id").sort_values("doc_id")
+            d = g["doc_id"].to_numpy()
+            s = g["simhash"].to_numpy()
+            if len(d) < 2:
+                return pd.DataFrame(
+                    {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64), "hamming": np.empty(0, np.int64)}
+                )
+            a, b = np.triu_indices(len(d), k=1)
+            x = np.bitwise_xor(s[a], s[b])
+            ham = np.array([bin(int(v)).count("1") for v in x], np.int64)
+            keep = ham <= HAMMING_T
+            return pd.DataFrame(
+                {"doc_a": d[a][keep], "doc_b": d[b][keep], "hamming": ham[keep]}
+            )
+
+    from ray.data.aggregate import Min
+
+    pairs = (
+        sims.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby(["band", "band_key"])
+        .map_groups(BandPairs(), batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+    return pairs.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def dedup_simhash_sql() -> str:
+    band_bits = SIMHASH_BITS // 4
+    sim_cte = simhash_docs_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH sims AS ({sim_cte}),
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * {band_bits})) & {(1 << band_bits) - 1} AS band_key
+  FROM sims CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa::UBIGINT, sb::UBIGINT)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa::UBIGINT, sb::UBIGINT)) <= {HAMMING_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup  (block matmul vs broadcast matrix)
+# ---------------------------------------------------------------------------
+
+
+def dedup_embedding(sf_dir: str):
+    """Vector pairs with cosine similarity >= 0.4 over ``embeddings``.
+
+    Each batch computes a (batch x all) cosine block against the
+    broadcast normalized matrix (one ``ray.put``, read once per worker)
+    — vectorized matmul, upper-triangle only via vec_id ordering.  At
+    100 TB the broadcast side becomes the IVF/LSH-bucketed variant in
+    similarity.py; this operator is the exact baseline.
+    """
+    import ray
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    mat = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False))
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, mat.astype(np.float64)))
+
+    class Block:
+        def __init__(self, ref):
+            self.ref = ref
+            self._m = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._m is None:
+                obj = self.ref
+                self._m = _get_ref(obj) if not isinstance(obj, tuple) else obj
+            all_ids, all_mat = self._m
+            bid = batch["vec_id"].to_numpy(zero_copy_only=False)
+            bm = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+            sims = bm @ all_mat.T
+            keep = (sims >= COSINE_T) & (bid[:, None] < all_ids[None, :])
+            r, c = np.nonzero(keep)
+            return pa.table(
+                {
+                    "vec_a": pa.array(bid[r], pa.int64()),
+                    "vec_b": pa.array(all_ids[c], pa.int64()),
+                    "cosine": pa.array(np.round(sims[r, c], ROUND)),
+                }
+            )
+
+    out = (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(Block(ref), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+DEDUP_EMBEDDING_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), {ROUND}) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), {ROUND}) >= {COSINE_T}
+ORDER BY vec_a, vec_b
+"""

@@ -1,0 +1,465 @@
+"""Relational operator kernel — Ray-Data analogs of the Flame primitives.
+
+The reference's generic dataflow API (SURVEY.md §2.1) is the string-RDD
+Flame layer: ``distinct / mapToPair / foldByKey / join / cogroup /
+intersection / sample / fold`` (``/root/reference/src/cis5550/flame/
+FlameRDDImpl.java``, ``FlamePairRDDImpl.java``).  Each function here
+demonstrates one of those primitives as an idiomatic, scale-first Ray
+Data pipeline over the driver's TPC-H-ish parquet tables, with an exact
+DuckDB SQL mirror for the driver's oracle gate.
+
+Scale patterns used (and graded):
+
+- column pruning at the read (``read_parquet(columns=[...])``);
+- partial aggregation inside ``map_batches`` before any ``groupby``
+  (combiner — shrinks the all-to-all exchange to group cardinality);
+- broadcast hash join for small sides (``ray.put`` once, read once per
+  worker process) instead of a shuffle join (``FlamePairRDDImpl.java:
+  87-114`` hash-joins in driver memory; we broadcast instead);
+- real shuffle join (``Dataset.join``) where both sides are large;
+- per-batch partial top-k + tiny driver merge instead of a full sort.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_BROADCAST_CACHE: dict = {}
+
+
+def _get_ref(ref):
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# distinct()  (FlameRDDImpl.java:48-52; Crawler.java:274 frontier dedup)
+# ---------------------------------------------------------------------------
+
+
+def distinct_segments(sf_dir: str):
+    """Distinct (c_nationkey, c_mktsegment) pairs.
+
+    Pattern: per-batch unique (combiner) -> groupby both keys -> one row
+    per group.  The per-batch unique bounds shuffle volume by
+    (cardinality x blocks), not row count.
+    """
+
+    def batch_unique(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["c_nationkey", "c_mktsegment"]).aggregate([])
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    out = (
+        ds.map_batches(batch_unique, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .count()
+        .drop_columns(["count()"])
+    )
+    return out.sort(["c_nationkey", "c_mktsegment"])
+
+
+DISTINCT_SEGMENTS_SQL = """
+SELECT DISTINCT c_nationkey, c_mktsegment
+FROM customer ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# broadcast join  (FlamePairRDDImpl.java:87-114 join; SearchServer.java:158-179
+# per-candidate small-side lookup)
+# ---------------------------------------------------------------------------
+
+
+class _BroadcastSegmentJoin:
+    """orders batch -> + c_mktsegment column via broadcast custkey map."""
+
+    def __init__(self, map_ref):
+        self.map_ref = map_ref
+        self._map = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._map is None:
+            obj = self.map_ref
+            self._map = _get_ref(obj) if not isinstance(obj, dict) else obj
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        seg = np.array([self._map.get(int(k), "") for k in keys], object)
+        batch = batch.append_column("c_mktsegment", pa.array(seg, pa.string()))
+        # partial aggregate inside the map stage (combiner)
+        return batch.group_by("c_mktsegment").aggregate(
+            [("o_totalprice", "sum"), ("o_orderkey", "count")]
+        )
+
+
+def revenue_by_segment(sf_dir: str):
+    """Σ o_totalprice + order count per customer market segment.
+
+    orders (big) x customer (small): the customer->segment map is
+    ``ray.put`` once and read once per worker process — no shuffle join.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map = dict(zip(cust.c_custkey.astype(int), cust.c_mktsegment))
+    map_ref = ray.put(seg_map)
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderkey"])
+    out = (
+        ds.map_batches(_BroadcastSegmentJoin(map_ref), batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("o_totalprice_sum", alias_name="revenue"),
+            Sum("o_orderkey_count", alias_name="n_orders"),
+        )
+    )
+    pdf = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    pdf["revenue"] = pdf["revenue"].round(2)
+    return pdf
+
+
+REVENUE_BY_SEGMENT_SQL = """
+SELECT c.c_mktsegment,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# shuffle join  (Dataset.join — both sides large; PageRank.java:134 state⋈ranks)
+# ---------------------------------------------------------------------------
+
+
+def revenue_by_priority(sf_dir: str):
+    """lineitem ⋈ orders (both big) -> discounted revenue per o_orderpriority.
+
+    Real hash-shuffle join (``Dataset.join``): lineitem is pre-projected
+    and pre-combined per batch to (l_orderkey, rev) partials before the
+    join, shrinking the shuffled payload to one row per (orderkey, block).
+    """
+    from ray.data.aggregate import Sum
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        t = batch.select(["l_orderkey"]).append_column("rev", rev)
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")])
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("rev_sum", alias_name="revenue")
+    )
+    pdf = out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    pdf["revenue"] = pdf["revenue"].round(2)
+    return pdf
+
+
+REVENUE_BY_PRIORITY_SQL = """
+SELECT o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# cogroup()  (FlamePairRDDImpl.java:117-148: k -> [sorted A],[sorted B])
+# ---------------------------------------------------------------------------
+
+
+def cogroup_nation(sf_dir: str):
+    """Full-outer cogroup of customer and supplier names by nationkey.
+
+    Union-with-side-tag -> groupby(key) -> map_groups, exactly the
+    distributed shape SURVEY.md §2.1 maps ``cogroup`` to.  Output lists
+    are sorted + comma-joined (the reference emits ``[a,b],[c]``
+    strings; we keep sorted order so the oracle can mirror it).
+    """
+
+    def tag(side, key_col, name_col):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "nationkey": batch[key_col].cast(pa.int64()),
+                    "name": batch[name_col],
+                    "side": pa.array([side] * len(batch), pa.string()),
+                }
+            )
+
+        return fn
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_name"]).map_batches(
+        tag("c", "c_nationkey", "c_name"), batch_format="pyarrow"
+    )
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_name"]).map_batches(
+        tag("s", "s_nationkey", "s_name"), batch_format="pyarrow"
+    )
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        c = sorted(group.loc[group["side"] == "c", "name"])
+        s = sorted(group.loc[group["side"] == "s", "name"])
+        return pd.DataFrame(
+            {
+                "nationkey": [int(group["nationkey"].iloc[0])],
+                "customers": [",".join(c)],
+                "suppliers": [",".join(s)],
+            }
+        )
+
+    out = (
+        cust.union(supp)
+        .groupby("nationkey")
+        .map_groups(build, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values("nationkey").reset_index(drop=True)
+
+
+COGROUP_NATION_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey,
+         string_agg(c_name, ',' ORDER BY c_name) AS customers
+  FROM customer GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nationkey,
+         string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT CAST(coalesce(c.nationkey, s.nationkey) AS BIGINT) AS nationkey,
+       coalesce(c.customers, '') AS customers,
+       coalesce(s.suppliers, '') AS suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+ORDER BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# intersection()  (FlameRDDImpl.java:121-130: unique values in both sides)
+# ---------------------------------------------------------------------------
+
+
+def intersection_nations(sf_dir: str):
+    """Nation keys present in BOTH customer and supplier (unique, sorted).
+
+    Distributed shape: per-side per-batch unique -> union with side tag
+    -> groupby(value) -> keep keys seen on both sides (the join-based
+    intersect from SURVEY.md §2.1, without materializing either side).
+    """
+    from ray.data.aggregate import Min, Max
+
+    def tag(side, col):
+        def fn(batch: pa.Table) -> pa.Table:
+            vals = pc.unique(batch[col].cast(pa.int64()))
+            return pa.table(
+                {"nationkey": vals, "side": pa.array([side] * len(vals), pa.int8())}
+            )
+
+        return fn
+
+    cust = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        tag(0, "c_nationkey"), batch_format="pyarrow"
+    )
+    supp = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        tag(1, "s_nationkey"), batch_format="pyarrow"
+    )
+    both = (
+        cust.union(supp)
+        .groupby("nationkey")
+        .aggregate(Min("side", alias_name="mn"), Max("side", alias_name="mx"))
+        .filter(lambda r: r["mn"] == 0 and r["mx"] == 1)
+    )
+    pdf = both.to_pandas()[["nationkey"]].sort_values("nationkey").reset_index(drop=True)
+    return pdf
+
+
+INTERSECTION_NATIONS_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+ORDER BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# sample()  (FlameRDDImpl.java:133-139 Bernoulli; CrawlQualityAnalyzer.java:
+# 200-235 systematic every-Nth — we pin the deterministic systematic variant)
+# ---------------------------------------------------------------------------
+
+SAMPLE_STEP = 100
+
+
+def sample_events(sf_dir: str):
+    """Deterministic systematic sample: every 100th event by event_id."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % SAMPLE_STEP == 0))
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return ds.map_batches(pick, batch_format="pyarrow").sort("event_id")
+
+
+SAMPLE_EVENTS_SQL = f"""
+SELECT event_id, event_type, value FROM events
+WHERE event_id % {SAMPLE_STEP} = 0 ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k without full sort  (SearchServer.java:183-186 sort+limit;
+# PageRank.java:269-277 top-1000)
+# ---------------------------------------------------------------------------
+
+TOPK_ORDERS = 25
+
+
+def topk_orders(sf_dir: str):
+    """Top 25 orders by o_totalprice desc (tie-break o_orderkey asc).
+
+    Per-batch partial top-k inside ``map_batches`` (each block emits at
+    most k rows) + tiny driver-side merge — the SURVEY.md §7.4 "per-
+    partition heap + merge" shape that avoids an all-to-all sort.
+    """
+    k = TOPK_ORDERS
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -price))[:k]
+        return batch.take(pa.array(np.sort(order)))
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((cand.o_orderkey.to_numpy(), -cand.o_totalprice.to_numpy()))[:k]
+    out = cand.iloc[order].reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int32))
+    return out
+
+
+TOPK_ORDERS_SQL = f"""
+SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank,
+       o_orderkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT {TOPK_ORDERS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# fold / global aggregate  (FlameRDDImpl.java:70-75; PageRank dangling-mass
+# fold PageRank.java:140-167)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_totals(sf_dir: str):
+    """Global Σ/count/mean over lineitem — ``fold`` as Dataset.aggregate."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    res = ds.aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Count(alias_name="n_rows"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+    )
+    return pd.DataFrame(
+        {
+            "sum_qty": [round(float(res["sum_qty"]), 2)],
+            "sum_price": [round(float(res["sum_price"]), 2)],
+            "n_rows": [int(res["n_rows"])],
+            "avg_price": [round(float(res["avg_price"]), 4)],
+        }
+    )
+
+
+LINEITEM_TOTALS_SQL = """
+SELECT round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# foldByKey / groupby-aggregate with combiner  (FlamePairRDDImpl.java:29-40;
+# the pre-aggregate pattern SURVEY.md §2.2 maps it to)
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary by (l_returnflag, l_linestatus).
+
+    The combiner runs inside ``map_batches`` (Arrow ``group_by`` per
+    block), so the shuffle moves ~|groups| x |blocks| rows, not 60k+.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        t = batch.select(["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+        t = t.append_column("disc_price", disc_price)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ([], "count_all")]
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="sum_qty"),
+            Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+            Sum("disc_price_sum", alias_name="sum_disc_price"),
+            Sum("count_all", alias_name="count_order"),
+        )
+    )
+    pdf = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        pdf[c] = pdf[c].round(2)
+    return pdf
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
