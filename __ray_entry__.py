@@ -21,7 +21,7 @@ from typing import Any
 import pandas as pd
 import pyarrow as pa
 
-from raystorm import build, corpus, normalize, query
+from raystorm import build, corpus, normalize, pipelines, query
 
 
 def _index_for(sf_dir: str) -> str:
@@ -114,7 +114,7 @@ def _q_topk_faithful(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    out = {
         "transcripts": _q_transcripts,
         "tokenize_body": _q_tokenize_body,
         "term_stats": _q_term_stats,
@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25": _q_topk_bm25,
         "topk_faithful": _q_topk_faithful,
     }
+    for name, (fn, _sql) in pipelines.registry().items():
+        out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -149,4 +152,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "topk_bm25": query.bm25_topk_sql(),
         "topk_faithful": query.faithful_topk_sql(),
+        **{
+            name: sql
+            for name, (_fn, sql) in pipelines.registry().items()
+            if sql is not None
+        },
     }

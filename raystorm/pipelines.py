@@ -1,0 +1,65 @@
+"""Pipeline registry: every implemented operator with its DuckDB mirror.
+
+Single source of truth consumed by ``__ray_entry__.py`` (driver
+contract) and ``bench.py`` (timed subset).  Each entry: name ->
+(callable(sf_dir) -> DataFrame/Dataset, oracle_sql or None).
+"""
+
+from __future__ import annotations
+
+from . import analysis, dedup, events, multimodal, relational, similarity, textrank
+
+
+def registry() -> dict:
+    return {
+        # --- relational kernel (Flame primitive analogs, SURVEY.md §2.1) ---
+        "distinct_segments": (relational.distinct_segments, relational.DISTINCT_SEGMENTS_SQL),
+        "revenue_by_segment": (relational.revenue_by_segment, relational.REVENUE_BY_SEGMENT_SQL),
+        "revenue_by_priority": (relational.revenue_by_priority, relational.REVENUE_BY_PRIORITY_SQL),
+        "cogroup_nation": (relational.cogroup_nation, relational.COGROUP_NATION_SQL),
+        "intersection_nations": (relational.intersection_nations, relational.INTERSECTION_NATIONS_SQL),
+        "sample_events": (relational.sample_events, relational.SAMPLE_EVENTS_SQL),
+        "topk_orders": (relational.topk_orders, relational.TOPK_ORDERS_SQL),
+        "lineitem_totals": (relational.lineitem_totals, relational.LINEITEM_TOTALS_SQL),
+        "pricing_summary": (relational.pricing_summary, relational.PRICING_SUMMARY_SQL),
+        # --- text analysis ---
+        "lang_id": (analysis.lang_id, analysis.lang_id_sql()),
+        "quality_score": (analysis.quality_score, analysis.quality_score_sql()),
+        "token_count": (analysis.token_count, analysis.token_count_sql()),
+        "fingerprint": (analysis.fingerprint, analysis.fingerprint_sql()),
+        # --- dedup family ---
+        "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
+        "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.dedup_ngram_jaccard_sql()),
+        "dedup_minhash": (dedup.dedup_minhash, dedup.dedup_minhash_sql()),
+        "simhash_docs": (dedup.simhash_docs, dedup.simhash_docs_sql()),
+        "dedup_simhash": (dedup.dedup_simhash, dedup.dedup_simhash_sql()),
+        "dedup_embedding": (dedup.dedup_embedding, dedup.DEDUP_EMBEDDING_SQL),
+        # --- similarity search ---
+        "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL),
+        "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ann_lsh_topk_sql()),
+        # --- graph rank (PageRank analog) ---
+        "textrank": (textrank.textrank, textrank.textrank_sql()),
+        # --- stream windows ---
+        "window_agg": (events.window_agg, events.WINDOW_AGG_SQL),
+        "sessionize": (events.sessionize, events.SESSIONIZE_SQL),
+        # --- multimodal plumbing (stubbed decode; oracle mirrors the fake) ---
+        "media_features": (lambda sf: multimodal.media_features(sf).to_pandas(), multimodal.media_features_sql()),
+    }
+
+
+#: heavier subset timed by bench.py at sf0.1
+BENCH_NAMES = (
+    "pricing_summary",
+    "revenue_by_priority",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "window_agg",
+    "sessionize",
+    "textrank",
+)
+
+
+def bench_pipelines() -> dict:
+    reg = registry()
+    return {name: reg[name][0] for name in BENCH_NAMES}

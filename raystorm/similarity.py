@@ -1,0 +1,320 @@
+"""Similarity search over the ``embeddings`` table.
+
+Approximate-nearest-neighbor operators from the task brief: brute-force
+cosine top-k as the exact baseline, and a random-hyperplane LSH variant
+as the scale path.  No analog exists in the reference (SURVEY.md §2.2
+"No semi/range/as-of joins"); the query-side shape mirrors its ranker:
+candidates -> score -> sort desc -> limit k (``SearchServer.java:
+183-186``).
+
+Scale shapes:
+
+- the query matrix (k_q x dim) is ``ray.put`` once and read once per
+  worker; each batch computes one (batch x k_q) matmul block and emits
+  only its per-query partial top-k, so the driver merge sees
+  O(k_q * k * blocks) rows regardless of corpus size;
+- the LSH path buckets vectors by deterministic hyperplane sign bands
+  (seeded from md5 — identical in numpy and the DuckDB mirror), so
+  candidate generation is a bucket join, not a cross join.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .analysis import md5int60, md5int60_sql
+
+ROUND = 6
+TOP_K = 10
+#: query set: the first N_QUERIES vec_ids of the table itself
+N_QUERIES = 5
+#: LSH: 16 hyperplanes = 4 bands x 4 bits
+N_PLANES = 16
+N_BANDS = 4
+DIM = 64
+
+_BROADCAST_CACHE: dict = {}
+
+
+def _get_ref(ref):
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def plane_matrix(dim: int = DIM) -> np.ndarray:
+    """Deterministic hyperplanes: val = md5int60('plane|j|d')/2^59 - 1."""
+    vals = np.array(
+        [
+            [md5int60(f"plane|{j}|{d}") / 2**59 - 1.0 for d in range(dim)]
+            for j in range(N_PLANES)
+        ],
+        np.float64,
+    )
+    return vals
+
+
+def _load_queries_raw(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_numpy()
+    sel = np.nonzero(ids < N_QUERIES)[0]
+    qids = ids[sel]
+    qmat = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False)[sel]).astype(np.float64)
+    order = np.argsort(qids)
+    return qids[order], qmat[order]
+
+
+def _load_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_numpy()
+    sel = np.nonzero(ids < N_QUERIES)[0]
+    qids = ids[sel]
+    qmat = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False)[sel]).astype(
+        np.float64
+    )
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    order = np.argsort(qids)
+    return qids[order], qmat[order]
+
+
+class _PartialTopK:
+    """embeddings batch -> per-query partial top-k (query matrix broadcast)."""
+
+    def __init__(self, qref, k):
+        self.qref = qref
+        self.k = k
+        self._q = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._q is None:
+            obj = self.qref
+            self._q = _get_ref(obj) if not isinstance(obj, tuple) else obj
+        qids, qmat = self._q
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qmat @ m.T  # (k_q, batch)
+        out_q, out_v, out_s = [], [], []
+        for i, qid in enumerate(qids):
+            s = sims[i]
+            mask = vids != qid  # exclude self
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            sub = s[idx]
+            take = idx[np.lexsort((vids[idx], -np.round(sub, ROUND)))[: self.k]]
+            out_q.append(np.full(len(take), qid, np.int64))
+            out_v.append(vids[take])
+            out_s.append(s[take])
+        if not out_q:
+            return pa.table(
+                {"query_vec": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_vec": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def _merge_topk(cand: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver-side merge of per-block partial top-k -> final ranked rows."""
+    out = []
+    for qid, g in cand.groupby("query_vec", sort=True):
+        r = np.round(g["cosine"].to_numpy(), ROUND)
+        order = np.lexsort((g["vec_id"].to_numpy(), -r))[:k]
+        sel = g.iloc[order]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_vec": np.full(len(sel), qid, np.int64),
+                    "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                    "vec_id": sel["vec_id"].to_numpy(),
+                    "cosine": np.round(sel["cosine"].to_numpy(), ROUND),
+                }
+            )
+        )
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame({"query_vec": [], "rank": [], "vec_id": [], "cosine": []})
+    )
+
+
+def ann_cosine_topk(sf_dir: str):
+    """Exact cosine top-10 for query vectors vec_id < 5 (self excluded)."""
+    import ray
+    import ray.data as rd
+
+    qref = ray.put(_load_queries(sf_dir))
+    cand = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        .map_batches(_PartialTopK(qref, TOP_K), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return _merge_topk(cand, TOP_K)
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_vec, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_vec, e.vec_id,
+         round(list_cosine_similarity(q.embedding, e.embedding), {ROUND}) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_vec
+),
+ranked AS (
+  SELECT query_vec,
+         CAST(row_number() OVER (PARTITION BY query_vec ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank,
+         vec_id, cosine
+  FROM scored
+)
+SELECT query_vec, rank, vec_id, cosine FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_vec, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def _band_keys(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, N_BANDS) integer band keys from sign bits."""
+    bits = (mat @ planes.T >= 0).astype(np.int64)  # (n, N_PLANES)
+    per_band = N_PLANES // N_BANDS
+    keys = np.zeros((mat.shape[0], N_BANDS), np.int64)
+    for b in range(N_BANDS):
+        seg = bits[:, b * per_band : (b + 1) * per_band]
+        keys[:, b] = (seg << np.arange(per_band)).sum(axis=1)
+    return keys
+
+
+def ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed approximate top-10: candidates share >=1 sign band
+    with the query; exact cosine re-rank within candidates.
+
+    Deterministic hyperplanes (md5-seeded) keep the Ray path and the SQL
+    mirror bit-identical.  Recall < 1 by design — this is the documented
+    approximation; ``ann_cosine_topk`` is the exact baseline.
+    """
+    import ray
+    import ray.data as rd
+
+    qids, qmat = _load_queries(sf_dir)
+    planes = plane_matrix()
+    qkeys = _band_keys(_load_queries_raw(sf_dir)[1], planes)  # sign bits on raw vectors
+    qref = ray.put((qids, qmat, qkeys))
+
+    class LshPartial:
+        def __init__(self, qref, planes, k):
+            self.qref = qref
+            self.planes = planes
+            self.k = k
+            self._q = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._q is None:
+                obj = self.qref
+                self._q = _get_ref(obj) if not isinstance(obj, tuple) else obj
+            qids, qmat, qkeys = self._q
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+            keys = _band_keys(m, self.planes)  # sign bits on raw vectors
+            out_q, out_v, out_s = [], [], []
+            for i, qid in enumerate(qids):
+                shares = (keys == qkeys[i][None, :]).any(axis=1) & (vids != qid)
+                idx = np.nonzero(shares)[0]
+                if len(idx) == 0:
+                    continue
+                s = norm[idx] @ qmat[i]
+                take = np.lexsort((vids[idx], -np.round(s, ROUND)))[: self.k]
+                out_q.append(np.full(len(take), qid, np.int64))
+                out_v.append(vids[idx][take])
+                out_s.append(s[take])
+            if not out_q:
+                return pa.table(
+                    {"query_vec": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "query_vec": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                    "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    cand = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        .map_batches(LshPartial(qref, planes, TOP_K), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return _merge_topk(cand, TOP_K)
+
+
+def ann_lsh_topk_sql() -> str:
+    per_band = N_PLANES // N_BANDS
+    planes = plane_matrix()
+    plane_rows = ", ".join(
+        f"({j}, {d}, {planes[j, d]!r})" for j in range(N_PLANES) for d in range(DIM)
+    )
+    return f"""
+WITH planes(j, d, val) AS (VALUES {plane_rows}),
+norms AS (
+  SELECT vec_id, sqrt(list_dot_product(embedding, embedding)) AS nrm, embedding
+  FROM embeddings
+),
+bits AS (
+  SELECT n.vec_id, p.j,
+         CASE WHEN sum(n.embedding[p.d + 1] * p.val) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM norms n CROSS JOIN planes p
+  GROUP BY n.vec_id, p.j
+),
+bands AS (
+  SELECT vec_id, CAST(j // {per_band} AS INTEGER) AS band,
+         CAST(sum(bit::BIGINT << (j % {per_band})) AS BIGINT) AS band_key
+  FROM bits GROUP BY vec_id, CAST(j // {per_band} AS INTEGER)
+),
+qbands AS (SELECT * FROM bands WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_vec, b.vec_id
+  FROM qbands q JOIN bands b
+    ON b.band = q.band AND b.band_key = q.band_key AND b.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT c.query_vec, c.vec_id,
+         round(list_cosine_similarity(qe.embedding, e.embedding), {ROUND}) AS cosine
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_vec
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_vec,
+         CAST(row_number() OVER (PARTITION BY query_vec ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank,
+         vec_id, cosine
+  FROM scored
+)
+SELECT query_vec, rank, vec_id, cosine FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_vec, rank
+"""

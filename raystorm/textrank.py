@@ -1,0 +1,226 @@
+"""TextRank — the engine's PageRank analog over the word-bigram graph.
+
+The reference's PageRank job (``/root/reference/src/cis5550/jobs/
+PageRank.java``) iterates rank over the host link graph: adjacency from
+``foldByKey`` set-union (``:84-99``), driver loop of join + fold-sum
+per iteration (``:131-237``), dangling mass folded to a driver scalar
+(``:140-167``), new rank ``0.15/N + 0.85*(in + dangling/N)`` stored
+``%.8f``-rounded every iteration (``:201-207``).
+
+Our corpus has no hyperlinks, so the graph is data-derived the TextRank
+way (Mihalcea & Tarau 2004, public): nodes = distinct words of the
+``documents`` table, directed edges = distinct adjacent-word bigrams.
+The iteration is the same dataflow shape as the reference —
+``Dataset.join`` per iteration, ``groupby.aggregate(Sum)`` for the
+contribution fold, ``ds.sum()`` scalar barriers for dangling mass,
+8-decimal rounding per iteration mirroring the reference's ``%.8f`` —
+and the DuckDB oracle unrolls the same fixed iteration count as chained
+CTEs.
+
+Scale notes: edges/outdeg are materialized once (they are
+vocabulary-bounded, far smaller than the corpus); ranks stay a Dataset
+keyed by node through every join — nothing corpus-sized touches the
+driver; the two scalar barriers per iteration are O(1) reductions.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+D = 0.85
+ITERS = 5
+ROUND = 8
+
+
+def _bigram_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> distinct (src, dst) bigram edges of this batch."""
+    srcs, dsts = [], []
+    for text in batch["text"].to_pylist():
+        words = (text or "").lower().split(" ")
+        pairs = {(words[i], words[i + 1]) for i in range(len(words) - 1)}
+        for s, t in pairs:
+            srcs.append(s)
+            dsts.append(t)
+    tbl = pa.table(
+        {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
+    )
+    return tbl.group_by(["src", "dst"]).aggregate([])
+
+
+def _node_batch(batch: pa.Table) -> pa.Table:
+    words = set()
+    for text in batch["text"].to_pylist():
+        words.update((text or "").lower().split(" "))
+    return pa.table({"node": pa.array(sorted(words), pa.string())})
+
+
+def textrank(sf_dir: str):
+    """5 fixed PageRank iterations over the word-bigram graph.
+
+    Returns (node, rank) with rank %.8f-rounded, ordered by node.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+
+    edges = (
+        docs.map_batches(_bigram_batch, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    nodes = (
+        docs.map_batches(_node_batch, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    outdeg = edges.groupby("src").aggregate(Count(alias_name="deg")).materialize()
+    # static join: every edge annotated with its source's out-degree
+    contrib_base = edges.join(
+        outdeg, join_type="inner", num_partitions=4, on=("src",)
+    ).materialize()
+    # static dangling flag per node (computed once, carried through ranks)
+    def flag(batch: pa.Table) -> pa.Table:
+        deg = batch["deg"].to_numpy(zero_copy_only=False)
+        has = ~pd.isna(deg)
+        return pa.table({"node": batch["node"], "has_out": pa.array(has)})
+
+    nodes_flagged = (
+        nodes.join(
+            outdeg,
+            join_type="left_outer",
+            num_partitions=4,
+            on=("node",),
+            right_on=("src",),
+        )
+        .map_batches(flag, batch_format="pyarrow")
+        .materialize()
+    )
+
+    n_nodes = nodes.count()
+    init = 1.0 / n_nodes
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        return batch.append_column("r", pa.array(np.full(len(batch), init)))
+
+    ranks = nodes_flagged.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    def dangling_partial(batch: pa.Table) -> pa.Table:
+        r = batch["r"].to_numpy(zero_copy_only=False)
+        mask = ~batch["has_out"].to_numpy(zero_copy_only=False)
+        return pa.table({"dm": pa.array([float(r[mask].sum())])})
+
+    for _it in range(ITERS):
+        # dangling mass: one O(1) scalar barrier
+        # (PageRank.java:140-167's filter + fold + collect)
+        dangling = (
+            ranks.map_batches(dangling_partial, batch_format="pyarrow").sum("dm") or 0.0
+        )
+
+        contribs = (
+            contrib_base.join(
+                ranks,
+                join_type="inner",
+                num_partitions=4,
+                on=("src",),
+                right_on=("node",),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "dst": b["dst"],
+                        "c": pa.array(
+                            b["r"].to_numpy(zero_copy_only=False)
+                            / b["deg"].to_numpy(zero_copy_only=False)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="in_r"))
+        )
+
+        base = (1.0 - D) / n_nodes + D * dangling / n_nodes
+
+        def new_rank(batch: pa.Table, base=base) -> pa.Table:
+            in_r = batch["in_r"].to_numpy(zero_copy_only=False)
+            in_r = np.nan_to_num(in_r.astype(np.float64), nan=0.0)
+            r = np.round(base + D * in_r, ROUND)
+            return pa.table(
+                {"node": batch["node"], "has_out": batch["has_out"], "r": pa.array(r)}
+            )
+
+        ranks = (
+            nodes_flagged.join(
+                contribs,
+                join_type="left_outer",
+                num_partitions=4,
+                on=("node",),
+                right_on=("dst",),
+            )
+            .map_batches(new_rank, batch_format="pyarrow")
+            .materialize()
+        )
+
+    pdf = ranks.to_pandas()[["node", "r"]].sort_values("node").reset_index(drop=True)
+    pdf.columns = ["node", "rank"]
+    return pdf
+
+
+def textrank_sql() -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (DuckDB oracle)."""
+    parts = [
+        """
+words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS parts FROM documents
+),
+edges AS (
+  SELECT DISTINCT parts[s.i] AS src, parts[s.i + 1] AS dst
+  FROM words d,
+       LATERAL (SELECT unnest(generate_series(1, len(d.parts) - 1)) AS i) s
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS node FROM documents
+  )
+),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)"""
+    ]
+    for it in range(1, ITERS + 1):
+        prev = f"r{it - 1}"
+        parts.append(
+            f"""
+dang{it} AS (
+  SELECT coalesce(sum(p.r), 0) AS dm
+  FROM {prev} p LEFT JOIN outdeg o ON o.src = p.node
+  WHERE o.src IS NULL
+),
+contrib{it} AS (
+  SELECT e.dst AS node, sum(p.r / o.deg) AS in_r
+  FROM edges e
+  JOIN {prev} p ON p.node = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{it} AS (
+  SELECT n.node,
+         round((1 - {D}) / nn.n + {D} * d.dm / nn.n
+               + {D} * coalesce(c.in_r, 0), {ROUND}) AS r
+  FROM nodes n
+  CROSS JOIN nn CROSS JOIN dang{it} d
+  LEFT JOIN contrib{it} c ON c.node = n.node
+)"""
+        )
+    body = ",".join(parts)
+    return f"WITH {body}\nSELECT node, r AS rank FROM r{ITERS} ORDER BY node"
