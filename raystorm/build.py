@@ -5,15 +5,14 @@ Replaces the reference's single-threaded posting build
 ``Indexer.java:55-75``, ``FlamePairRDDImpl.java:29-40``) with a real
 Ray Data shuffle:
 
-1. **docid pass** — tiny groupby to assign order-preserving docids
-   (``docids.DocIdCodec``).
-2. **stats pass** — tokenize (``map_batches``, Arrow-vectorized) ->
-   per-batch partial (field, term) -> (df, cf) rows -> one small
-   ``groupby.aggregate(Sum)`` over vocabulary-sized partials.  Yields
-   exact N, avgdl, df, cf, idf — the reference instead hardcodes
-   N=30000 (``SearchServer.java:17``) and derives df from posting-string
-   length at query time.
-3. **build pass** — tokenize again (streaming recompute; cheaper than
+1. **stats pass** — fused tokenize + per-batch combiner
+   (``StatsStage``): partial (field, term) -> (df, cf) rows plus
+   per-conversation extent sentinels, reduced by one vocabulary-sized
+   ``groupby.aggregate``.  Yields exact N, avgdl, df, cf, idf AND the
+   order-preserving DocIdCodec in a single corpus read — the reference
+   instead hardcodes N=30000 (``SearchServer.java:17``) and derives df
+   from posting-string length at query time.
+2. **build pass** — tokenize again (streaming recompute; cheaper than
    materializing the token stream at corpus scale), assign each
    (field, term) row a term partition ``gpart = crc32(field:term) % P``;
    **head terms** (df > split_target) are salted across
@@ -50,6 +49,10 @@ from .docids import DocIdCodec
 
 #: sentinel "term" carrying per-turn doc stats through the token stream
 DOC_SENTINEL = "\x00doc"
+#: sentinel "field" carrying per-conversation extents through the stats
+#: shuffle (term = conv_id, mx = max turn_idx) — lets one corpus pass
+#: produce term stats AND the DocIdCodec
+CONV_FIELD = "\x02conv"
 
 TOKEN_SCHEMA = pa.schema(
     [
@@ -122,12 +125,6 @@ class TokenizeStage:
             out_docids.append(docids[r])
             out_tfs.append(tf)
             out_dls.append(dl[r])
-            # one sentinel row per turn: carries dl for N/avgdl stats
-            out_fields.append(np.full(n, col, object))
-            out_terms.append(np.full(n, DOC_SENTINEL, object))
-            out_docids.append(docids)
-            out_tfs.append(np.zeros(n, np.int32))
-            out_dls.append(dl)
         return pa.Table.from_arrays(
             [
                 pa.array(np.concatenate(out_fields), pa.string()),
@@ -140,38 +137,82 @@ class TokenizeStage:
         )
 
 
-def _partial_stats(batch: pa.Table) -> pa.Table:
-    """Pre-aggregate (field, term) -> (df, cf) within a batch (combiner)."""
-    f = batch["field"].to_numpy(zero_copy_only=False)
-    t = batch["term"].to_numpy(zero_copy_only=False)
-    tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
-    key = np.char.add(np.char.add(f.astype(str), "\x01"), t.astype(str))
-    uniq, inv = np.unique(key, return_inverse=True)
-    df_part = np.bincount(inv)
-    is_doc = np.array([k.split("\x01", 1)[1] == DOC_SENTINEL for k in uniq])
-    # cf: sum tf per term; for sentinel rows sum dl (=> corpus token count)
-    weights = np.where(is_doc[inv], dl, tf)
-    cf_part = np.bincount(inv, weights=weights).astype(np.int64)
-    fields_out = [k.split("\x01", 1)[0] for k in uniq]
-    terms_out = [k.split("\x01", 1)[1] for k in uniq]
-    return pa.table(
-        {
-            "field": pa.array(fields_out, pa.string()),
-            "term": pa.array(terms_out, pa.string()),
-            "df": pa.array(df_part, pa.int64()),
-            "cf": pa.array(cf_part, pa.int64()),
-        }
-    )
+class StatsStage:
+    """Fused tokenize + per-batch combiner for the stats pass.
+
+    transcripts batch -> partial (field, term) -> (df, cf, mx) rows:
+
+    - term rows:      df = docs-in-batch, cf = Σtf, mx = 0
+    - DOC_SENTINEL:   df = turns-in-batch, cf = Σdl (per field)
+    - CONV_FIELD:     term = conv_id, df = turns, mx = max turn_idx
+      (feeds the DocIdCodec — no separate docid pass)
+
+    One corpus read + one vocabulary-sized shuffle yields N, avgdl,
+    df/cf/idf AND the conversation extent table.
+    """
+
+    def __init__(self, fields):
+        self.fields = fields
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out_f, out_t, out_df, out_cf, out_mx = [], [], [], [], []
+        for col, mode in self.fields:
+            toks, rows = normalize.tokenize_column(batch[col], mode)
+            r, t, tf, dl = normalize.doc_term_stats(toks, rows, n)
+            # per-batch combine: (term) -> (#docs, sum tf)
+            uniq, inv = np.unique(t, return_inverse=True)
+            out_f.append(np.full(len(uniq), col, object))
+            out_t.append(uniq)
+            out_df.append(np.bincount(inv, minlength=len(uniq)).astype(np.int64))
+            out_cf.append(np.bincount(inv, weights=tf, minlength=len(uniq)).astype(np.int64))
+            out_mx.append(np.zeros(len(uniq), np.int64))
+            # doc sentinel: turns + token mass for N/avgdl
+            out_f.append(np.array([col], object))
+            out_t.append(np.array([DOC_SENTINEL], object))
+            out_df.append(np.array([n], np.int64))
+            out_cf.append(np.array([int(dl.sum())], np.int64))
+            out_mx.append(np.array([0], np.int64))
+        # conversation extents (field-independent; emitted once)
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        tix = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cu, cinv = np.unique(conv, return_inverse=True)
+        cmax = np.full(len(cu), -1, np.int64)
+        np.maximum.at(cmax, cinv, tix)
+        out_f.append(np.full(len(cu), CONV_FIELD, object))
+        out_t.append(cu.astype(object))
+        out_df.append(np.bincount(cinv, minlength=len(cu)).astype(np.int64))
+        out_cf.append(np.zeros(len(cu), np.int64))
+        out_mx.append(cmax)
+        return pa.table(
+            {
+                "field": pa.array(np.concatenate(out_f), pa.string()),
+                "term": pa.array(np.concatenate(out_t).astype(object), pa.string()),
+                "df": pa.array(np.concatenate(out_df), pa.int64()),
+                "cf": pa.array(np.concatenate(out_cf), pa.int64()),
+                "mx": pa.array(np.concatenate(out_mx), pa.int64()),
+            }
+        )
 
 
-def compute_stats(tokens_ds) -> pd.DataFrame:
-    """Exact per-(field, term) df/cf + per-field doc stats (small shuffle)."""
-    from ray.data.aggregate import Sum
+def compute_stats(ds, fields, reduce_blocks: int = 8) -> pd.DataFrame:
+    """One corpus pass: (field, term, df, cf, mx) incl. sentinels.
 
-    partials = tokens_ds.map_batches(_partial_stats, batch_format="pyarrow")
-    agg = partials.groupby(["field", "term"]).aggregate(
-        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+    Partials are vocabulary-bounded per block, so coalescing them to a
+    handful of blocks before the groupby is always safe and removes the
+    tiny-block sort-shuffle overhead (measured 7x on the sf bench).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    partials = ds.map_batches(StatsStage(fields), batch_format="pyarrow")
+    agg = (
+        partials.repartition(reduce_blocks)
+        .groupby(["field", "term"])
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Sum("cf", alias_name="cf"),
+            Max("mx", alias_name="mx"),
+        )
     )
     return agg.to_pandas()
 
@@ -385,8 +426,17 @@ def build_index(
             return m
 
     t_start = time.time()
-    # 1. docid pass
-    codec = codec or DocIdCodec.from_dataset(ds)
+    # 1. fused stats + docid pass (one corpus read, one small shuffle)
+    stats = compute_stats(ds, cfg.fields)
+    conv_stats = stats[stats.field == CONV_FIELD]
+    if codec is None:
+        conv_pdf = pd.DataFrame(
+            {
+                "conv_id": conv_stats.term.to_numpy(),
+                "max_turn": conv_stats.mx.to_numpy(),
+            }
+        ).sort_values("conv_id").reset_index(drop=True)
+        codec = DocIdCodec.from_pandas(conv_pdf)
     codec_ref = ray.put(codec)
 
     tokens = ds.map_batches(
@@ -395,10 +445,9 @@ def build_index(
         batch_size=cfg.batch_size,
     )
 
-    # 2. stats pass
-    stats = compute_stats(tokens)
+    stats = stats[stats.field != CONV_FIELD]
     doc_stats = stats[stats.term == DOC_SENTINEL]
-    term_stats = stats[stats.term != DOC_SENTINEL].reset_index(drop=True)
+    term_stats = stats[stats.term != DOC_SENTINEL].drop(columns=["mx"]).reset_index(drop=True)
     global_stats = {}
     for col, _mode in cfg.fields:
         row = doc_stats[doc_stats.field == col]
