@@ -38,9 +38,12 @@ JACCARD_T = 0.1
 #: MinHash permutations / LSH banding (8 bands x 2 rows)
 N_PERMS = 16
 N_BANDS = 8
-#: SimHash: 32-bit, near-dup at hamming <= 10
-SIMHASH_BITS = 32
-HAMMING_T = 10
+#: SimHash: 48-bit (fits BIGINT for the SQL mirror), near-dup at
+#: hamming <= 4; 4 blocking bands of 12 bits.  Wider than 32 bits so
+#: near-uniform word-bag documents don't all collide into a few bands,
+#: and tight enough that the hamming ball stays near-dup-sized on them.
+SIMHASH_BITS = 48
+HAMMING_T = 4
 #: embedding near-dup threshold
 COSINE_T = 0.4
 
@@ -268,22 +271,35 @@ def _minhash_batch(batch: pa.Table) -> pa.Table:
     N_PERMS/N_BANDS rows, band signature = joined sig values.
     """
     rows_per_band = N_PERMS // N_BANDS
-    doc_ids, bands, sigs = [], [], []
-    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        shs = shingle_row(text)
-        mins = [
-            min(md5int60(f"{p}|{s}") for s in shs) for p in range(N_PERMS)
-        ]
+    dids, shs, rows = [], [], []
+    for i, (did, text) in enumerate(
+        zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist())
+    ):
+        dids.append(did)
+        for s in shingle_row(text):
+            shs.append(s)
+            rows.append(i)
+    n = len(dids)
+    sigs = np.full((n, N_PERMS), np.iinfo(np.int64).max, np.int64)
+    if shs:
+        r = np.array(rows, np.int64)
+        # hash work per *unique* (perm, shingle); shingles repeat across docs
+        uniq, inv = np.unique(np.array(shs, object), return_inverse=True)
+        for p in range(N_PERMS):
+            hp = np.array([md5int60(f"{p}|{u}") for u in uniq], np.int64)[inv]
+            np.minimum.at(sigs[:, p], r, hp)
+    doc_ids, bands, out_sigs = [], [], []
+    for i in range(n):
         for b in range(N_BANDS):
-            seg = mins[b * rows_per_band : (b + 1) * rows_per_band]
-            doc_ids.append(did)
+            seg = sigs[i, b * rows_per_band : (b + 1) * rows_per_band]
+            doc_ids.append(dids[i])
             bands.append(b)
-            sigs.append(",".join(str(v) for v in seg))
+            out_sigs.append(",".join(str(v) for v in seg))
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, pa.int64()),
             "band": pa.array(bands, pa.int32()),
-            "band_sig": pa.array(sigs, pa.string()),
+            "band_sig": pa.array(out_sigs, pa.string()),
         }
     )
 
@@ -482,8 +498,11 @@ def dedup_simhash(sf_dir: str):
                     {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64), "hamming": np.empty(0, np.int64)}
                 )
             a, b = np.triu_indices(len(d), k=1)
-            x = np.bitwise_xor(s[a], s[b])
-            ham = np.array([bin(int(v)).count("1") for v in x], np.int64)
+            x = np.bitwise_xor(s[a], s[b]).astype(np.uint64)
+            # vectorized popcount (hot: buckets can hold thousands of docs)
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+                axis=1
+            ).astype(np.int64)
             keep = ham <= HAMMING_T
             return pd.DataFrame(
                 {"doc_a": d[a][keep], "doc_b": d[b][keep], "hamming": ham[keep]}

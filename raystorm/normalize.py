@@ -94,6 +94,19 @@ def tokenize_column(texts, mode: str = "body"):
     return tokens, row_idx[mask_np]
 
 
+def tokenize_with_positions(texts, mode: str = "body"):
+    """Like ``tokenize_column`` but also returns each kept token's
+    0-based position among its row's kept tokens (the positional-postings
+    path — ``AnchorTextIndexer.java:62-65`` records position-in-anchor).
+    """
+    tokens, row_idx = tokenize_column(texts, mode)
+    if len(row_idx) == 0:
+        return tokens, row_idx, np.empty(0, np.int64)
+    first = np.searchsorted(row_idx, row_idx, side="left")
+    pos = np.arange(len(row_idx), dtype=np.int64) - first
+    return tokens, row_idx, pos
+
+
 def doc_term_stats(tokens: np.ndarray, row_idx: np.ndarray, n_rows: int):
     """Per-(row, term) tf + per-row token counts, vectorized.
 

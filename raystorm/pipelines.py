@@ -7,7 +7,16 @@ contract) and ``bench.py`` (timed subset).  Each entry: name ->
 
 from __future__ import annotations
 
-from . import analysis, dedup, events, multimodal, relational, similarity, textrank
+from . import (
+    analysis,
+    dedup,
+    events,
+    multimodal,
+    positional,
+    relational,
+    similarity,
+    textrank,
+)
 
 
 def registry() -> dict:
@@ -37,6 +46,8 @@ def registry() -> dict:
         # --- similarity search ---
         "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL),
         "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ann_lsh_topk_sql()),
+        # --- positional postings (AnchorTextIndexer path) ---
+        "positional_postings": (positional.positional_postings, positional.positional_postings_sql()),
         # --- graph rank (PageRank analog) ---
         "textrank": (textrank.textrank, textrank.textrank_sql()),
         # --- stream windows ---

@@ -1,0 +1,77 @@
+"""Unit tests for the operator modules (pure-python pieces, no oracle)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raystorm import analysis, dedup, normalize, similarity
+
+
+def test_md5int60_matches_hashlib():
+    import hashlib
+
+    for s in ("", "hello", "küche", "0|the quick brown"):
+        assert analysis.md5int60(s) == int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_md5int60_np_matches_scalar():
+    arr = np.array(["a", "b", "a", "c"], object)
+    out = analysis.md5int60_np(arr)
+    assert out[0] == out[2] == analysis.md5int60("a")
+    assert out[1] == analysis.md5int60("b")
+
+
+def test_shingle_row_short_and_long():
+    assert dedup.shingle_row("a b") == ["a b"]
+    assert dedup.shingle_row("one") == ["one"]
+    assert dedup.shingle_row("a b c d") == sorted({"a b c", "b c d"})
+    # duplicates collapse
+    assert dedup.shingle_row("x x x x") == ["x x x"]
+
+
+def test_simhash_popcount_vectorized():
+    # pairs within one band bucket: vectorized popcount == python bin()
+    g = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "simhash": [0b1010, 0b1000, 0b0111],
+            "band": [0, 0, 0],
+            "band_key": [0, 0, 0],
+        }
+    )
+    d = g["simhash"].to_numpy()
+    a, b = np.triu_indices(3, k=1)
+    x = np.bitwise_xor(d[a], d[b]).astype(np.uint64)
+    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+    expect = [bin(v1 ^ v2).count("1") for v1, v2 in [(0b1010, 0b1000), (0b1010, 0b0111), (0b1000, 0b0111)]]
+    assert ham.tolist() == expect
+
+
+def test_band_keys_scale_invariant():
+    planes = similarity.plane_matrix(4)[:, :4]
+    m = np.array([[1.0, -2.0, 0.5, 3.0]])
+    k1 = similarity._band_keys(m, planes)
+    k2 = similarity._band_keys(10.0 * m, planes)
+    assert (k1 == k2).all()
+
+
+def test_tokenize_with_positions():
+    toks, rows, pos = normalize.tokenize_with_positions(
+        pa.array(["the quick 42 fox", "a b"]), "body"
+    )
+    # '42' dropped by body mode; positions count kept tokens only
+    assert toks.tolist() == ["the", "quick", "fox", "a", "b"]
+    assert rows.tolist() == [0, 0, 0, 1, 1]
+    assert pos.tolist() == [0, 1, 2, 0, 1]
+
+
+def test_tokenize_with_positions_empty():
+    toks, rows, pos = normalize.tokenize_with_positions(pa.array(["", "   "]), "body")
+    assert len(toks) == 0 and len(pos) == 0
+
+
+def test_plane_matrix_deterministic_range():
+    p = similarity.plane_matrix()
+    assert p.shape == (similarity.N_PLANES, similarity.DIM)
+    assert (p >= -1.0).all() and (p <= 1.0).all()
+    assert np.allclose(p, similarity.plane_matrix())
