@@ -38,7 +38,9 @@ def _sf_label(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else base
 
 
-def run_suite(sf_dir: str, num_cpus: int, synth_convs: int = SYNTH_CONVS) -> dict:
+def run_suite(
+    sf_dir: str, num_cpus: int, synth_convs: int = SYNTH_CONVS, core_only: bool = False
+) -> dict:
     """Run all timed stages inside an already-initialised Ray session."""
     import ray.data as rd
 
@@ -104,16 +106,14 @@ def run_suite(sf_dir: str, num_cpus: int, synth_convs: int = SYNTH_CONVS) -> dic
         extras["build_synth_turns"] = sy_turns
         extras["build_synth_turns_per_sec"] = sy_turns / timings["build_synth"]
 
-        # -- 5. auxiliary pipelines (added as operators land) ----------------
-        try:
+        # -- 5. auxiliary pipelines (skipped by scaling children) ------------
+        if not core_only:
             from raystorm import pipelines
 
             for name, fn in pipelines.bench_pipelines().items():
                 t0 = time.perf_counter()
                 fn(sf_dir)
                 timings[name] = time.perf_counter() - t0
-        except ImportError:
-            pass
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
 
@@ -129,7 +129,7 @@ def run_suite(sf_dir: str, num_cpus: int, synth_convs: int = SYNTH_CONVS) -> dic
     }
 
 
-def main_single(sf_dir: str, num_cpus: int, synth_convs: int) -> dict:
+def main_single(sf_dir: str, num_cpus: int, synth_convs: int, core_only: bool = False) -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -140,9 +140,15 @@ def main_single(sf_dir: str, num_cpus: int, synth_convs: int) -> dict:
             ignore_reinit_error=True,
         )
     try:
-        return run_suite(sf_dir, num_cpus, synth_convs)
+        return run_suite(sf_dir, num_cpus, synth_convs, core_only=core_only)
     finally:
         ray.shutdown()
+
+
+#: scaling children build a larger synthetic corpus so compute (not
+#: per-stage fixed overhead) dominates — the quantity the N -> 4N
+#: criterion is about
+SCALING_CONVS = 200_000
 
 
 def main_scaling(sf_dir: str) -> dict:
@@ -153,7 +159,14 @@ def main_scaling(sf_dir: str) -> dict:
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = sf_dir
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--json-only"],
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--json-only",
+                "--core-only",
+                "--synth-convs",
+                str(SCALING_CONVS),
+            ],
             capture_output=True,
             text=True,
             env=env,
@@ -188,9 +201,10 @@ if __name__ == "__main__":
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--json-only", action="store_true", help="suppress non-JSON output")
     ap.add_argument("--synth-convs", type=int, default=SYNTH_CONVS)
+    ap.add_argument("--core-only", action="store_true")
     args = ap.parse_args()
     if args.scaling:
         out = main_scaling(SF_DIR)
     else:
-        out = main_single(SF_DIR, NUM_CPUS, args.synth_convs)
+        out = main_single(SF_DIR, NUM_CPUS, args.synth_convs, core_only=args.core_only)
     print(json.dumps(out))

@@ -37,7 +37,6 @@ import os
 import shutil
 import time
 import uuid
-import zlib
 from dataclasses import asdict, dataclass, field
 
 import numpy as np
@@ -53,17 +52,6 @@ DOC_SENTINEL = "\x00doc"
 #: shuffle (term = conv_id, mx = max turn_idx) — lets one corpus pass
 #: produce term stats AND the DocIdCodec
 CONV_FIELD = "\x02conv"
-
-TOKEN_SCHEMA = pa.schema(
-    [
-        ("field", pa.string()),
-        ("term", pa.string()),
-        ("docid", pa.int64()),
-        ("tf", pa.int32()),
-        ("dl", pa.int32()),
-    ]
-)
-
 
 @dataclass
 class BuildConfig:
@@ -97,43 +85,132 @@ def _get_ref(ref):
     return _BROADCAST_CACHE[key]
 
 
-class TokenizeStage:
-    """transcripts batch -> (field, term, docid, tf, dl) token rows.
+#: multiplicative hash constants for the integer partition assignment
+_HASH_A = 2654435761
+_HASH_B = 40503
 
-    Stateless w.r.t. the corpus but holds the broadcast DocIdCodec;
-    passed as a callable class so codec deserialization happens once per
-    actor (``__init__``), not once per batch.
+
+class Vocab:
+    """Global term-id space built from the stats pass.
+
+    tid = field_base + rank of term in the field's sorted vocabulary, so
+    tid order == (field, term) lexicographic order — the partition
+    writer sorts on plain ints.  Broadcast once (``ray.put``); at
+    10^12-turn scale a 100M-term vocabulary is a ~GB object-store entry
+    read zero-copy per node, which is the price of removing all string
+    payload from the posting shuffle.
     """
 
-    def __init__(self, codec_ref, fields):
+    def __init__(self, fields, term_stats: pd.DataFrame, global_stats, split_target):
+        self.field_names = [c for c, _m in fields]
+        terms_by_field = {}
+        bases = []
+        all_terms, idfs, nsplits = [], [], []
+        base = 0
+        for col, _mode in fields:
+            sub = term_stats[term_stats.field == col].sort_values("term")
+            t = sub.term.to_numpy()
+            df = sub.df.to_numpy()
+            terms_by_field[col] = (t, base)
+            bases.append(base)
+            all_terms.append(t)
+            idfs.append(lucene_idf(global_stats[col]["N"], df))
+            nsplits.append(
+                np.where(df > split_target, -(-df // split_target), 1).astype(np.int64)
+            )
+            base += len(t)
+        self.terms_by_field = terms_by_field
+        self.bases = np.array(bases, np.int64)
+        self.all_terms = (
+            np.concatenate(all_terms) if all_terms else np.empty(0, object)
+        )
+        self.idf = np.concatenate(idfs) if idfs else np.empty(0)
+        self.nsplits = (
+            np.concatenate(nsplits) if nsplits else np.empty(0, np.int64)
+        )
+        self.n_head_split = int((self.nsplits > 1).sum())
+
+    def field_of(self, tid: int) -> str:
+        i = int(np.searchsorted(self.bases, tid, side="right") - 1)
+        return self.field_names[i]
+
+
+class BuildTokenStage:
+    """transcripts batch -> partition-assigned integer token rows.
+
+    One fused stage: tokenize + docid encode + term-id lookup + salt +
+    gpart assignment.  Terms factorize to codes once per batch
+    (``doc_term_stats_coded``); ids come from a binary search into the
+    broadcast vocabulary; partition = multiplicative int hash.  The
+    shuffle payload is six fixed-width columns — no strings.
+    """
+
+    def __init__(self, codec_ref, fields, vocab_ref, num_partitions, span, completed):
         self.codec_ref = codec_ref
         self.fields = fields
+        self.vocab_ref = vocab_ref
+        self.P = num_partitions
+        self.span = max(1, span)
+        self.completed = completed
         self._codec = None
+        self._vocab = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._codec is None:
             obj = self.codec_ref
             self._codec = _get_ref(obj) if not isinstance(obj, DocIdCodec) else obj
+            obj = self.vocab_ref
+            self._vocab = _get_ref(obj) if not isinstance(obj, Vocab) else obj
+        vocab = self._vocab
         docids = self._codec.encode(batch["conv_id"], batch["turn_idx"])
-        out_fields, out_terms, out_docids, out_tfs, out_dls = [], [], [], [], []
-        n = len(docids)
+        cols = {k: [] for k in ("tid", "docid", "tf", "dl", "salt", "gpart")}
         for col, mode in self.fields:
             toks, rows = normalize.tokenize_column(batch[col], mode)
-            r, t, tf, dl = normalize.doc_term_stats(toks, rows, n)
-            out_fields.append(np.full(len(r), col, object))
-            out_terms.append(t)
-            out_docids.append(docids[r])
-            out_tfs.append(tf)
-            out_dls.append(dl[r])
-        return pa.Table.from_arrays(
-            [
-                pa.array(np.concatenate(out_fields), pa.string()),
-                pa.array(np.concatenate(out_terms), pa.string()),
-                pa.array(np.concatenate(out_docids), pa.int64()),
-                pa.array(np.concatenate(out_tfs), pa.int32()),
-                pa.array(np.concatenate(out_dls), pa.int32()),
-            ],
-            schema=TOKEN_SCHEMA,
+            r, tcode, uniq, tf, dl = normalize.doc_term_stats_coded(
+                toks, rows, len(docids)
+            )
+            if len(r) == 0:
+                continue
+            did = docids[r]
+            terms_sorted, base0 = vocab.terms_by_field[col]
+            tid_u = base0 + np.searchsorted(terms_sorted, uniq)
+            tid = tid_u[tcode]
+            nspl = vocab.nsplits[tid]
+            salt = (did * nspl) // self.span
+            gpart = (
+                ((tid * _HASH_A + salt * _HASH_B) & 0xFFFFFFFF) % self.P
+            ).astype(np.int32)
+            keep = (
+                ~np.isin(gpart, list(self.completed))
+                if self.completed
+                else slice(None)
+            )
+            cols["tid"].append(tid[keep])
+            cols["docid"].append(did[keep])
+            cols["tf"].append(tf[keep])
+            cols["dl"].append(dl[r][keep])
+            cols["salt"].append(salt.astype(np.int32)[keep])
+            cols["gpart"].append(gpart[keep])
+        if not cols["tid"]:
+            return pa.table(
+                {
+                    "tid": pa.array([], pa.int64()),
+                    "docid": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int32()),
+                    "dl": pa.array([], pa.int32()),
+                    "salt": pa.array([], pa.int32()),
+                    "gpart": pa.array([], pa.int32()),
+                }
+            )
+        return pa.table(
+            {
+                "tid": pa.array(np.concatenate(cols["tid"]), pa.int64()),
+                "docid": pa.array(np.concatenate(cols["docid"]), pa.int64()),
+                "tf": pa.array(np.concatenate(cols["tf"]), pa.int32()),
+                "dl": pa.array(np.concatenate(cols["dl"]), pa.int32()),
+                "salt": pa.array(np.concatenate(cols["salt"]), pa.int32()),
+                "gpart": pa.array(np.concatenate(cols["gpart"]), pa.int32()),
+            }
         )
 
 
@@ -159,13 +236,12 @@ class StatsStage:
         out_f, out_t, out_df, out_cf, out_mx = [], [], [], [], []
         for col, mode in self.fields:
             toks, rows = normalize.tokenize_column(batch[col], mode)
-            r, t, tf, dl = normalize.doc_term_stats(toks, rows, n)
-            # per-batch combine: (term) -> (#docs, sum tf)
-            uniq, inv = np.unique(t, return_inverse=True)
+            r, tcode, uniq, tf, dl = normalize.doc_term_stats_coded(toks, rows, n)
+            # per-batch combine: (term) -> (#docs, sum tf) via integer codes
             out_f.append(np.full(len(uniq), col, object))
             out_t.append(uniq)
-            out_df.append(np.bincount(inv, minlength=len(uniq)).astype(np.int64))
-            out_cf.append(np.bincount(inv, weights=tf, minlength=len(uniq)).astype(np.int64))
+            out_df.append(np.bincount(tcode, minlength=len(uniq)).astype(np.int64))
+            out_cf.append(np.bincount(tcode, weights=tf, minlength=len(uniq)).astype(np.int64))
             out_mx.append(np.zeros(len(uniq), np.int64))
             # doc sentinel: turns + token mass for N/avgdl
             out_f.append(np.array([col], object))
@@ -195,18 +271,30 @@ class StatsStage:
         )
 
 
+def _combine_stats_block(batch: pa.Table) -> pa.Table:
+    """Hash-combine a coalesced block of stat partials (C-speed Arrow
+    group_by) so the final sort-based groupby sees vocabulary-sized
+    input instead of vocab x blocks rows."""
+    out = batch.group_by(["field", "term"]).aggregate(
+        [("df", "sum"), ("cf", "sum"), ("mx", "max")]
+    )
+    return out.rename_columns(["field", "term", "df", "cf", "mx"])
+
+
 def compute_stats(ds, fields, reduce_blocks: int = 8) -> pd.DataFrame:
     """One corpus pass: (field, term, df, cf, mx) incl. sentinels.
 
-    Partials are vocabulary-bounded per block, so coalescing them to a
-    handful of blocks before the groupby is always safe and removes the
-    tiny-block sort-shuffle overhead (measured 7x on the sf bench).
+    Partials are vocabulary-bounded per block: coalesce them to a
+    handful of blocks, hash-combine each block, then run the small
+    sort-based groupby.  Both steps keep the reduce input at
+    O(vocab x reduce_blocks) regardless of corpus size.
     """
     from ray.data.aggregate import Max, Sum
 
     partials = ds.map_batches(StatsStage(fields), batch_format="pyarrow")
     agg = (
         partials.repartition(reduce_blocks)
+        .map_batches(_combine_stats_block, batch_format="pyarrow", batch_size=None)
         .groupby(["field", "term"])
         .aggregate(
             Sum("df", alias_name="df"),
@@ -227,94 +315,43 @@ def lucene_idf(N: int, df: np.ndarray) -> np.ndarray:
     return np.log1p((N - df + 0.5) / (df + 0.5))
 
 
-class AssignPartition:
-    """Add gpart/salt columns; drop sentinel rows + completed partitions."""
-
-    def __init__(self, splits_ref, num_partitions, span, completed):
-        self.splits_ref = splits_ref
-        self.P = num_partitions
-        self.span = max(1, span)
-        self.completed = completed
-        self._splits = None
-
-    @staticmethod
-    def hash_term(field: str, term: str, salt: int) -> int:
-        return zlib.crc32(f"{field}\x01{term}\x01{salt}".encode())
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._splits is None:
-            obj = self.splits_ref
-            self._splits = _get_ref(obj) if not isinstance(obj, dict) else obj
-        t = batch["term"].to_numpy(zero_copy_only=False)
-        f = batch["field"].to_numpy(zero_copy_only=False)
-        keep = t != DOC_SENTINEL
-        t, f = t[keep], f[keep]
-        docid = batch["docid"].to_numpy(zero_copy_only=False)[keep]
-        key = np.char.add(np.char.add(f.astype(str), "\x01"), t.astype(str))
-        uniq, inv = np.unique(key, return_inverse=True)
-        n_splits_u = np.array([self._splits.get(k, 1) for k in uniq], np.int64)
-        n_splits = n_splits_u[inv]
-        salt = (docid * n_splits) // self.span  # docid-range buckets
-        # crc32 per unique (field, term, salt) triple only
-        ut, uinv = np.unique(
-            np.char.add(np.char.add(key, "\x01"), salt.astype(str)),
-            return_inverse=True,
-        )
-        gpart_u = np.array(
-            [zlib.crc32(s.encode()) % self.P for s in ut], np.int32
-        )
-        gpart = gpart_u[uinv]
-        out = pa.table(
-            {
-                "field": pa.array(f, pa.string()),
-                "term": pa.array(t, pa.string()),
-                "docid": pa.array(docid, pa.int64()),
-                "tf": pa.array(batch["tf"].to_numpy(zero_copy_only=False)[keep], pa.int32()),
-                "dl": pa.array(batch["dl"].to_numpy(zero_copy_only=False)[keep], pa.int32()),
-                "salt": pa.array(salt.astype(np.int32), pa.int32()),
-                "gpart": pa.array(gpart, pa.int32()),
-            }
-        )
-        if self.completed:
-            mask = ~np.isin(gpart, list(self.completed))
-            out = out.filter(pa.array(mask))
-        return out
-
-
 class PartitionWriter:
-    """map_groups fn: one term partition -> segment + dict + manifest."""
+    """map_groups fn: one term partition -> segment + dict + manifest.
 
-    def __init__(self, index_dir, stats_ref, global_stats, cfg, build_fp):
+    Works entirely on fixed-width integer columns (zero-copy from the
+    Arrow group); term/field strings and idf are resolved per *run*
+    (dictionary-sized) from the broadcast ``Vocab``.
+    """
+
+    def __init__(self, index_dir, vocab_ref, global_stats, cfg, build_fp):
         self.__name__ = "PartitionWriter"  # map_groups wraps plain functions
         self.index_dir = index_dir
-        self.stats_ref = stats_ref
+        self.vocab_ref = vocab_ref
         self.global_stats = global_stats  # {field: {"N":..., "avgdl":...}}
         self.cfg = cfg
         self.build_fp = build_fp
-        self._idf = None
+        self._vocab = None
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.time()
-        if self._idf is None:
-            obj = self.stats_ref
-            self._idf = _get_ref(obj) if not isinstance(obj, dict) else obj
-        gpart = int(group["gpart"].iloc[0])
-        f = group["field"].to_numpy()
-        t = group["term"].to_numpy()
-        salt = group["salt"].to_numpy()
-        docid = group["docid"].to_numpy()
-        tf = group["tf"].to_numpy().astype(np.int64)
-        dl = group["dl"].to_numpy().astype(np.int64)
-        order = np.lexsort((docid, salt, t, f))
-        f, t, salt, docid, tf, dl = (
-            a[order] for a in (f, t, salt, docid, tf, dl)
-        )
-        # run boundaries on the sorted arrays
-        change = np.empty(len(t), bool)
+        if self._vocab is None:
+            obj = self.vocab_ref
+            self._vocab = _get_ref(obj) if not isinstance(obj, Vocab) else obj
+        vocab = self._vocab
+        gpart = int(group["gpart"][0].as_py())
+        tid = group["tid"].to_numpy(zero_copy_only=False)
+        salt = group["salt"].to_numpy(zero_copy_only=False)
+        docid = group["docid"].to_numpy(zero_copy_only=False)
+        tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = group["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # tid order == (field, term) lexicographic order by construction
+        order = np.lexsort((docid, salt, tid))
+        tid, salt, docid, tf, dl = (a[order] for a in (tid, salt, docid, tf, dl))
+        change = np.empty(len(tid), bool)
         change[0] = True
-        change[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1]) | (salt[1:] != salt[:-1])
+        change[1:] = (tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])
         boundaries = np.nonzero(change)[0]
-        ends = np.append(boundaries[1:], len(t))
+        ends = np.append(boundaries[1:], len(tid))
 
         blobs: list[bytes] = []
         dict_rows = {
@@ -324,9 +361,11 @@ class PartitionWriter:
         }
         offset = 0
         for s, e in zip(boundaries, ends):
-            field_name, term = f[s], t[s]
+            t_id = int(tid[s])
+            field_name = vocab.field_of(t_id)
+            term = vocab.all_terms[t_id]
             gs = self.global_stats[field_name]
-            idf = self._idf.get((field_name, term), 0.0)
+            idf = float(vocab.idf[t_id])
             blob = segments.encode_run(
                 docid[s:e], tf[s:e], dl[s:e], idf, gs["avgdl"], self.cfg.k1, self.cfg.b
             )
@@ -376,7 +415,7 @@ class PartitionWriter:
                 os.replace(tmp_dir, part_dir)
             except OSError:
                 shutil.rmtree(tmp_dir, ignore_errors=True)
-        return pd.DataFrame([manifest])
+        return pa.table({k: [v] for k, v in manifest.items()})
 
 
 def completed_partitions(index_dir: str, build_fp: str) -> set[int]:
@@ -439,12 +478,6 @@ def build_index(
         codec = DocIdCodec.from_pandas(conv_pdf)
     codec_ref = ray.put(codec)
 
-    tokens = ds.map_batches(
-        TokenizeStage(codec_ref, cfg.fields),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-    )
-
     stats = stats[stats.field != CONV_FIELD]
     doc_stats = stats[stats.term == DOC_SENTINEL]
     term_stats = stats[stats.term != DOC_SENTINEL].drop(columns=["mx"]).reset_index(drop=True)
@@ -458,31 +491,28 @@ def build_index(
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
             "total_tokens": total_tokens,
         }
-    # idf per (field, term)
-    idf_map = {}
-    for col, _mode in cfg.fields:
-        sub = term_stats[term_stats.field == col]
-        idfs = lucene_idf(global_stats[col]["N"], sub.df.to_numpy())
-        idf_map.update(
-            {(col, t): float(v) for t, v in zip(sub.term.to_numpy(), idfs)}
-        )
-    splits = {
-        f"{r.field}\x01{r.term}": int(-(-r.df // cfg.split_target))
-        for r in term_stats.itertuples()
-        if r.df > cfg.split_target
-    }
+    # global term-id space (idf + head-term split factors ride along)
+    vocab = Vocab(cfg.fields, term_stats, global_stats, cfg.split_target)
 
-    # 3. build pass (resume-aware)
+    # 2. build pass (resume-aware)
     done = completed_partitions(index_dir, build_fp)
-    stats_ref = ray.put(idf_map)
-    splits_ref = ray.put(splits)
-    assigned = tokens.map_batches(
-        AssignPartition(splits_ref, cfg.num_partitions, codec.span, done),
+    vocab_ref = ray.put(vocab)
+    assigned = ds.map_batches(
+        BuildTokenStage(
+            codec_ref, cfg.fields, vocab_ref, cfg.num_partitions, codec.span, done
+        ),
         batch_format="pyarrow",
+        batch_size=cfg.batch_size,
     )
-    writer = PartitionWriter(index_dir, stats_ref, global_stats, cfg, build_fp)
+    writer = PartitionWriter(index_dir, vocab_ref, global_stats, cfg, build_fp)
+    # coalesce to ~one block per output partition before the sort-shuffle:
+    # many tiny map blocks make the all-to-all exchange quadratic in
+    # block count (measured 7x on the 24M-row shuffle)
     new_manifests = (
-        assigned.groupby("gpart").map_groups(writer, batch_format="pandas").to_pandas()
+        assigned.repartition(cfg.num_partitions)
+        .groupby("gpart")
+        .map_groups(writer, batch_format="pyarrow")
+        .to_pandas()
     )
 
     # 4. persist codec + stats + global manifest
@@ -519,7 +549,7 @@ def build_index(
         "num_partitions": cfg.num_partitions,
         "partitions": part_manifests,
         "n_terms": int(len(term_stats)),
-        "n_head_terms_split": len(splits),
+        "n_head_terms_split": vocab.n_head_split,
         "resumed_partitions": sorted(done),
         "elapsed_s": round(time.time() - t_start, 4),
         "status": "complete",

@@ -160,16 +160,19 @@ def synth_transcripts(
     vocab_size: int = 5000,
     zipf_s: float = 1.1,
     out_dir: str | None = None,
-    files: int = 4,
+    files: int = 8,
 ) -> str:
     """Write a deterministic synthetic transcript corpus; return its dir.
 
     Zipf-distributed vocabulary (head terms appear in a large fraction of
     turns — exercises the salted skew split), planted NEEDLES at known
     (conv, turn) slots, EDGE_TEXTS sprinkled deterministically.
+
+    Fully vectorized (single rng.choice over all words) so corpora in
+    the millions of turns generate in seconds for the scaling bench.
     """
     key = hashlib.sha256(
-        f"{n_convs}|{seed}|{vocab_size}|{zipf_s}|{files}|v1".encode()
+        f"{n_convs}|{seed}|{vocab_size}|{zipf_s}|{files}|v3".encode()
     ).hexdigest()[:16]
     root = out_dir or os.path.join("/tmp", "raystorm_corpus", key)
     done = os.path.join(root, "_SUCCESS")
@@ -178,57 +181,70 @@ def synth_transcripts(
     os.makedirs(root, exist_ok=True)
 
     rng = np.random.default_rng(seed)
-    vocab = np.array([f"w{i:05d}" for i in range(vocab_size)], dtype=object)
-    # Zipf weights
+    # vocabulary must survive the body tokenizer (^[a-z]+$): base-26 words
+    vocab = np.array(
+        [
+            "".join(chr(97 + (i // 26**k) % 26) for k in reversed(range(4)))
+            for i in range(vocab_size)
+        ],
+        dtype=object,
+    )
     ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
     probs = ranks ** (-zipf_s)
     probs /= probs.sum()
 
-    rows_per_file: list[dict] = []
-    all_rows: list[tuple] = []
-    turn_counter = 0
-    for conv in range(n_convs):
-        cid = f"sconv-{conv:07d}"
-        n_turns = int(rng.integers(8, 64))
-        for t in range(n_turns):
-            n_words = int(rng.integers(5, 40))
-            words = rng.choice(vocab, size=n_words, p=probs)
-            text = " ".join(words.tolist())
-            # plant edge cases deterministically
-            if turn_counter % 97 == 13:
-                text = EDGE_TEXTS[(turn_counter // 97) % len(EDGE_TEXTS)]
-            role = ROLES[t % len(ROLES)]
-            tool = TOOLS[(conv + t) % len(TOOLS)] if role == "tool" else ""
-            ts = TS_EPOCH_US + (conv * 86_400 + t * 60) * 1_000_000
-            all_rows.append((cid, t, role, text, tool, ts))
-            turn_counter += 1
+    n_turns = rng.integers(8, 64, size=n_convs)
+    total_turns = int(n_turns.sum())
+    conv_of_turn = np.repeat(np.arange(n_convs, dtype=np.int64), n_turns)
+    conv_starts = np.concatenate(([0], np.cumsum(n_turns)[:-1]))
+    tix = (np.arange(total_turns, dtype=np.int64) - conv_starts[conv_of_turn]).astype(np.int32)
+
+    n_words = rng.integers(5, 40, size=total_turns)
+    total_words = int(n_words.sum())
+    word_codes = rng.choice(vocab_size, size=total_words, p=probs)
+    offsets = np.concatenate(([0], np.cumsum(n_words)))
+    words = vocab[word_codes]
+    texts = [
+        " ".join(words[offsets[i] : offsets[i + 1]]) for i in range(total_turns)
+    ]
+    # plant edge cases deterministically
+    for tc in range(13, total_turns, 97):
+        texts[tc] = EDGE_TEXTS[(tc // 97) % len(EDGE_TEXTS)]
     # plant needles at fixed global turn offsets
     for needle, slot in NEEDLES:
-        if slot < len(all_rows):
-            cid, t, role, text, tool, ts = all_rows[slot]
-            all_rows[slot] = (cid, t, role, text + " " + needle, tool, ts)
+        if slot < total_turns:
+            texts[slot] = texts[slot] + " " + needle
 
-    n = len(all_rows)
-    per_file = -(-n // files)
+    conv_ids = np.array(
+        [f"sconv-{c:07d}" for c in range(n_convs)], dtype=object
+    )[conv_of_turn]
+    roles = np.array(ROLES, dtype=object)[tix % len(ROLES)]
+    tools = np.where(
+        roles == "tool",
+        np.array(TOOLS, dtype=object)[(conv_of_turn + tix) % len(TOOLS)],
+        "",
+    )
+    ts = TS_EPOCH_US + (conv_of_turn * 86_400 + tix.astype(np.int64) * 60) * 1_000_000
+
     import pyarrow.parquet as pq
 
+    per_file = -(-total_turns // files)
     for f in range(files):
-        chunk = all_rows[f * per_file : (f + 1) * per_file]
-        if not chunk:
+        sl = slice(f * per_file, (f + 1) * per_file)
+        if sl.start >= total_turns:
             continue
-        cols = list(zip(*chunk))
         tbl = pa.Table.from_arrays(
             [
-                pa.array(cols[0], pa.string()),
-                pa.array(cols[1], pa.int32()),
-                pa.array(cols[2], pa.string()),
-                pa.array(cols[3], pa.string()),
-                pa.array(cols[4], pa.string()),
-                pa.array(cols[5], pa.timestamp("us")),
+                pa.array(conv_ids[sl], pa.string()),
+                pa.array(tix[sl], pa.int32()),
+                pa.array(roles[sl], pa.string()),
+                pa.array(texts[sl.start : min(sl.stop, total_turns)], pa.string()),
+                pa.array(tools[sl], pa.string()),
+                pa.array(ts[sl], pa.timestamp("us")),
             ],
             schema=TRANSCRIPTS_SCHEMA,
         )
         pq.write_table(tbl, os.path.join(root, f"part-{f:04d}.parquet"))
     with open(done, "w") as fh:
-        fh.write(f"{n}\n")
+        fh.write(f"{total_turns}\n")
     return root

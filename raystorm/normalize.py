@@ -132,6 +132,30 @@ def doc_term_stats(tokens: np.ndarray, row_idx: np.ndarray, n_rows: int):
     return rows, terms, counts.astype(np.int32), dl
 
 
+def doc_term_stats_coded(tokens: np.ndarray, row_idx: np.ndarray, n_rows: int):
+    """Like ``doc_term_stats`` but returns integer term codes + the
+    unique-term vocabulary instead of materializing a per-pair string
+    array — the hot-path variant (string work stays vocabulary-sized).
+
+    Returns ``(rows, term_codes, uniq_terms, tfs, dl)``.
+    """
+    dl = np.bincount(row_idx, minlength=n_rows).astype(np.int32)
+    if len(tokens) == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, object),
+            np.empty(0, np.int32),
+            dl,
+        )
+    uniq, codes = np.unique(tokens, return_inverse=True)
+    key = row_idx * len(uniq) + codes
+    ukey, counts = np.unique(key, return_counts=True)
+    rows = ukey // len(uniq)
+    term_codes = ukey % len(uniq)
+    return rows, term_codes, uniq, counts.astype(np.int32), dl
+
+
 def tokens_sql(col: str, mode: str = "body") -> str:
     """DuckDB expression chain equivalent to ``tokenize_column``.
 
