@@ -39,10 +39,13 @@ def _run_reference_queries(sf_dir: str, mode: str) -> pd.DataFrame:
 
     index_dir = _index_for(sf_dir)
     qds = rd.from_arrow(query.queries_table())
+    kwargs = {"index_dir": index_dir, "mode": mode}
+    if mode == "faithful_boosted":
+        kwargs["sf_dir"] = sf_dir
     out = (
         qds.map_batches(
             query.QueryScorer,
-            fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+            fn_constructor_kwargs=kwargs,
             batch_format="pyarrow",
             concurrency=2,
             batch_size=4,
@@ -83,6 +86,42 @@ def _q_tokenize_body(sf_dir: str):
     )
 
 
+def _q_tokenize_title(sf_dir: str):
+    """Title-mode tokenizer (TitleIndexer.java:82-103 cleanupTitle rules)
+    over the documents table — covers the title-field normalizer parity."""
+    import ray.data as rd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks, rows = normalize.tokenize_column(batch["text"], "title")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(rows)),
+                "term": pa.array(toks, pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _q_index_segment_stats(sf_dir: str):
+    """Per-partition build lineage + metrics from the index manifests
+    (terms, postings, bytes) — the checkpoint/resume bookkeeping the
+    north_rule requires.  Not SQL-expressible (driver records a
+    rows-only check)."""
+    index_dir = _index_for(sf_dir)
+    idx = query.SegmentIndex(index_dir)
+    rows = [
+        (p["partition"], p["terms"], p["postings"], p["bytes"])
+        for p in idx.manifest["partitions"]
+    ]
+    return pd.DataFrame(
+        rows, columns=["partition", "terms", "postings", "bytes"]
+    ).sort_values("partition").reset_index(drop=True)
+
+
 def _q_term_stats(sf_dir: str):
     """Exact df/cf per body term — the stats the reference never computes
     (hardcoded N, df-from-string-length; SearchServer.java:17,123)."""
@@ -113,14 +152,23 @@ def _q_topk_faithful(sf_dir: str):
     return _run_reference_queries(sf_dir, "faithful")
 
 
+def _q_topk_faithful_boosted(sf_dir: str):
+    """Full SearchServer pipeline: faithful scores + conversation prior
+    x5000 + top-60 + turn-0-title exact/prefix boosts + re-sort top-50."""
+    return _run_reference_queries(sf_dir, "faithful_boosted")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out = {
         "transcripts": _q_transcripts,
         "tokenize_body": _q_tokenize_body,
+        "tokenize_title": _q_tokenize_title,
+        "index_segment_stats": _q_index_segment_stats,
         "term_stats": _q_term_stats,
         "corpus_stats": _q_corpus_stats,
         "topk_bm25": _q_topk_bm25,
         "topk_faithful": _q_topk_faithful,
+        "topk_faithful_boosted": _q_topk_faithful_boosted,
     }
     for name, (fn, _sql) in pipelines.registry().items():
         out[name] = fn
@@ -139,6 +187,11 @@ def oracle_sql() -> dict[str, str]:
             f"{normalize.tokens_sql('text', 'body')} "
             f"WHERE {normalize.tokens_keep_sql('tok.term', 'body')}"
         ),
+        "tokenize_title": (
+            "SELECT doc_id, tok.term FROM documents, "
+            f"{normalize.tokens_sql('text', 'title')} "
+            f"WHERE {normalize.tokens_keep_sql('tok.term', 'title')}"
+        ),
         "term_stats": (
             f"WITH {query.corpus_ctes()} "
             "SELECT t.term, CAST(count(*) AS BIGINT) AS df, CAST(sum(t.tf) AS BIGINT) AS cf "
@@ -152,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "topk_bm25": query.bm25_topk_sql(),
         "topk_faithful": query.faithful_topk_sql(),
+        "topk_faithful_boosted": query.faithful_boosted_sql(),
         **{
             name: sql
             for name, (_fn, sql) in pipelines.registry().items()

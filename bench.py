@@ -151,29 +151,44 @@ def main_single(sf_dir: str, num_cpus: int, synth_convs: int, core_only: bool = 
 SCALING_CONVS = 200_000
 
 
+#: fresh-process repetitions per CPU level; min is taken (least-noise
+#: estimator — single-box runs vary with object-store/page-cache state)
+SCALING_REPEATS = 2
+
+
 def main_scaling(sf_dir: str) -> dict:
     """Fresh-process runs at 8 and 32 CPUs; report scaling efficiency."""
     results = {}
     for cpus in (8, 32):
-        env = dict(os.environ)
-        env["RAY_GRAFT_CPUS"] = str(cpus)
-        env["GRAFT_SF_DIR"] = sf_dir
-        proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--json-only",
-                "--core-only",
-                "--synth-convs",
-                str(SCALING_CONVS),
-            ],
-            capture_output=True,
-            text=True,
-            env=env,
-            timeout=3600,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        best = None
+        for _rep in range(SCALING_REPEATS):
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(cpus)
+            env["GRAFT_SF_DIR"] = sf_dir
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--json-only",
+                    "--core-only",
+                    "--synth-convs",
+                    str(SCALING_CONVS),
+                ],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=3600,
+            )
+            lines = proc.stdout.strip().splitlines()
+            if not lines:
+                raise RuntimeError(
+                    f"scaling child (cpus={cpus}) produced no output: "
+                    f"{proc.stderr[-2000:]}"
+                )
+            run = json.loads(lines[-1])
+            if best is None or run["queries"]["build_synth"] < best["queries"]["build_synth"]:
+                best = run
+        results[cpus] = best
     t8 = results[8]["queries"]["build_synth"]
     t32 = results[32]["queries"]["build_synth"]
     tp8 = results[8]["extras"]["build_synth_turns_per_sec"]

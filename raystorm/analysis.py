@@ -249,6 +249,61 @@ FROM documents ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# corpus quality distributions (CrawlQualityAnalyzer.java:22-56 — host/
+# code/size/language distributions with warning thresholds)
+# ---------------------------------------------------------------------------
+
+SIZE_BUCKET = 100
+
+
+def corpus_quality(sf_dir: str):
+    """Distribution of documents per (lang, source, size-bucket).
+
+    The reference's corpus-quality job computes host/code/size/language
+    distributions; ours buckets ``n_chars`` into 100-char bins.  Shape:
+    per-batch Arrow group_by partials -> one tiny groupby.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+        bucket = (n // SIZE_BUCKET).astype(np.int64) * SIZE_BUCKET
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "size_bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+        return t.group_by(["lang", "source", "size_bucket"]).aggregate([([], "count_all")])
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang", "source"]
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source", "size_bucket"])
+        .aggregate(Sum("count_all", alias_name="n_docs"))
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["lang", "source", "size_bucket"])
+        .reset_index(drop=True)
+    )
+
+
+CORPUS_QUALITY_SQL = f"""
+SELECT lang, source,
+       CAST((length(text) // {SIZE_BUCKET}) * {SIZE_BUCKET} AS BIGINT) AS size_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang, source, (length(text) // {SIZE_BUCKET}) * {SIZE_BUCKET}
+ORDER BY lang, source, size_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting (content hash + min-token-hash)
 # ---------------------------------------------------------------------------
 

@@ -13,15 +13,19 @@ Ray Data shuffle:
    instead hardcodes N=30000 (``SearchServer.java:17``) and derives df
    from posting-string length at query time.
 2. **build pass** — tokenize again (streaming recompute; cheaper than
-   materializing the token stream at corpus scale), assign each
-   (field, term) row a term partition ``gpart = crc32(field:term) % P``;
-   **head terms** (df > split_target) are salted across
-   ``ceil(df/split_target)`` docid-range buckets so no single group
-   exceeds the split target (the skew handling the reference lacks —
-   its head terms all land in one fold bucket, SURVEY.md §4).  Then
-   ``groupby("gpart").map_groups`` sorts each partition by
-   (field, term, salt, docid) and writes delta+varint block segments
-   (``segments.encode_run``) + a per-partition dictionary + manifest.
+   materializing the token stream at corpus scale) in ``BuildTokenStage``,
+   which maps each (field, term) to a global integer ``tid`` (binary
+   search into the broadcast ``Vocab``) and emits six fixed-width
+   integer columns — no strings cross the shuffle.  Partition =
+   multiplicative hash of (tid, salt); **head terms**
+   (df > split_target) are salted across ``ceil(df/split_target)``
+   docid-range buckets so no single group exceeds the split target
+   (the skew handling the reference lacks — its head terms all land in
+   one fold bucket, SURVEY.md §4).  Then ``repartition(P)`` (block-count
+   control for the sort) + ``groupby("gpart").map_groups`` sorts each
+   partition by (tid, salt, docid) and writes delta+varint block
+   segments (``segments.encode_run``) + a per-partition dictionary +
+   manifest.
 
 Resume: partitions whose ``_manifest.json`` carries the same build
 fingerprint are skipped *before* the shuffle (their token rows are
@@ -185,29 +189,32 @@ class BuildTokenStage:
                 if self.completed
                 else slice(None)
             )
-            cols["tid"].append(tid[keep])
+            # narrow dtypes: tid fits int32 (<2^31 terms per build);
+            # tf/dl clamp to int16 (BM25 saturates far below 32k); salt
+            # stays int32 (head-term split counts scale with df)
+            cols["tid"].append(tid.astype(np.int32)[keep])
             cols["docid"].append(did[keep])
-            cols["tf"].append(tf[keep])
-            cols["dl"].append(dl[r][keep])
+            cols["tf"].append(np.minimum(tf, 32767).astype(np.int16)[keep])
+            cols["dl"].append(np.minimum(dl[r], 32767).astype(np.int16)[keep])
             cols["salt"].append(salt.astype(np.int32)[keep])
             cols["gpart"].append(gpart[keep])
         if not cols["tid"]:
             return pa.table(
                 {
-                    "tid": pa.array([], pa.int64()),
+                    "tid": pa.array([], pa.int32()),
                     "docid": pa.array([], pa.int64()),
-                    "tf": pa.array([], pa.int32()),
-                    "dl": pa.array([], pa.int32()),
+                    "tf": pa.array([], pa.int16()),
+                    "dl": pa.array([], pa.int16()),
                     "salt": pa.array([], pa.int32()),
                     "gpart": pa.array([], pa.int32()),
                 }
             )
         return pa.table(
             {
-                "tid": pa.array(np.concatenate(cols["tid"]), pa.int64()),
+                "tid": pa.array(np.concatenate(cols["tid"]), pa.int32()),
                 "docid": pa.array(np.concatenate(cols["docid"]), pa.int64()),
-                "tf": pa.array(np.concatenate(cols["tf"]), pa.int32()),
-                "dl": pa.array(np.concatenate(cols["dl"]), pa.int32()),
+                "tf": pa.array(np.concatenate(cols["tf"]), pa.int16()),
+                "dl": pa.array(np.concatenate(cols["dl"]), pa.int16()),
                 "salt": pa.array(np.concatenate(cols["salt"]), pa.int32()),
                 "gpart": pa.array(np.concatenate(cols["gpart"]), pa.int32()),
             }
@@ -339,8 +346,8 @@ class PartitionWriter:
             self._vocab = _get_ref(obj) if not isinstance(obj, Vocab) else obj
         vocab = self._vocab
         gpart = int(group["gpart"][0].as_py())
-        tid = group["tid"].to_numpy(zero_copy_only=False)
-        salt = group["salt"].to_numpy(zero_copy_only=False)
+        tid = group["tid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = group["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
         docid = group["docid"].to_numpy(zero_copy_only=False)
         tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
         dl = group["dl"].to_numpy(zero_copy_only=False).astype(np.int64)

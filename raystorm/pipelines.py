@@ -28,6 +28,7 @@ def registry() -> dict:
         "cogroup_nation": (relational.cogroup_nation, relational.COGROUP_NATION_SQL),
         "intersection_nations": (relational.intersection_nations, relational.INTERSECTION_NATIONS_SQL),
         "sample_events": (relational.sample_events, relational.SAMPLE_EVENTS_SQL),
+        "customers_without_orders": (relational.customers_without_orders, relational.CUSTOMERS_WITHOUT_ORDERS_SQL),
         "topk_orders": (relational.topk_orders, relational.TOPK_ORDERS_SQL),
         "lineitem_totals": (relational.lineitem_totals, relational.LINEITEM_TOTALS_SQL),
         "pricing_summary": (relational.pricing_summary, relational.PRICING_SUMMARY_SQL),
@@ -36,6 +37,7 @@ def registry() -> dict:
         "quality_score": (analysis.quality_score, analysis.quality_score_sql()),
         "token_count": (analysis.token_count, analysis.token_count_sql()),
         "fingerprint": (analysis.fingerprint, analysis.fingerprint_sql()),
+        "corpus_quality": (analysis.corpus_quality, analysis.CORPUS_QUALITY_SQL),
         # --- dedup family ---
         "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
         "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.dedup_ngram_jaccard_sql()),

@@ -191,6 +191,134 @@ def _accumulate(id_chunks, sc_chunks):
     return uniq, totals
 
 
+# ---------------------------------------------------------------------------
+# faithful+boosts mode — the full SearchServer pipeline
+# (rank prior SearchServer.java:158-180; sort+60 :183-186; title boosts
+# :209-220; re-sort+50 :225-226)
+# ---------------------------------------------------------------------------
+
+PRIOR_WEIGHT = 5000.0  # SearchServer.java:170 pageRank * 5000
+EXACT_BOOST = 50.0  # :214
+PREFIX_BOOST = 25.0  # :217
+CAND_K = 60  # :185
+FINAL_K = 50  # :226
+
+
+def conv_titles(sf_dir: str) -> dict:
+    """conv_id -> 'title' (the conversation's turn-0 text, lowercased).
+
+    The reference fetches titles from pt-crawl per candidate
+    (SearchServer.java:196-205); our analog treats a conversation's
+    first turn as its title and broadcasts the (small) conv-level map.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT 'conv-' || lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+               lower(array_to_string(list_slice(string_split(text, ' '), 1,
+                     {corpus.TURN_WORDS}), ' '))
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        """
+    ).fetchall()
+    con.close()
+    return dict(rows)
+
+
+def _topk_boosted(index: "SegmentIndex", query_text: str, k: int, titles: dict) -> pd.DataFrame:
+    docids, scores = index._score_faithful(query_text)
+    if len(docids) == 0:
+        return pd.DataFrame(
+            {"rank": np.empty(0, np.int32), "conv_id": [], "turn_idx": np.empty(0, np.int32), "score": []}
+        )
+    # conversation prior: turn-mass share (the PageRank-x-5000 analog)
+    pos = np.searchsorted(index.codec.bases, docids, side="right") - 1
+    prior = index.codec.extents[pos].astype(np.float64) / index.codec.span
+    scores = scores + PRIOR_WEIGHT * prior
+    # phase 1: candidate top-60
+    r = np.round(scores, RANK_ROUND)
+    order = np.lexsort((docids, -r))[:CAND_K]
+    cand_ids, cand_scores = docids[order], scores[order]
+    # phase 2: title boosts on candidates
+    conv, turn = index.codec.decode(cand_ids)
+    q = " ".join(query_text.lower().split())
+    boost = np.zeros(len(cand_ids))
+    for i, c in enumerate(conv):
+        title = titles.get(c, "")
+        if title == q:
+            boost[i] = EXACT_BOOST
+        elif q and title.startswith(q):
+            boost[i] = PREFIX_BOOST
+    final = cand_scores + boost
+    fr = np.round(final, RANK_ROUND)
+    order2 = np.lexsort((cand_ids, -fr))[: min(k, FINAL_K)]
+    conv2, turn2 = index.codec.decode(cand_ids[order2])
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(order2) + 1, dtype=np.int32),
+            "conv_id": conv2,
+            "turn_idx": turn2,
+            "score": np.round(final[order2], SCORE_ROUND),
+        }
+    )
+
+
+def faithful_boosted_sql(queries=None) -> str:
+    """Oracle for the full boosted ranker pipeline."""
+    queries = queries if queries is not None else REFERENCE_QUERIES
+    qtext_rows = ", ".join(
+        f"('{qid}', '{' '.join(text.lower().split())}')" for qid, text, _k in queries
+    )
+    base = faithful_topk_sql(queries)
+    # reuse the faithful contrib/scores CTE chain, swap the ranking tail
+    head, _tail = base.split("ranked AS", 1)
+    return f"""{head}
+qtexts(query_id, qnorm) AS (VALUES {qtext_rows}),
+priors AS (
+  SELECT conv_id, count(*) * 1.0 / (SELECT count(*) FROM transcripts) AS prior
+  FROM transcripts GROUP BY conv_id
+),
+titles AS (
+  SELECT conv_id, lower(text) AS title FROM transcripts WHERE turn_idx = 0
+),
+primed AS (
+  SELECT s.query_id, s.conv_id, s.turn_idx,
+         s.score + {PRIOR_WEIGHT} * p.prior AS score
+  FROM scores s JOIN priors p USING (conv_id)
+),
+cands AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS rn
+  FROM primed
+),
+boosted AS (
+  SELECT c.query_id, c.conv_id, c.turn_idx,
+         c.score + CASE WHEN t.title = q.qnorm THEN {EXACT_BOOST}
+                        WHEN starts_with(t.title, q.qnorm) THEN {PREFIX_BOOST}
+                        ELSE 0 END AS score
+  FROM cands c
+  JOIN titles t USING (conv_id)
+  JOIN qtexts q USING (query_id)
+  WHERE c.rn <= {CAND_K}
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM boosted
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= least(q.qk, {FINAL_K})
+ORDER BY r.query_id, r.rank
+"""
+
+
 class QueryScorer:
     """Actor-pool stage: queries batch -> top-k rows.
 
@@ -200,9 +328,12 @@ class QueryScorer:
     stage pattern (SURVEY.md §7.3).
     """
 
-    def __init__(self, index_dir: str, mode: str = "bm25"):
+    def __init__(self, index_dir: str, mode: str = "bm25", sf_dir: str | None = None):
         self.index = SegmentIndex(index_dir)
         self.mode = mode
+        # boosted mode holds the conv-level title map (small side),
+        # loaded once per actor — the pt-crawl-lookup analog
+        self.titles = conv_titles(sf_dir) if mode == "faithful_boosted" else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -211,7 +342,10 @@ class QueryScorer:
             batch["text"].to_pylist(),
             batch["k"].to_pylist(),
         ):
-            df = self.index.topk(text, int(k), self.mode)
+            if self.mode == "faithful_boosted":
+                df = _topk_boosted(self.index, text, int(k), self.titles)
+            else:
+                df = self.index.topk(text, int(k), self.mode)
             df.insert(0, "query_id", qid)
             out.append(df)
         res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(

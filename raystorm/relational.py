@@ -372,6 +372,77 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT {TOPK_ORDERS}
 
 
 # ---------------------------------------------------------------------------
+# anti-join  (Crawler.java:279-298: frontier filter(!existsRow) — drop keys
+# already present in the crawled set; resume-by-key's dataflow shape)
+# ---------------------------------------------------------------------------
+
+
+#: anti-join threshold: "seen" = customers with a big (>400k) order
+BIG_ORDER = 400_000
+
+
+def customers_without_orders(sf_dir: str):
+    """Customers that never placed a big (>400k) order — left anti join.
+
+    The crawl-dedup pattern: the "already seen" key set (distinct
+    o_custkey after the filter — small after dedup) is broadcast once;
+    the big side filters against it inside ``map_batches``.  At 100 TB,
+    if the seen set outgrows broadcast, this becomes a left_outer
+    ``Dataset.join`` + null-marker filter on the same key.
+    """
+    import ray
+
+    def big(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(p > BIG_ORDER)).select(["o_custkey"])
+
+    seen = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(big, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .to_pandas()["o_custkey"]
+        .to_numpy()
+    )
+    seen_ref = ray.put(set(int(k) for k in seen))
+
+    class AntiJoin:
+        def __init__(self, ref):
+            self.ref = ref
+            self._s = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._s is None:
+                obj = self.ref
+                self._s = _get_ref(obj) if not isinstance(obj, set) else obj
+            keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            mask = np.array([int(k) not in self._s for k in keys])
+            return batch.filter(pa.array(mask))
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    out = ds.map_batches(AntiJoin(seen_ref), batch_format="pyarrow").to_pandas()
+    if out.empty:  # keep the schema even when every key was seen
+        out = pd.DataFrame(
+            {
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_name": pd.Series(dtype="object"),
+                "c_nationkey": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = f"""
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {BIG_ORDER})
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # fold / global aggregate  (FlameRDDImpl.java:70-75; PageRank dangling-mass
 # fold PageRank.java:140-167)
 # ---------------------------------------------------------------------------

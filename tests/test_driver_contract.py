@@ -52,6 +52,10 @@ def test_all_queries_match_oracle(ray_session, duck01):
     qs, oracles = e.queries(), e.oracle_sql()
     for name, fn in qs.items():
         got = _normalize(_to_pandas(fn(SF)))
+        if name not in oracles:
+            # non-SQL-expressible op: the driver records a rows-only check
+            assert len(got) > 0, f"{name}: rows-only check returned empty"
+            continue
         want = _normalize(duck01.execute(oracles[name]).df())
         assert list(got.columns) == list(want.columns), f"{name}: columns differ"
         assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
