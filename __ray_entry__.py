@@ -148,6 +148,13 @@ def _q_topk_bm25(sf_dir: str):
     return _run_reference_queries(sf_dir, "bm25")
 
 
+def _q_topk_bm25_pruned(sf_dir: str):
+    """Block-max/MaxScore-pruned BM25 — must be rank-identical to
+    topk_bm25 (the oracle is the same SQL), proving the pruning path
+    lossless."""
+    return _run_reference_queries(sf_dir, "bm25_pruned")
+
+
 def _q_topk_faithful(sf_dir: str):
     return _run_reference_queries(sf_dir, "faithful")
 
@@ -167,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": _q_term_stats,
         "corpus_stats": _q_corpus_stats,
         "topk_bm25": _q_topk_bm25,
+        "topk_bm25_pruned": _q_topk_bm25_pruned,
         "topk_faithful": _q_topk_faithful,
         "topk_faithful_boosted": _q_topk_faithful_boosted,
     }
@@ -204,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
             "round(avgdl, 6) AS avgdl FROM gstats"
         ),
         "topk_bm25": query.bm25_topk_sql(),
+        "topk_bm25_pruned": query.bm25_topk_sql(),
         "topk_faithful": query.faithful_topk_sql(),
         "topk_faithful_boosted": query.faithful_boosted_sql(),
         **{

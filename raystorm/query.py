@@ -69,8 +69,9 @@ class SegmentIndex:
             ts["idf"].to_pylist(),
         ):
             self.term_stats[(f, t)] = (df, cf, idf)
-        # dictionary: (field, term) -> list of runs (salt, part, offset, nbytes)
-        self.runs: dict[tuple[str, str], list[tuple[int, int, int, int]]] = {}
+        # dictionary: (field, term) -> list of runs
+        # (salt, part, offset, nbytes, max_score)
+        self.runs: dict[tuple[str, str], list[tuple[int, int, int, int, float]]] = {}
         parts_dir = os.path.join(index_dir, "parts")
         self._part_data: dict[int, np.memmap] = {}
         if os.path.isdir(parts_dir):
@@ -79,14 +80,19 @@ class SegmentIndex:
                     continue
                 p = int(name.split("-")[1])
                 tdict = pq.read_table(os.path.join(parts_dir, name, "terms.parquet"))
-                for f, t, salt, off, nb in zip(
+                for f, t, salt, off, nb, ms, fd, ld in zip(
                     tdict["field"].to_pylist(),
                     tdict["term"].to_pylist(),
                     tdict["salt"].to_pylist(),
                     tdict["offset"].to_pylist(),
                     tdict["nbytes"].to_pylist(),
+                    tdict["max_score"].to_pylist(),
+                    tdict["first_docid"].to_pylist(),
+                    tdict["last_docid"].to_pylist(),
                 ):
-                    self.runs.setdefault((f, t), []).append((salt, p, off, nb))
+                    self.runs.setdefault((f, t), []).append(
+                        (salt, p, off, nb, ms, fd, ld)
+                    )
         for runs in self.runs.values():
             runs.sort()  # salt order == docid-range order
 
@@ -106,14 +112,20 @@ class SegmentIndex:
             return None
         parts = [
             segments.decode_run(self._part(p)[off : off + nb])
-            for _salt, p, off, nb in runs
+            for _salt, p, off, nb, _ms, _fd, _ld in runs
         ]
         if len(parts) == 1:
             return parts[0]
         return tuple(np.concatenate([pr[i] for pr in parts]) for i in range(3))
 
+    def term_max_score(self, term: str, field: str = "text") -> float:
+        runs = self.runs.get((field, term))
+        return max(r[4] for r in runs) if runs else 0.0
+
     # ----- scoring -----
     def topk(self, query_text: str, k: int, mode: str = "bm25") -> pd.DataFrame:
+        if mode == "bm25_pruned":
+            return self.topk_pruned(query_text, k)
         if mode == "bm25":
             docids, scores = self._score_bm25(query_text)
         elif mode == "faithful":
@@ -159,6 +171,100 @@ class SegmentIndex:
             id_chunks.append(docids)
             sc_chunks.append(sc)
         return _accumulate(id_chunks, sc_chunks)
+
+    #: safety margin for pruning bounds vs the RANK_ROUND tie boundary —
+    #: a skipped doc must be provably below the k-th score even after
+    #: 9-decimal rounding
+    PRUNE_EPS = 1e-6
+
+    def topk_pruned(self, query_text: str, k: int) -> pd.DataFrame:
+        """BM25 top-k with MaxScore/block-max pruning — rank-identical to
+        :meth:`topk` in ``bm25`` mode (pytest-pinned).
+
+        Term-at-a-time MaxScore (Turtle & Flood 1995; block-max bounds
+        per Ding & Suel 2011): terms are processed in descending
+        max-score order; once the remaining terms' summed upper bounds
+        fall below the current k-th partial score (minus PRUNE_EPS), new
+        documents can no longer enter the top-k, so later posting lists
+        only *update* accumulated docs — and only their runs whose
+        docid range intersects the accumulator (run bounds = the block-
+        max directory of ``segments.encode_run``; on-disk byte skipping
+        uses the same per-block ``payload_nbytes``).
+        """
+        toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
+        terms = sorted(set(toks.tolist()))
+        gs = self.global_stats["text"]
+        infos = []
+        for t in terms:
+            runs = self.runs.get(("text", t))
+            if runs:
+                infos.append((t, max(r[4] for r in runs)))
+        infos.sort(key=lambda x: (-x[1], x[0]))
+        tail = np.concatenate(
+            [np.cumsum([m for _t, m in infos][::-1])[::-1], [0.0]]
+        ) if infos else np.array([0.0])
+
+        acc_ids = np.empty(0, np.int64)
+        acc_sc = np.empty(0, np.float64)
+        theta = -np.inf
+        for i, (t, _m) in enumerate(infos):
+            _df, _cf, idf = self.term_stats[("text", t)]
+            prune = tail[i] + self.PRUNE_EPS < theta
+            runs = self.runs[("text", t)]
+            if prune and len(acc_ids):
+                # run-level skip: decode only runs whose docid range
+                # contains at least one accumulated doc (first/last
+                # bounds from the segment dictionary — the same skip a
+                # disk reader does with the block payload_nbytes)
+                runs = [
+                    r
+                    for r in runs
+                    if np.searchsorted(acc_ids, r[5], side="left")
+                    < np.searchsorted(acc_ids, r[6], side="right")
+                ]
+                if not runs:
+                    continue
+            chunks = [
+                segments.decode_run(self._part(p)[off : off + nb])
+                for _s, p, off, nb, _ms, _fd, _ld in runs
+            ]
+            docids = np.concatenate([c[0] for c in chunks])
+            tfs = np.concatenate([c[1] for c in chunks])
+            dls = np.concatenate([c[2] for c in chunks])
+            sc = segments.bm25_term_scores(tfs, dls, idf, gs["avgdl"], self.k1, self.b)
+            if not len(acc_ids):
+                order = np.argsort(docids, kind="mergesort")
+                acc_ids, acc_sc = docids[order], sc[order]
+            elif prune:
+                # non-essential term: only existing docs may gain score
+                pos = np.searchsorted(acc_ids, docids)
+                pos_c = np.minimum(pos, len(acc_ids) - 1)
+                valid = acc_ids[pos_c] == docids
+                np.add.at(acc_sc, pos_c[valid], sc[valid])
+            else:
+                both = np.concatenate([acc_ids, docids])
+                vals = np.concatenate([acc_sc, sc])
+                uniq, inv = np.unique(both, return_inverse=True)
+                acc_ids = uniq
+                acc_sc = np.bincount(inv, weights=vals)
+            if len(acc_ids) >= k:
+                theta = np.partition(acc_sc, len(acc_sc) - k)[len(acc_sc) - k]
+
+        if len(acc_ids) == 0:
+            return pd.DataFrame(
+                {"rank": np.empty(0, np.int32), "conv_id": [], "turn_idx": np.empty(0, np.int32), "score": []}
+            )
+        r = np.round(acc_sc, RANK_ROUND)
+        order = np.lexsort((acc_ids, -r))[:k]
+        conv, turn = self.codec.decode(acc_ids[order])
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+                "conv_id": conv,
+                "turn_idx": turn,
+                "score": np.round(acc_sc[order], SCORE_ROUND),
+            }
+        )
 
     def _score_faithful(self, query_text: str):
         # reference loop: raw lowercase whitespace tokens, duplicates kept
