@@ -122,6 +122,34 @@ def _q_index_segment_stats(sf_dir: str):
     ).sort_values("partition").reset_index(drop=True)
 
 
+def _q_compacted_term_stats(sf_dir: str):
+    """Compact the index (k-way merge of salted runs) and read df/cf
+    from the merged dictionary — must equal the source term stats (the
+    same SQL oracle as term_stats verifies the merge preserved every
+    posting)."""
+    from raystorm import compact
+
+    index_dir = _index_for(sf_dir)
+    out_dir = index_dir + "-compacted"
+    if not os.path.isfile(os.path.join(out_dir, "manifest.json")):
+        compact.compact_index(index_dir, out_dir)
+    # df/cf from the merged dictionary rows
+    import pyarrow.parquet as pq
+
+    frames = []
+    parts_dir = os.path.join(out_dir, "parts")
+    for name in sorted(os.listdir(parts_dir)):
+        frames.append(
+            pq.read_table(
+                os.path.join(parts_dir, name, "terms.parquet"),
+                columns=["field", "term", "df", "cf"],
+            ).to_pandas()
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    pdf = pdf[pdf.field == "text"].drop(columns=["field"])
+    return pdf.sort_values("term").reset_index(drop=True)
+
+
 def _q_term_stats(sf_dir: str):
     """Exact df/cf per body term — the stats the reference never computes
     (hardcoded N, df-from-string-length; SearchServer.java:17,123)."""
@@ -172,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_title": _q_tokenize_title,
         "index_segment_stats": _q_index_segment_stats,
         "term_stats": _q_term_stats,
+        "compacted_term_stats": _q_compacted_term_stats,
         "corpus_stats": _q_corpus_stats,
         "topk_bm25": _q_topk_bm25,
         "topk_bm25_pruned": _q_topk_bm25_pruned,
@@ -201,6 +230,11 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {normalize.tokens_keep_sql('tok.term', 'title')}"
         ),
         "term_stats": (
+            f"WITH {query.corpus_ctes()} "
+            "SELECT t.term, CAST(count(*) AS BIGINT) AS df, CAST(sum(t.tf) AS BIGINT) AS cf "
+            "FROM tfs t GROUP BY t.term ORDER BY t.term"
+        ),
+        "compacted_term_stats": (
             f"WITH {query.corpus_ctes()} "
             "SELECT t.term, CAST(count(*) AS BIGINT) AS df, CAST(sum(t.tf) AS BIGINT) AS cf "
             "FROM tfs t GROUP BY t.term ORDER BY t.term"

@@ -1,0 +1,49 @@
+"""Compaction: salted runs k-way merged into single runs; queries and
+postings must be identical on the compacted index."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raystorm import build, compact, corpus, query
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def pair(ray_session, tmp_path_factory):
+    src = tmp_path_factory.mktemp("cmp_src")
+    dst = tmp_path_factory.mktemp("cmp_dst")
+    ds = corpus.transcripts_from_documents(SF)
+    cfg = build.BuildConfig(num_partitions=8, split_target=300)  # force many salts
+    m = build.build_index(ds, str(src), input_fingerprint=SF, cfg=cfg)
+    assert m["n_head_terms_split"] > 0
+    compact.compact_index(str(src), str(dst))
+    return query.SegmentIndex(str(src)), query.SegmentIndex(str(dst))
+
+
+def test_single_run_per_term(pair):
+    _src, dst = pair
+    for (f, t), runs in dst.runs.items():
+        assert len(runs) == 1, f"{f}:{t} still has {len(runs)} runs"
+        assert runs[0][0] == 0  # salt reset
+
+
+def test_postings_identical(pair):
+    src, dst = pair
+    terms = sorted(t for (f, t) in src.runs if f == "text")
+    for t in terms[:20] + terms[-5:]:
+        a = src.postings(t, "text")
+        b = dst.postings(t, "text")
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_queries_identical(pair):
+    src, dst = pair
+    for _qid, text, k in query.REFERENCE_QUERIES:
+        a = src.topk(text, int(k), "bm25").reset_index(drop=True)
+        b = dst.topk(text, int(k), "bm25").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        bp = dst.topk_pruned(text, int(k)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, bp, check_dtype=False)
