@@ -48,6 +48,7 @@ def registry() -> dict:
         # --- similarity search ---
         "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL),
         "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ann_lsh_topk_sql()),
+        "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_TOPK_SQL),
         # --- positional postings (AnchorTextIndexer path) ---
         "positional_postings": (positional.positional_postings, positional.positional_postings_sql()),
         # --- graph rank (PageRank analog) ---

@@ -318,3 +318,151 @@ ranked AS (
 SELECT query_vec, rank, vec_id, cosine FROM ranked
 WHERE rank <= {TOP_K} ORDER BY query_vec, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (inverted-file variant: coarse quantizer + probe)
+# ---------------------------------------------------------------------------
+
+#: deterministic coarse centroids: the vectors whose vec_id is a
+#: multiple of IVF_STRIDE (a data-derived codebook — no training loop,
+#: so the SQL oracle mirrors it exactly)
+IVF_STRIDE = 100
+N_PROBE = 2
+
+
+def _load_centroids(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_numpy()
+    sel = np.nonzero(ids % IVF_STRIDE == 0)[0]
+    cids = ids[sel]
+    cmat = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False)[sel]).astype(
+        np.float64
+    )
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    order = np.argsort(cids)
+    return cids[order], cmat[order]
+
+
+def _assign_cells(mat_norm: np.ndarray, cids: np.ndarray, cmat: np.ndarray) -> np.ndarray:
+    """Nearest centroid per row: argmax cosine, tie-break centroid id asc."""
+    sims = np.round(mat_norm @ cmat.T, ROUND)  # rounding pins FP ties vs SQL
+    best = sims.argmax(axis=1)  # ties -> lowest index == centroid id asc
+    return cids[best]
+
+
+def ann_ivf_topk(sf_dir: str):
+    """IVF approximate top-10: vectors bucketed by nearest coarse
+    centroid; each query probes its N_PROBE closest cells and re-ranks
+    candidates by exact cosine.
+
+    Scale shape: the codebook is broadcast; cell assignment is one
+    matmul per batch; candidate generation is a cell-membership filter,
+    not a cross join.  (The partitioning assumption: cells are roughly
+    balanced — a trained k-means codebook would replace the data-derived
+    one at 100 TB; the Ray plumbing is identical.)
+    """
+    import ray
+    import ray.data as rd
+
+    cids, cmat = _load_centroids(sf_dir)
+    qids, qmat = _load_queries(sf_dir)
+    # query -> probed cells (top-N_PROBE centroids by rounded cosine)
+    qsims = np.round(qmat @ cmat.T, ROUND)
+    probe = {}
+    for i, qid in enumerate(qids):
+        order = np.lexsort((cids, -qsims[i]))[:N_PROBE]
+        probe[int(qid)] = set(int(c) for c in cids[order])
+    ref = ray.put((qids, qmat, probe, cids, cmat))
+
+    class IvfPartial:
+        def __init__(self, ref, k):
+            self.ref = ref
+            self.k = k
+            self._m = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._m is None:
+                obj = self.ref
+                self._m = _get_ref(obj) if not isinstance(obj, tuple) else obj
+            qids, qmat, probe, cids, cmat = self._m
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cells = _assign_cells(norm, cids, cmat)
+            out_q, out_v, out_s = [], [], []
+            for i, qid in enumerate(qids):
+                member = np.isin(cells, list(probe[int(qid)])) & (vids != qid)
+                idx = np.nonzero(member)[0]
+                if len(idx) == 0:
+                    continue
+                s = norm[idx] @ qmat[i]
+                take = np.lexsort((vids[idx], -np.round(s, ROUND)))[: self.k]
+                out_q.append(np.full(len(take), qid, np.int64))
+                out_v.append(vids[idx][take])
+                out_s.append(s[take])
+            if not out_q:
+                return pa.table(
+                    {"query_vec": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "query_vec": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                    "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    cand = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        .map_batches(IvfPartial(ref, TOP_K), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return _merge_topk(cand, TOP_K)
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.embedding, c.embedding), {ROUND}) DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+qprobe AS (
+  SELECT q.vec_id AS query_vec, c.cid AS cell,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), {ROUND}) DESC, c.cid) AS rn
+  FROM embeddings q CROSS JOIN cents c
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_vec, m.vec_id
+  FROM (SELECT * FROM qprobe WHERE rn <= {N_PROBE}) p
+  JOIN cells m ON m.cell = p.cell AND m.vec_id <> p.query_vec
+),
+scored AS (
+  SELECT c.query_vec, c.vec_id,
+         round(list_cosine_similarity(qe.embedding, e.embedding), {ROUND}) AS cosine
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_vec
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_vec,
+         CAST(row_number() OVER (PARTITION BY query_vec ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank,
+         vec_id, cosine
+  FROM scored
+)
+SELECT query_vec, rank, vec_id, cosine FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_vec, rank
+"""
