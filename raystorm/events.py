@@ -147,3 +147,81 @@ FROM sessions
 GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# as-of join (brief: "an operator Ray Data lacks — as-of join, range
+# join": composition (a) — map_batches + groupby(user).map_groups with
+# an in-group ordered merge)
+# ---------------------------------------------------------------------------
+
+ASOF_MARK = "click"
+
+
+def asof_last_click(sf_dir: str):
+    """For every event: the event_id/ts of the same user's most recent
+    *strictly prior* '{ASOF_MARK}' event (NULL if none).
+
+    Partitioning assumption: all rows of one user meet in one group
+    (hash partition by user_id); within the group the as-of lookup is a
+    vectorized backward search over the time-sorted marker rows.  Time-
+    range bucketing + boundary exchange would replace the per-user group
+    at 100 TB if single users outgrew a task.
+    """
+
+    def asof(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        s = (
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 1_000_000
+        )
+        eid = g["event_id"].to_numpy()
+        is_mark = (g["event_type"] == ASOF_MARK).to_numpy()
+        mark_pos = np.nonzero(is_mark)[0]
+        # index of the latest marker strictly before each row (row order
+        # == (ts, event_id) order, so "prior" = earlier position)
+        idx = np.searchsorted(mark_pos, np.arange(len(g)), side="left") - 1
+        has = idx >= 0
+        last_id = np.full(len(g), -1, np.int64)
+        last_s = np.full(len(g), -1, np.int64)
+        last_id[has] = eid[mark_pos[idx[has]]]
+        last_s[has] = s[mark_pos[idx[has]]]
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": np.full(len(g), int(group["user_id"].iloc[0]), np.int64),
+                "event_type": g["event_type"],
+                "last_click_id": last_id,
+                "last_click_s": last_s,
+            }
+        )
+
+    out = (
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+ASOF_LAST_CLICK_SQL = f"""
+WITH ordered AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+marked AS (
+  SELECT *,
+         max(CASE WHEN event_type = '{ASOF_MARK}' THEN rn END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mark_rn
+  FROM ordered
+)
+SELECT m.event_id, m.user_id, m.event_type,
+       coalesce(o.event_id, -1) AS last_click_id,
+       coalesce(o.s, -1) AS last_click_s
+FROM marked m
+LEFT JOIN ordered o ON o.user_id = m.user_id AND o.rn = m.mark_rn
+ORDER BY m.event_id
+"""

@@ -56,6 +56,7 @@ def registry() -> dict:
         # --- stream windows ---
         "window_agg": (events.window_agg, events.WINDOW_AGG_SQL),
         "sessionize": (events.sessionize, events.SESSIONIZE_SQL),
+        "asof_last_click": (events.asof_last_click, events.ASOF_LAST_CLICK_SQL),
         # --- multimodal plumbing (stubbed decode; oracle mirrors the fake) ---
         "media_features": (lambda sf: multimodal.media_features(sf).to_pandas(), multimodal.media_features_sql()),
     }
