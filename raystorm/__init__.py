@@ -10,7 +10,19 @@ cited per-module as ``file:line``) over Parquet transcript tables
 - ``docids``     — (conv_id, turn_idx) <-> uint64 docid codec
 - ``segments``   — delta+varint block-compressed posting segments
 - ``build``      — distributed, resumable index build (the wide shuffle)
-- ``query``      — BM25 / faithful scoring, actor-pool query evaluation
+- ``compact``    — offline k-way merge of salted posting runs
+- ``query``      — BM25 / faithful / boosted scoring, MaxScore pruning,
+                   actor-pool query evaluation
+- ``relational`` — Flame-primitive analogs (joins, cogroup, top-k, ...)
+- ``analysis``   — lang-ID, quality, token counts, fingerprints, quality dists
+- ``dedup``      — exact / MinHash+LSH / SimHash / n-gram / embedding dedup
+- ``similarity`` — brute-force, LSH and IVF ANN search
+- ``textrank``   — PageRank-style iteration over the word-bigram graph
+- ``events``     — tumbling windows, sessionization, as-of join
+- ``positional`` — positional posting lists
+- ``multimodal`` — binary payload plumbing with stubbed decode
+- ``pipelines``  — operator registry feeding the driver contract + bench
+- ``cli``        — ray job submit entry points
 """
 
 __version__ = "0.1.0"

@@ -69,8 +69,10 @@ BENCH_NAMES = (
     "dedup_minhash",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "window_agg",
     "sessionize",
+    "asof_last_click",
     "textrank",
 )
 

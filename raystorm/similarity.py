@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .analysis import md5int60, md5int60_sql
+from .analysis import md5int60
 
 ROUND = 6
 TOP_K = 10
