@@ -183,6 +183,14 @@ def _q_topk_bm25_pruned(sf_dir: str):
     return _run_reference_queries(sf_dir, "bm25_pruned")
 
 
+def _q_topk_bm25_sharded(sf_dir: str):
+    """Distributed query path: partition-parallel partial scoring ->
+    (query_id, docid) reduction shuffle -> per-query top-k.  Same oracle
+    as topk_bm25 — rank-identity across architectures."""
+    index_dir = _index_for(sf_dir)
+    return query.batch_evaluate_sharded(index_dir)
+
+
 def _q_topk_faithful(sf_dir: str):
     return _run_reference_queries(sf_dir, "faithful")
 
@@ -204,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": _q_corpus_stats,
         "topk_bm25": _q_topk_bm25,
         "topk_bm25_pruned": _q_topk_bm25_pruned,
+        "topk_bm25_sharded": _q_topk_bm25_sharded,
         "topk_faithful": _q_topk_faithful,
         "topk_faithful_boosted": _q_topk_faithful_boosted,
     }
@@ -247,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "topk_bm25": query.bm25_topk_sql(),
         "topk_bm25_pruned": query.bm25_topk_sql(),
+        "topk_bm25_sharded": query.bm25_topk_sql(),
         "topk_faithful": query.faithful_topk_sql(),
         "topk_faithful_boosted": query.faithful_boosted_sql(),
         **{

@@ -621,3 +621,141 @@ FROM ranked r JOIN queries q ON q.query_id = r.query_id
 WHERE r.rank <= q.qk
 ORDER BY r.query_id, r.rank
 """
+
+
+# ---------------------------------------------------------------------------
+# sharded batch evaluation — the multi-node query architecture
+# ---------------------------------------------------------------------------
+
+
+class PartitionScorer:
+    """Actor-pool stage: one batch of partition ids -> (query_id, docid,
+    partial score) rows for every reference query.
+
+    The index is term-partitioned, so one document's score contributions
+    live in many partitions; each actor loads ONLY its partitions'
+    dictionaries/segments (here: lazily via mmap — at cluster scale each
+    node holds a partition subset) and the per-doc reduction is a
+    downstream groupby((query_id, docid)).sum shuffle.  This is the
+    serving path for indexes larger than any single node; the
+    single-node path (``SegmentIndex`` per actor) stays preferable while
+    the index fits.
+    """
+
+    def __init__(self, index_dir: str, queries):
+        import pyarrow.parquet as pq_
+
+        self.index_dir = index_dir
+        manifest = json.load(open(os.path.join(index_dir, "manifest.json")))
+        self.k1 = manifest["config"]["k1"]
+        self.b = manifest["config"]["b"]
+        self.gs = manifest["global_stats"]
+        ts = pq_.read_table(
+            os.path.join(index_dir, "terms_stats.parquet"),
+            columns=["field", "term", "idf"],
+        )
+        self.idf = {
+            (f, t): v
+            for f, t, v in zip(
+                ts["field"].to_pylist(), ts["term"].to_pylist(), ts["idf"].to_pylist()
+            )
+        }
+        # query terms (deduped, sorted — the pinned accumulation order)
+        self.queries = [
+            (qid, sorted(set(normalize.tokenize_column(pa.array([text]), "body")[0].tolist())))
+            for qid, text, _k in queries
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq_
+
+        out_q, out_d, out_s = [], [], []
+        for part in batch["part"].to_pylist():
+            part_dir = os.path.join(self.index_dir, "parts", f"part-{int(part):05d}")
+            tdict = pq_.read_table(os.path.join(part_dir, "terms.parquet"))
+            data = np.memmap(
+                os.path.join(part_dir, "postings.bin"), dtype=np.uint8, mode="r"
+            )
+            # index this partition's runs by (field, term)
+            runs = {}
+            for f, t, off, nb in zip(
+                tdict["field"].to_pylist(),
+                tdict["term"].to_pylist(),
+                tdict["offset"].to_pylist(),
+                tdict["nbytes"].to_pylist(),
+            ):
+                runs.setdefault((f, t), []).append((off, nb))
+            for qid, terms in self.queries:
+                for t in terms:
+                    for off, nb in runs.get(("text", t), ()):
+                        docids, tfs, dls = segments.decode_run(data[off : off + nb])
+                        sc = segments.bm25_term_scores(
+                            tfs, dls, self.idf[("text", t)], self.gs["text"]["avgdl"],
+                            self.k1, self.b,
+                        )
+                        out_q.append(np.full(len(docids), qid, object))
+                        out_d.append(docids)
+                        out_s.append(sc)
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.string()), "docid": pa.array([], pa.int64()), "partial": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.string()),
+                "docid": pa.array(np.concatenate(out_d), pa.int64()),
+                "partial": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def batch_evaluate_sharded(index_dir: str, queries=REFERENCE_QUERIES) -> pd.DataFrame:
+    """Distributed BM25 evaluation: partition-parallel scoring ->
+    (query_id, docid) score reduction -> per-query top-k.
+
+    Same results as the single-node scorer (the driver checks it against
+    the identical SQL oracle as topk_bm25).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    manifest = json.load(open(os.path.join(index_dir, "manifest.json")))
+    parts = [p["partition"] for p in manifest["partitions"]]
+    codec = DocIdCodec.from_table(
+        pq.read_table(os.path.join(index_dir, "convmap.parquet"))
+    )
+    kmap = {qid: k for qid, _t, k in queries}
+
+    partials = rd.from_items([{"part": p} for p in parts]).map_batches(
+        PartitionScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "queries": queries},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    )
+    totals = partials.groupby(["query_id", "docid"]).aggregate(
+        Sum("partial", alias_name="score")
+    )
+
+    def topk_group(group: pd.DataFrame) -> pd.DataFrame:
+        qid = group["query_id"].iloc[0]
+        k = int(kmap[qid])
+        docids = group["docid"].to_numpy()
+        scores = group["score"].to_numpy()
+        r = np.round(scores, RANK_ROUND)
+        order = np.lexsort((docids, -r))[:k]
+        conv, turn = codec.decode(docids[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(order), qid, object),
+                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+                "conv_id": conv,
+                "turn_idx": turn,
+                "score": np.round(scores[order], SCORE_ROUND),
+            }
+        )
+
+    out = totals.groupby("query_id").map_groups(topk_group, batch_format="pandas")
+    return (
+        out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
