@@ -64,7 +64,7 @@ def textrank(sf_dir: str):
     Returns (node, rank) with rank %.8f-rounded, ordered by node.
     """
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
 
@@ -105,75 +105,72 @@ def textrank(sf_dir: str):
         .materialize()
     )
 
-    n_nodes = nodes.count()
-    init = 1.0 / n_nodes
+    # node-level state (rank vector) is vocabulary-sized — the SMALL
+    # side of every per-iteration join, so it is broadcast (ray.put)
+    # into a map over the (large) edge set instead of shuffled
+    # (SURVEY.md §2.2 joins table: "ranks the small — broadcast-small-
+    # side viable").  Host-scale PageRank with a rank table too big to
+    # broadcast would keep contrib_base and use Dataset.join per
+    # iteration — contrib_base is materialized above for exactly that
+    # path.
+    import ray
+    from ray.data.aggregate import Sum
 
-    def init_ranks(batch: pa.Table) -> pa.Table:
-        return batch.append_column("r", pa.array(np.full(len(batch), init)))
+    node_pdf = (
+        nodes_flagged.to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    node_arr = node_pdf["node"].to_numpy()
+    has_out = node_pdf["has_out"].to_numpy().astype(bool)
+    n_nodes = len(node_arr)
+    ranks_vec = np.full(n_nodes, 1.0 / n_nodes)
 
-    ranks = nodes_flagged.map_batches(init_ranks, batch_format="pyarrow").materialize()
+    class Contrib:
+        """edges batch + broadcast ranks -> partial per-dst contributions."""
 
-    def dangling_partial(batch: pa.Table) -> pa.Table:
-        r = batch["r"].to_numpy(zero_copy_only=False)
-        mask = ~batch["has_out"].to_numpy(zero_copy_only=False)
-        return pa.table({"dm": pa.array([float(r[mask].sum())])})
+        def __init__(self, ranks_ref, node_ref):
+            self.ranks_ref = ranks_ref
+            self.node_ref = node_ref
+            self._r = None
+            self._n = None
 
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            if self._n is None:
+                obj = self.node_ref
+                self._n = _ray.get(obj) if not isinstance(obj, np.ndarray) else obj
+            obj = self.ranks_ref
+            r = _ray.get(obj) if not isinstance(obj, np.ndarray) else obj
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            deg = batch["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+            si = np.searchsorted(self._n, src)
+            c = r[si] / deg
+            # per-batch combine by dst before the vocabulary-sized shuffle
+            t = pa.table({"dst": pa.array(dst), "c": pa.array(c)})
+            return t.group_by("dst").aggregate([("c", "sum")])
+
+    node_ref = ray.put(node_arr)
     for _it in range(ITERS):
-        # dangling mass: one O(1) scalar barrier
+        # dangling mass: O(1) driver scalar from the broadcast vector
         # (PageRank.java:140-167's filter + fold + collect)
-        dangling = (
-            ranks.map_batches(dangling_partial, batch_format="pyarrow").sum("dm") or 0.0
-        )
-
+        dangling = float(ranks_vec[~has_out].sum())
+        ranks_ref = ray.put(ranks_vec)
         contribs = (
-            contrib_base.join(
-                ranks,
-                join_type="inner",
-                num_partitions=4,
-                on=("src",),
-                right_on=("node",),
-            )
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "dst": b["dst"],
-                        "c": pa.array(
-                            b["r"].to_numpy(zero_copy_only=False)
-                            / b["deg"].to_numpy(zero_copy_only=False)
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
+            contrib_base.map_batches(
+                Contrib(ranks_ref, node_ref), batch_format="pyarrow"
             )
             .groupby("dst")
-            .aggregate(Sum("c", alias_name="in_r"))
+            .aggregate(Sum("c_sum", alias_name="in_r"))
+            .to_pandas()
         )
-
         base = (1.0 - D) / n_nodes + D * dangling / n_nodes
+        new_vec = np.full(n_nodes, base)
+        di = np.searchsorted(node_arr, contribs["dst"].to_numpy())
+        new_vec[di] += D * contribs["in_r"].to_numpy()
+        ranks_vec = np.round(new_vec, ROUND)
 
-        def new_rank(batch: pa.Table, base=base) -> pa.Table:
-            in_r = batch["in_r"].to_numpy(zero_copy_only=False)
-            in_r = np.nan_to_num(in_r.astype(np.float64), nan=0.0)
-            r = np.round(base + D * in_r, ROUND)
-            return pa.table(
-                {"node": batch["node"], "has_out": batch["has_out"], "r": pa.array(r)}
-            )
-
-        ranks = (
-            nodes_flagged.join(
-                contribs,
-                join_type="left_outer",
-                num_partitions=4,
-                on=("node",),
-                right_on=("dst",),
-            )
-            .map_batches(new_rank, batch_format="pyarrow")
-            .materialize()
-        )
-
-    pdf = ranks.to_pandas()[["node", "r"]].sort_values("node").reset_index(drop=True)
-    pdf.columns = ["node", "rank"]
-    return pdf
+    return pd.DataFrame({"node": node_arr, "rank": ranks_vec})
 
 
 def textrank_sql() -> str:
