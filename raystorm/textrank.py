@@ -10,17 +10,19 @@ per iteration (``:131-237``), dangling mass folded to a driver scalar
 Our corpus has no hyperlinks, so the graph is data-derived the TextRank
 way (Mihalcea & Tarau 2004, public): nodes = distinct words of the
 ``documents`` table, directed edges = distinct adjacent-word bigrams.
-The iteration is the same dataflow shape as the reference —
-``Dataset.join`` per iteration, ``groupby.aggregate(Sum)`` for the
-contribution fold, ``ds.sum()`` scalar barriers for dangling mass,
-8-decimal rounding per iteration mirroring the reference's ``%.8f`` —
+Iteration structure mirrors the reference — contribution fold
+(``groupby.aggregate(Sum)`` over the edge set), dangling-mass scalar
+per iteration, 8-decimal rounding mirroring the reference's ``%.8f`` —
 and the DuckDB oracle unrolls the same fixed iteration count as chained
 CTEs.
 
-Scale notes: edges/outdeg are materialized once (they are
-vocabulary-bounded, far smaller than the corpus); ranks stay a Dataset
-keyed by node through every join — nothing corpus-sized touches the
-driver; the two scalar barriers per iteration are O(1) reductions.
+Scale notes: edges/outdeg are materialized once (vocabulary-bounded,
+far smaller than the corpus).  The rank vector is node-count-sized —
+the SMALL side of the per-iteration join — so it is broadcast
+(``ray.put``) into a combiner map over the edge Dataset; only the
+per-dst contribution reduce shuffles.  A rank table too large to
+broadcast (true web-host scale) switches to ``Dataset.join`` against
+the materialized ``contrib_base`` with the same iteration body.
 """
 
 from __future__ import annotations
