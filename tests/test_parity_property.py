@@ -1,0 +1,72 @@
+"""Property-style parity: the vectorized tokenizers and their DuckDB SQL
+mirrors must agree on adversarial inputs (the driver's oracle gate
+depends on this equivalence).  Deterministic example corpus + seeded
+random strings (hypothesis-style without flaky runtimes)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raystorm import normalize
+
+NASTY = [
+    "",
+    " ",
+    "   ",
+    "UPPER lower MiXeD",
+    "abc123 42 9000 a1b2c3",
+    "x" * 29,
+    "x" * 30,
+    "x" * 31,
+    "punct!!!,,,;;;:::...---___===+++",
+    "tab\tnewline\nmix",
+    "http://a.b/c?d=1 plain https://x.y#z tail",
+    "unicode héllo wörld čaj",
+    "emoji 😀 mixed",
+    "&amp; &lt;entity&gt; &unknown;",
+    "hyphen-ated under_scored dot.sep",
+    "a b  c   d    e",
+    "ALL CAPS WORDS HERE",
+    "digits1mixed2into3words",
+    "'quoted' \"double\" `back`",
+    "trailing space ",
+    " leading space",
+    " nbsp separated",
+]
+
+
+def _rand_strings(n=60, seed=7):
+    rng = np.random.default_rng(seed)
+    alphabet = list("abc XYZ 012 .,!-_/:&;#éü\t") + ["  ", "http://", "www."]
+    out = []
+    for _ in range(n):
+        k = int(rng.integers(0, 12))
+        out.append("".join(rng.choice(alphabet) for _ in range(k)))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["body", "title", "tool"])
+def test_tokenizer_sql_parity(mode):
+    texts = NASTY + _rand_strings()
+    toks, rows = normalize.tokenize_column(pa.array(texts, pa.string()), mode)
+    py = sorted(zip(rows.tolist(), toks.tolist()))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INTEGER, txt VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    sql = (
+        f"SELECT i, tok.term FROM t, {normalize.tokens_sql('txt', mode)} "
+        f"WHERE {normalize.tokens_keep_sql('tok.term', mode)} ORDER BY i"
+    )
+    sq = sorted((i, t) for i, t in con.execute(sql).fetchall())
+    assert py == sq, f"mode={mode}: tokenizer and SQL mirror diverge"
+
+
+def test_positions_parity_with_sql_ordinality():
+    texts = NASTY[:10] + ["the quick 42 brown fox", "dup dup x dup"]
+    toks, rows, pos = normalize.tokenize_with_positions(pa.array(texts), "body")
+    # positions are dense 0..k-1 per row
+    for r in np.unique(rows):
+        p = pos[rows == r]
+        assert p.tolist() == list(range(len(p)))
