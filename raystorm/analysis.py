@@ -360,3 +360,90 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN mins m USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-window document fingerprinting —
+# Schleimer, Wilkerson & Aiken, SIGMOD 2003; public algorithm)
+# ---------------------------------------------------------------------------
+
+#: k-gram (in words) and winnow window sizes
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def winnow_fingerprints(sf_dir: str):
+    """Selected fingerprints per document: the minimum shingle hash in
+    every sliding window of W consecutive k-gram hashes (ties -> the
+    rightmost position, per the original algorithm), deduplicated.
+
+    Output: (doc_id, fp) rows sorted — the winnowing guarantee is that
+    any shared substring of length >= W + K - 1 words yields at least
+    one shared fingerprint, making this the standard rolling-hash
+    near-dup primitive.
+    """
+    import ray.data as rd
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out_d, out_f = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (text or "").lower().split(" ")
+            n = max(1, len(words) - (WINNOW_K - 1))
+            grams = [" ".join(words[i : i + WINNOW_K]) for i in range(n)]
+            h = md5int60_np(np.array(grams, object))
+            if len(h) <= WINNOW_W:
+                sel = {int(h.min())} if len(h) else set()
+            else:
+                # sliding-window min, rightmost-on-tie: reverse + argmin
+                sw = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+                rev = sw[:, ::-1]
+                pos = WINNOW_W - 1 - rev.argmin(axis=1)
+                sel = set(int(v) for v in sw[np.arange(len(sw)), pos])
+            for v in sorted(sel):
+                out_d.append(did)
+                out_f.append(v)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "fp": pa.array(out_f, pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(fp, batch_format="pyarrow")
+    return out.sort(["doc_id", "fp"])
+
+
+def winnow_fingerprints_sql() -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id, s.i AS pos,
+         {md5int60_sql("array_to_string(list_slice(d.parts, s.i, s.i + " + str(WINNOW_K - 1) + "), ' ')")} AS h
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS parts FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, greatest(1, len(d.parts) - {WINNOW_K - 1}))) AS i) s
+),
+counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+small AS (
+  SELECT g.doc_id, min(g.h) AS fp
+  FROM grams g JOIN counts c USING (doc_id)
+  WHERE c.n <= {WINNOW_W} GROUP BY g.doc_id
+),
+win AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin
+  FROM grams
+),
+large AS (
+  SELECT DISTINCT w.doc_id, w.wmin AS fp
+  FROM win w
+  JOIN counts c ON c.doc_id = w.doc_id AND c.n > {WINNOW_W}
+  WHERE w.pos <= c.n - {WINNOW_W - 1}
+)
+SELECT doc_id, fp FROM small
+UNION
+SELECT doc_id, fp FROM large
+ORDER BY doc_id, fp
+"""

@@ -155,3 +155,115 @@ SELECT doc_id AS media_id,
        {h} AS content_hash
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample stages (actor-pool plumbing; decode stubbed)
+# ---------------------------------------------------------------------------
+
+RESIZE_MAX = 224
+FRAME_STRIDE = 7
+FRAME_BYTES = 16
+
+
+class MediaResizeStage:
+    """Feature rows -> resized dimensions (aspect-preserving fit into
+    RESIZE_MAX^2).  With a real decoder this is the pixel resample; the
+    dimension arithmetic — the part a pipeline schema depends on — is
+    exact and SQL-mirrored.  Integer math only (floor), so both sides
+    agree bit-for-bit.
+    """
+
+    def __init__(self, max_side: int = RESIZE_MAX):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.maximum(w, h)
+        scale_num = np.minimum(m, self.max_side)  # no upscaling
+        new_w = (w * scale_num) // m
+        new_h = (h * scale_num) // m
+        return batch.append_column(
+            "resized_w", pa.array(np.maximum(new_w, 1).astype(np.int32), pa.int32())
+        ).append_column(
+            "resized_h", pa.array(np.maximum(new_h, 1).astype(np.int32), pa.int32())
+        )
+
+
+def media_resized(sf_dir: str):
+    """decode (actor pool) -> resize (stateless task pool) chain.
+
+    Resize holds no state, so it runs as plain tasks — chaining a
+    second actor pool would reserve CPUs alongside the decode pool and
+    can starve upstream reads on small clusters."""
+    out = media_features(sf_dir).map_batches(
+        MediaResizeStage(),
+        batch_size=MEDIA_BATCH_SIZE,
+        batch_format="pyarrow",
+    )
+    return out.sort("media_id")
+
+
+def media_resized_sql() -> str:
+    base = media_features_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH feats AS ({base})
+SELECT *,
+       CAST(greatest(width  * least(greatest(width, height), {RESIZE_MAX}) // greatest(width, height), 1) AS INTEGER) AS resized_w,
+       CAST(greatest(height * least(greatest(width, height), {RESIZE_MAX}) // greatest(width, height), 1) AS INTEGER) AS resized_h
+FROM feats ORDER BY media_id
+"""
+
+
+def frame_sample(sf_dir: str):
+    """'Video' frame sampling plumbing: every FRAME_STRIDE-th
+    FRAME_BYTES-sized chunk of the payload becomes a frame row
+    (media_id, frame_idx, frame_hash).  A real codec replaces the
+    chunking; the explode shape, small batches and per-frame hashing
+    are the production layout.
+    """
+    def explode(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids, fidx, fh = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            n_chunks = max(1, len(payload) // FRAME_BYTES)
+            for j, chunk_i in enumerate(range(0, n_chunks, FRAME_STRIDE)):
+                chunk = payload[chunk_i * FRAME_BYTES : (chunk_i + 1) * FRAME_BYTES]
+                ids.append(mid)
+                fidx.append(j)
+                fh.append(int(hashlib.md5(chunk).hexdigest()[:15], 16))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame_hash": pa.array(fh, pa.int64()),
+            }
+        )
+
+    out = media_table(sf_dir).map_batches(
+        explode,
+        batch_size=MEDIA_BATCH_SIZE,
+        batch_format="pyarrow",
+    )
+    return out.sort(["media_id", "frame_idx"])
+
+
+def frame_sample_sql() -> str:
+    # payload == UTF-8 of text; DuckDB md5(VARCHAR) hashes UTF-8 bytes,
+    # so chunking must slice BYTES.  The documents corpus is pure ASCII
+    # words, so byte slicing == char slicing here; with non-ASCII data
+    # the oracle would need a blob-slicing function (documented limit).
+    h = md5int60_sql(f"substring(text, s.i * {FRAME_BYTES * FRAME_STRIDE} + 1, {FRAME_BYTES})")
+    return f"""
+SELECT d.doc_id AS media_id,
+       CAST(s.i AS INTEGER) AS frame_idx,
+       {h} AS frame_hash
+FROM documents d,
+     LATERAL (SELECT unnest(generate_series(0,
+        CAST(ceil(greatest(octet_length(encode(d.text)) // {FRAME_BYTES}, 1) * 1.0 / {FRAME_STRIDE}) AS BIGINT) - 1)) AS i) s
+ORDER BY media_id, frame_idx
+"""

@@ -37,6 +37,7 @@ def registry() -> dict:
         "quality_score": (analysis.quality_score, analysis.quality_score_sql()),
         "token_count": (analysis.token_count, analysis.token_count_sql()),
         "fingerprint": (analysis.fingerprint, analysis.fingerprint_sql()),
+        "winnow_fingerprints": (lambda sf: analysis.winnow_fingerprints(sf).to_pandas(), analysis.winnow_fingerprints_sql()),
         "corpus_quality": (analysis.corpus_quality, analysis.CORPUS_QUALITY_SQL),
         # --- dedup family ---
         "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
@@ -59,6 +60,8 @@ def registry() -> dict:
         "asof_last_click": (events.asof_last_click, events.ASOF_LAST_CLICK_SQL),
         # --- multimodal plumbing (stubbed decode; oracle mirrors the fake) ---
         "media_features": (lambda sf: multimodal.media_features(sf).to_pandas(), multimodal.media_features_sql()),
+        "media_resized": (lambda sf: multimodal.media_resized(sf).to_pandas(), multimodal.media_resized_sql()),
+        "frame_sample": (lambda sf: multimodal.frame_sample(sf).to_pandas(), multimodal.frame_sample_sql()),
     }
 
 
