@@ -153,7 +153,7 @@ SCALING_CONVS = 200_000
 
 #: fresh-process repetitions per CPU level; min is taken (least-noise
 #: estimator — single-box runs vary with object-store/page-cache state)
-SCALING_REPEATS = 2
+SCALING_REPEATS = 3
 
 
 def main_scaling(sf_dir: str) -> dict:
