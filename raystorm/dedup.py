@@ -11,11 +11,14 @@ Every stage is Ray-Data-shaped for scale:
 
 - shingling / hashing: stateless Arrow ``map_batches`` (hash work is
   per *unique* token, not per row — ``analysis.md5int60_np``);
-- candidate generation: ``groupby(bucket)`` shuffle; pair explosion
-  happens inside ``map_groups`` on bucket-sized groups only;
-- verification: exact Jaccard via a second ``groupby`` over candidate
-  pairs, doc shingle-counts broadcast (``ray.put``) into the verify
-  stage — never a full cross join.
+- candidate generation: coarse-bucket ``groupby`` shuffle (``N_BUCKETS``
+  keys per band, not one group per distinct signature — per-group
+  dispatch overhead dominates tiny groups); exact signature/band-key
+  matching and pair explosion happen vectorized inside ``map_groups``;
+- verification (MinHash): exact Jaccard over *candidate docs only* — one
+  filtered shingle pass, doc shingle-sets broadcast (``ray.put``) into a
+  streamed verify over pair batches — never a full cross join and no
+  full-corpus shingle shuffle.
 
 Exact DuckDB mirrors are emitted for the driver oracle; all hashes are
 the shared 60-bit md5 (``analysis.md5int60``) so both sides agree.
@@ -46,6 +49,19 @@ SIMHASH_BITS = 48
 HAMMING_T = 4
 #: embedding near-dup threshold
 COSINE_T = 0.4
+
+#: Carter-Wegman permutation family for MinHash: sig[p] = min over
+#: shingles of (A[p] * (md5int60(sh) % P) + B[p]) % P with the Mersenne
+#: prime P = 2^31-1.  One md5 per unique shingle (not one per
+#: perm x shingle — 16x less hash work); the affine maps stay inside
+#: int64 on both numpy and DuckDB BIGINT (a*(h%P) < 2^62, no overflow).
+#: Constants derive from the shared md5 so both engines can inline the
+#: same literals.
+MERSENNE31 = (1 << 31) - 1
+PERM_A = tuple(
+    1 + md5int60(f"minhash-a|{p}") % (MERSENNE31 - 1) for p in range(N_PERMS)
+)
+PERM_B = tuple(md5int60(f"minhash-b|{p}") % MERSENNE31 for p in range(N_PERMS))
 
 _BROADCAST_CACHE: dict = {}
 
@@ -116,24 +132,41 @@ def dedup_exact(sf_dir: str):
     """Assign each document to its exact-duplicate group.
 
     Output: (doc_id, rep_doc_id, group_size) — rep = min doc_id of the
-    group of identical texts.  groupby(content-hash) -> per-group first;
-    the 100 TB shape: the hash is 60-bit uniform, so groups spread
-    evenly and no driver-side state exists.
+    group of identical texts.  ONE hash-bucket shuffle (coarse
+    ``h % N_BUCKETS`` keys so groups stay block-sized, not
+    one-per-distinct-text), then a vectorized pandas groupby inside each
+    bucket — same-hash rows are co-located, so no join back.  The 100 TB
+    shape: the hash is 60-bit uniform, so buckets spread evenly and no
+    driver-side state exists.
     """
-    from ray.data.aggregate import Count, Min
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         h = np.array([md5int60(t or "") for t in batch["text"].to_pylist()], np.int64)
-        return pa.table({"doc_id": batch["doc_id"], "h": pa.array(h, pa.int64())})
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h": pa.array(h, pa.int64()),
+                "bucket": pa.array((h % N_BUCKETS).astype(np.int32)),
+            }
+        )
 
-    hashed = _docs(sf_dir).map_batches(hash_batch, batch_format="pyarrow")
-    groups = hashed.groupby("h").aggregate(
-        Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="group_size")
+    def rep_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("h")["doc_id"]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "rep_doc_id": gb.transform("min").to_numpy(np.int64),
+                "group_size": gb.transform("size").to_numpy(np.int64),
+            }
+        )
+
+    grouped = (
+        _docs(sf_dir)
+        .map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rep_in_bucket, batch_format="pandas")
     )
-    joined = hashed.join(
-        groups, join_type="inner", num_partitions=4, on=("h",)
-    ).drop_columns(["h"])
-    pdf = joined.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pdf = grouped.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pdf[["doc_id", "rep_doc_id", "group_size"]]
 
 
@@ -264,11 +297,20 @@ ORDER BY doc_a, doc_b
 # ---------------------------------------------------------------------------
 
 
-def _minhash_batch(batch: pa.Table) -> pa.Table:
-    """documents batch -> (doc_id, band, band_sig) LSH bucket rows.
+#: coarse shuffle buckets per band — groups for the candidate shuffle are
+#: (band, sig0 % N_BUCKETS), NOT the full signature: tens of thousands of
+#: one-doc signature groups would pay per-group dispatch overhead, while
+#: 64 buckets/band keep groups block-sized and the exact-signature match
+#: happens vectorized (run detection over a lexsort) inside each bucket.
+N_BUCKETS = 64
 
-    sig[p] = min over shingles of md5int60(f"{p}|{shingle}"); bands of
-    N_PERMS/N_BANDS rows, band signature = joined sig values.
+
+def _minhash_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> one (doc_id, band, bucket, sig0, sig1) row per band.
+
+    sig[p] = min over shingles of the PERM_A/PERM_B affine map of
+    md5int60(shingle) mod 2^31-1; bands of N_PERMS/N_BANDS rows; docs
+    sharing every sig value of a band are LSH candidates.
     """
     rows_per_band = N_PERMS // N_BANDS
     dids, shs, rows = [], [], []
@@ -283,25 +325,56 @@ def _minhash_batch(batch: pa.Table) -> pa.Table:
     sigs = np.full((n, N_PERMS), np.iinfo(np.int64).max, np.int64)
     if shs:
         r = np.array(rows, np.int64)
-        # hash work per *unique* (perm, shingle); shingles repeat across docs
-        uniq, inv = np.unique(np.array(shs, object), return_inverse=True)
+        # one md5 per unique shingle; N_PERMS perms via affine mod-prime maps
+        h = md5int60_np(np.array(shs, object)) % MERSENNE31
         for p in range(N_PERMS):
-            hp = np.array([md5int60(f"{p}|{u}") for u in uniq], np.int64)[inv]
+            hp = (PERM_A[p] * h + PERM_B[p]) % MERSENNE31
             np.minimum.at(sigs[:, p], r, hp)
-    doc_ids, bands, out_sigs = [], [], []
-    for i in range(n):
-        for b in range(N_BANDS):
-            seg = sigs[i, b * rows_per_band : (b + 1) * rows_per_band]
-            doc_ids.append(dids[i])
-            bands.append(b)
-            out_sigs.append(",".join(str(v) for v in seg))
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "band": pa.array(bands, pa.int32()),
-            "band_sig": pa.array(out_sigs, pa.string()),
-        }
-    )
+    cols = {
+        "doc_id": np.repeat(np.array(dids, np.int64), N_BANDS),
+        "band": np.tile(np.arange(N_BANDS, dtype=np.int32), n),
+    }
+    for j in range(rows_per_band):
+        cols[f"sig{j}"] = sigs[:, [b * rows_per_band + j for b in range(N_BANDS)]].reshape(-1)
+    cols["bucket"] = (cols["sig0"] % N_BUCKETS).astype(np.int32)
+    return pa.table(cols)
+
+
+class _SigRunPairs:
+    """map_groups fn over a (band, bucket) coarse group: emit candidate
+    pairs for each run of rows with identical full signatures."""
+
+    def __init__(self, sig_cols):
+        self.__name__ = "SigRunPairs"
+        self.sig_cols = sig_cols
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        d = group["doc_id"].to_numpy(np.int64)
+        sigs = [group[c].to_numpy(np.int64) for c in self.sig_cols]
+        order = np.lexsort((d, *reversed(sigs)))
+        d = d[order]
+        sigs = [s[order] for s in sigs]
+        new = np.zeros(len(d), bool)
+        new[:1] = True
+        for s in sigs:
+            new[1:] |= s[1:] != s[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(d))
+        out_a, out_b = [], []
+        for st, en in zip(starts, ends):
+            k = en - st
+            if k < 2:
+                continue
+            a, b = np.triu_indices(k, k=1)
+            out_a.append(d[st:en][a])
+            out_b.append(d[st:en][b])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64)}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
 
 
 def dedup_minhash(sf_dir: str):
@@ -312,70 +385,119 @@ def dedup_minhash(sf_dir: str):
     subset of LSH candidates — deterministic, and mirrored exactly by
     the SQL oracle (same permutation hashes, same banding).
     """
+    rows_per_band = N_PERMS // N_BANDS
     sigs = _docs(sf_dir).map_batches(_minhash_batch, batch_format="pyarrow")
-    candidates = sigs.groupby(["band", "band_sig"]).map_groups(
-        _PairsFromGroup(), batch_format="pandas"
+    candidates = sigs.groupby(["band", "bucket"]).map_groups(
+        _SigRunPairs([f"sig{j}" for j in range(rows_per_band)]),
+        batch_format="pandas",
     )
-
-    # LSH can emit the same pair from multiple bands -> dedup before verify
-    from ray.data.aggregate import Count
-
-    cand_unique = (
-        candidates.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="nb"))
-        .drop_columns(["nb"])
-    )
-    # re-join candidates with shingle sets to count intersections:
-    # verification = exact Jaccard over candidate pairs only
-    shingles = _docs(sf_dir).map_batches(_shingle_batch, batch_format="pyarrow")
+    # exact-Jaccard verify over *candidate docs only*.  The LSH contract
+    # is that candidates are a tiny slice of the corpus, so one filtered
+    # shingle pass over just those docs replaces the two full-corpus
+    # shingle shuffles a join-based verify would need; the doc->shingle
+    # map broadcasts (ray.put) into a streamed verify over pair batches.
     import ray
+    import ray.data as rd
 
-    cand_pdf = cand_unique.to_pandas()
+    # LSH emits the same pair from multiple bands; candidate volume is
+    # broadcast-small by construction, so dedup driver-side rather than
+    # paying a shuffle for a few thousand rows
+    cand_pdf = (
+        candidates.to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
     if len(cand_pdf) == 0:
         return pd.DataFrame(
             {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64), "jaccard": np.empty(0)}
         )
-    cand_ref = ray.put(set(zip(cand_pdf.doc_a.astype(int), cand_pdf.doc_b.astype(int))))
+    cand_doc_arr = np.unique(
+        np.concatenate(
+            [cand_pdf.doc_a.to_numpy(np.int64), cand_pdf.doc_b.to_numpy(np.int64)]
+        )
+    )
+    dref = ray.put(cand_doc_arr)
 
-    class FilterPairs:
-        """shingle bucket -> only pairs that are LSH candidates."""
+    class CandShingles:
+        """documents batch -> shingle rows for LSH-candidate docs only."""
 
-        def __init__(self, cand_ref):
-            self.__name__ = "FilterPairs"
-            self.cand_ref = cand_ref
-            self._cand = None
+        def __init__(self, dref):
+            self.__name__ = "CandShingles"
+            self.dref = dref
+            self._docs = None
 
-        def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-            if self._cand is None:
-                obj = self.cand_ref
-                self._cand = _get_ref(obj) if not isinstance(obj, set) else obj
-            docs = np.unique(group["doc_id"].to_numpy())
-            out_a, out_b = [], []
-            for i in range(len(docs)):
-                for j in range(i + 1, len(docs)):
-                    if (int(docs[i]), int(docs[j])) in self._cand:
-                        out_a.append(docs[i])
-                        out_b.append(docs[j])
-            return pd.DataFrame(
-                {"doc_a": np.array(out_a, np.int64), "doc_b": np.array(out_b, np.int64)}
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._docs is None:
+                obj = self.dref
+                self._docs = obj if isinstance(obj, np.ndarray) else _get_ref(obj)
+            keep = np.isin(
+                batch["doc_id"].to_numpy(zero_copy_only=False), self._docs
+            )
+            return _shingle_batch(batch.filter(pa.array(keep)))
+
+    sh_pdf = (
+        _docs(sf_dir)
+        .map_batches(CandShingles(dref), batch_format="pyarrow")
+        .to_pandas()
+    )
+    shmap = {
+        int(d): frozenset(g["sh_hash"].astype(int))
+        for d, g in sh_pdf.groupby("doc_id")
+    }
+    sref = ray.put(shmap)
+
+    class VerifyPairs:
+        """candidate-pair batch -> exact-Jaccard-verified pairs."""
+
+        def __init__(self, sref):
+            self.__name__ = "VerifyPairs"
+            self.sref = sref
+            self._m = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._m is None:
+                obj = self.sref
+                self._m = obj if isinstance(obj, dict) else _get_ref(obj)
+            a = batch["doc_a"].to_numpy(zero_copy_only=False)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False)
+            n = len(a)
+            common = np.fromiter(
+                (len(self._m[int(x)] & self._m[int(y)]) for x, y in zip(a, b)),
+                np.float64,
+                n,
+            )
+            na = np.fromiter((len(self._m[int(x)]) for x in a), np.float64, n)
+            nb = np.fromiter((len(self._m[int(y)]) for y in b), np.float64, n)
+            j = np.round(common / (na + nb - common), ROUND)
+            keep = j >= JACCARD_T
+            return pa.table(
+                {
+                    "doc_a": pa.array(a[keep], pa.int64()),
+                    "doc_b": pa.array(b[keep], pa.int64()),
+                    "jaccard": pa.array(j[keep]),
+                }
             )
 
-    filtered = shingles.groupby("sh_hash").map_groups(
-        FilterPairs(cand_ref), batch_format="pandas"
+    out = (
+        rd.from_pandas(cand_pdf)
+        .map_batches(VerifyPairs(sref), batch_format="pyarrow")
+        .to_pandas()
     )
-    return _verified_pairs(sf_dir, filtered)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def dedup_minhash_sql() -> str:
     rows_per_band = N_PERMS // N_BANDS
-    perm_rows = ", ".join(f"({p})" for p in range(N_PERMS))
+    perm_rows = ", ".join(
+        f"({p}, {PERM_A[p]}, {PERM_B[p]})" for p in range(N_PERMS)
+    )
     return f"""
 WITH {SHINGLES_SQL},
-perms(p) AS (VALUES {perm_rows}),
+perms(p, a, b) AS (VALUES {perm_rows}),
 sigs AS (
   SELECT s.doc_id, pr.p,
-         min({md5int60_sql("pr.p || '|' || s.sh")}) AS mh
-  FROM shingles s CROSS JOIN perms pr
+         min((pr.a * (s.sh_hash % {MERSENNE31}) + pr.b) % {MERSENNE31}) AS mh
+  FROM shingle_hashes s CROSS JOIN perms pr
   GROUP BY s.doc_id, pr.p
 ),
 bands AS (
@@ -476,28 +598,51 @@ def dedup_simhash(sf_dir: str):
             bands_.append(np.full(len(d), b, np.int32))
             keys_.append((s >> (b * band_bits)) & mask)
             sh_.append(s)
+        keys = np.concatenate(keys_)
         return pa.table(
             {
                 "doc_id": pa.array(np.concatenate(ds_), pa.int64()),
                 "band": pa.array(np.concatenate(bands_), pa.int32()),
-                "band_key": pa.array(np.concatenate(keys_), pa.int64()),
+                # coarse shuffle key (see N_BUCKETS): exact band_key match
+                # is re-established inside the group, vectorized
+                "bucket": pa.array((keys % N_BUCKETS).astype(np.int32)),
+                "band_key": pa.array(keys, pa.int64()),
                 "simhash": pa.array(np.concatenate(sh_), pa.int64()),
             }
         )
 
     class BandPairs:
+        """(band, bucket) coarse group -> hamming-verified pairs from each
+        run of rows sharing the exact band_key."""
+
         def __init__(self):
             self.__name__ = "BandPairs"
 
         def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-            g = group.drop_duplicates("doc_id").sort_values("doc_id")
-            d = g["doc_id"].to_numpy()
-            s = g["simhash"].to_numpy()
-            if len(d) < 2:
+            d = group["doc_id"].to_numpy(np.int64)
+            key = group["band_key"].to_numpy(np.int64)
+            s = group["simhash"].to_numpy(np.int64)
+            order = np.lexsort((d, key))
+            d, key, s = d[order], key[order], s[order]
+            new = np.zeros(len(d), bool)
+            new[:1] = True
+            new[1:] = key[1:] != key[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], len(d))
+            ia, ib = [], []
+            for st, en in zip(starts, ends):
+                k = en - st
+                if k < 2:
+                    continue
+                a, b = np.triu_indices(k, k=1)
+                ia.append(a + st)
+                ib.append(b + st)
+            if not ia:
                 return pd.DataFrame(
                     {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64), "hamming": np.empty(0, np.int64)}
                 )
-            a, b = np.triu_indices(len(d), k=1)
+            a = np.concatenate(ia)
+            b = np.concatenate(ib)
             x = np.bitwise_xor(s[a], s[b]).astype(np.uint64)
             # vectorized popcount (hot: buckets can hold thousands of docs)
             ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
@@ -508,16 +653,20 @@ def dedup_simhash(sf_dir: str):
                 {"doc_a": d[a][keep], "doc_b": d[b][keep], "hamming": ham[keep]}
             )
 
-    from ray.data.aggregate import Min
-
     pairs = (
         sims.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band", "band_key"])
+        .groupby(["band", "bucket"])
         .map_groups(BandPairs(), batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
     )
-    return pairs.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    # a pair can match in several bands -> keep its min hamming; pair
+    # volume is hamming-ball-bounded, so this dedup is driver-small
+    pdf = pairs.to_pandas()
+    pdf = (
+        pdf.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    return pdf
 
 
 def dedup_simhash_sql() -> str:
