@@ -10,19 +10,21 @@ per iteration (``:131-237``), dangling mass folded to a driver scalar
 Our corpus has no hyperlinks, so the graph is data-derived the TextRank
 way (Mihalcea & Tarau 2004, public): nodes = distinct words of the
 ``documents`` table, directed edges = distinct adjacent-word bigrams.
-Iteration structure mirrors the reference — contribution fold
-(``groupby.aggregate(Sum)`` over the edge set), dangling-mass scalar
-per iteration, 8-decimal rounding mirroring the reference's ``%.8f`` —
-and the DuckDB oracle unrolls the same fixed iteration count as chained
-CTEs.
+Iteration structure mirrors the reference — per-dst contribution fold
+over the edge set, dangling-mass scalar per iteration, 8-decimal
+rounding mirroring the reference's ``%.8f`` — and the DuckDB oracle
+unrolls the same fixed iteration count as chained CTEs.
 
-Scale notes: edges/outdeg are materialized once (vocabulary-bounded,
-far smaller than the corpus).  The rank vector is node-count-sized —
-the SMALL side of the per-iteration join — so it is broadcast
-(``ray.put``) into a combiner map over the edge Dataset; only the
-per-dst contribution reduce shuffles.  A rank table too large to
-broadcast (true web-host scale) switches to ``Dataset.join`` against
-the materialized ``contrib_base`` with the same iteration body.
+Scale notes: the edge set is materialized once (the only shuffle —
+its cross-batch dedup groupby).  All node-level state (nodes,
+out-degrees, the rank vector) is vocabulary-sized — far smaller than
+the corpus — so it lives on the driver and broadcasts (``ray.put``)
+into a combiner map over the edge Dataset; per-block contribution
+partials are vocabulary-bounded ``bincount`` vectors, so the reduce is
+a driver-side vector add rather than a per-iteration shuffle.  A rank
+table too large to broadcast (true web-host scale) switches to
+``Dataset.join`` of ranks against edges per iteration with the same
+iteration body.
 """
 
 from __future__ import annotations
@@ -66,7 +68,6 @@ def textrank(sf_dir: str):
     Returns (node, rank) with rank %.8f-rounded, ordered by node.
     """
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
 
@@ -77,63 +78,52 @@ def textrank(sf_dir: str):
         .drop_columns(["count()"])
         .materialize()
     )
-    nodes = (
-        docs.map_batches(_node_batch, batch_format="pyarrow")
-        .groupby("node")
-        .count()
-        .drop_columns(["count()"])
-        .materialize()
-    )
-    outdeg = edges.groupby("src").aggregate(Count(alias_name="deg")).materialize()
-    # static join: every edge annotated with its source's out-degree
-    contrib_base = edges.join(
-        outdeg, join_type="inner", num_partitions=4, on=("src",)
-    ).materialize()
-    # static dangling flag per node (computed once, carried through ranks)
-    def flag(batch: pa.Table) -> pa.Table:
-        deg = batch["deg"].to_numpy(zero_copy_only=False)
-        has = ~pd.isna(deg)
-        return pa.table({"node": batch["node"], "has_out": pa.array(has)})
 
-    nodes_flagged = (
-        nodes.join(
-            outdeg,
-            join_type="left_outer",
-            num_partitions=4,
-            on=("node",),
-            right_on=("src",),
-        )
-        .map_batches(flag, batch_format="pyarrow")
-        .materialize()
-    )
-
-    # node-level state (rank vector) is vocabulary-sized — the SMALL
-    # side of every per-iteration join, so it is broadcast (ray.put)
-    # into a map over the (large) edge set instead of shuffled
-    # (SURVEY.md §2.2 joins table: "ranks the small — broadcast-small-
-    # side viable").  Host-scale PageRank with a rank table too big to
-    # broadcast would keep contrib_base and use Dataset.join per
-    # iteration — contrib_base is materialized above for exactly that
-    # path.
+    # node-level state (nodes, out-degrees, the rank vector) is
+    # vocabulary-sized — far smaller than the corpus — so it lives on
+    # the driver and broadcasts (ray.put) into maps over the (large)
+    # edge set; nothing vocabulary-sized pays a shuffle.  Host-scale
+    # PageRank with a rank table too big to broadcast would instead
+    # Dataset.join ranks against the edge set per iteration with the
+    # same iteration body.
     import ray
-    from ray.data.aggregate import Sum
 
     node_pdf = (
-        nodes_flagged.to_pandas().sort_values("node").reset_index(drop=True)
+        docs.map_batches(_node_batch, batch_format="pyarrow")
+        .to_pandas()  # per-batch distinct; cross-batch dedup driver-side
+        .drop_duplicates("node")
+        .sort_values("node")
+        .reset_index(drop=True)
     )
     node_arr = node_pdf["node"].to_numpy()
-    has_out = node_pdf["has_out"].to_numpy().astype(bool)
     n_nodes = len(node_arr)
+
+    def _src_partials(batch: pa.Table) -> pa.Table:
+        return batch.group_by("src").aggregate([("src", "count")])
+
+    deg_pdf = (
+        edges.map_batches(_src_partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("src", as_index=False)["src_count"]
+        .sum()
+    )
+    deg_vec = np.zeros(n_nodes, np.float64)
+    deg_vec[np.searchsorted(node_arr, deg_pdf["src"].to_numpy())] = deg_pdf[
+        "src_count"
+    ].to_numpy(np.float64)
+    has_out = deg_vec > 0
     ranks_vec = np.full(n_nodes, 1.0 / n_nodes)
 
     class Contrib:
-        """edges batch + broadcast ranks -> partial per-dst contributions."""
+        """edges batch + broadcast ranks/degrees -> per-block partial
+        per-dst contribution sums (node-index keyed, bincount-combined)."""
 
-        def __init__(self, ranks_ref, node_ref):
+        def __init__(self, ranks_ref, node_ref, deg_ref):
             self.ranks_ref = ranks_ref
             self.node_ref = node_ref
-            self._r = None
+            self.deg_ref = deg_ref
             self._n = None
+            self._d = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             import ray as _ray
@@ -141,35 +131,40 @@ def textrank(sf_dir: str):
             if self._n is None:
                 obj = self.node_ref
                 self._n = _ray.get(obj) if not isinstance(obj, np.ndarray) else obj
+                obj = self.deg_ref
+                self._d = _ray.get(obj) if not isinstance(obj, np.ndarray) else obj
             obj = self.ranks_ref
             r = _ray.get(obj) if not isinstance(obj, np.ndarray) else obj
             src = batch["src"].to_numpy(zero_copy_only=False)
             dst = batch["dst"].to_numpy(zero_copy_only=False)
-            deg = batch["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
             si = np.searchsorted(self._n, src)
-            c = r[si] / deg
-            # per-batch combine by dst before the vocabulary-sized shuffle
-            t = pa.table({"dst": pa.array(dst), "c": pa.array(c)})
-            return t.group_by("dst").aggregate([("c", "sum")])
+            di = np.searchsorted(self._n, dst)
+            c = r[si] / self._d[si]
+            acc = np.bincount(di, weights=c)
+            nz = np.flatnonzero(acc)
+            return pa.table(
+                {"di": pa.array(nz, pa.int64()), "c_sum": pa.array(acc[nz])}
+            )
 
     node_ref = ray.put(node_arr)
+    deg_ref = ray.put(deg_vec)
     for _it in range(ITERS):
         # dangling mass: O(1) driver scalar from the broadcast vector
         # (PageRank.java:140-167's filter + fold + collect)
         dangling = float(ranks_vec[~has_out].sum())
         ranks_ref = ray.put(ranks_vec)
-        contribs = (
-            contrib_base.map_batches(
-                Contrib(ranks_ref, node_ref), batch_format="pyarrow"
-            )
-            .groupby("dst")
-            .aggregate(Sum("c_sum", alias_name="in_r"))
-            .to_pandas()
-        )
+        # per-block partials are vocabulary-bounded -> final combine is
+        # a driver-side vector add, not a shuffle
+        contribs = edges.map_batches(
+            Contrib(ranks_ref, node_ref, deg_ref), batch_format="pyarrow"
+        ).to_pandas()
         base = (1.0 - D) / n_nodes + D * dangling / n_nodes
         new_vec = np.full(n_nodes, base)
-        di = np.searchsorted(node_arr, contribs["dst"].to_numpy())
-        new_vec[di] += D * contribs["in_r"].to_numpy()
+        np.add.at(
+            new_vec,
+            contribs["di"].to_numpy(np.int64),
+            D * contribs["c_sum"].to_numpy(np.float64),
+        )
         ranks_vec = np.round(new_vec, ROUND)
 
     return pd.DataFrame({"node": node_arr, "rank": ranks_vec})
