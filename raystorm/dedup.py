@@ -50,6 +50,13 @@ HAMMING_T = 4
 #: embedding near-dup threshold
 COSINE_T = 0.4
 
+#: coarse shuffle buckets for candidate/dedup groupbys — group keys are
+#: (hash % N_BUCKETS), NOT the full hash/signature: huge numbers of
+#: tiny one-doc groups would pay per-group dispatch overhead, while 64
+#: buckets keep groups block-sized; the exact hash/signature match
+#: happens vectorized (run detection over a lexsort) inside each bucket.
+N_BUCKETS = 64
+
 #: Carter-Wegman permutation family for MinHash: sig[p] = min over
 #: shingles of (A[p] * (md5int60(sh) % P) + B[p]) % P with the Mersenne
 #: prime P = 2^31-1.  One md5 per unique shingle (not one per
@@ -189,25 +196,12 @@ ORDER BY a.doc_id
 # ---------------------------------------------------------------------------
 
 
-class _PairsFromGroup:
-    """map_groups fn: one shingle bucket -> candidate (doc_a, doc_b) pairs."""
-
-    def __init__(self):
-        self.__name__ = "PairsFromGroup"
-
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        docs = np.unique(group["doc_id"].to_numpy())
-        if len(docs) < 2:
-            return pd.DataFrame({"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64)})
-        a, b = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"doc_a": docs[a], "doc_b": docs[b]})
-
-
 def _verified_pairs(sf_dir: str, candidates):
     """candidates (doc_a, doc_b[, dup rows]) -> exact-Jaccard-verified pairs.
 
-    Shingle-count map is conversation-table sized -> broadcast lookup
-    in the verify stage, not a third shuffle.
+    Shingle-count map is conversation-table sized -> per-block partial
+    counts summed driver-side and broadcast into the verify stage, not
+    two more shuffles.
     """
     import ray
     from ray.data.aggregate import Count
@@ -216,10 +210,17 @@ def _verified_pairs(sf_dir: str, candidates):
     common = candidates.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="common")
     )
+
+    def _count_partials(b: pa.Table) -> pa.Table:
+        return b.group_by("doc_id").aggregate([("doc_id", "count")])
+
     counts = (
-        shingles.groupby("doc_id").count().to_pandas()
-    )  # (doc_id, count()) — |docs| rows, small side
-    cmap = dict(zip(counts["doc_id"].astype(int), counts["count()"].astype(int)))
+        shingles.map_batches(_count_partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("doc_id")["doc_id_count"]
+        .sum()
+    )
+    cmap = {int(k): int(v) for k, v in counts.items()}
     cref = ray.put(cmap)
 
     class Verify:
@@ -253,16 +254,28 @@ def _verified_pairs(sf_dir: str, candidates):
 def dedup_ngram_jaccard(sf_dir: str):
     """All document pairs with 3-gram-shingle Jaccard >= 0.1 (exact).
 
-    Candidates from the shingle inverted list (groupby(sh_hash) ->
-    pair explosion inside bucket-sized groups), intersection counts via
-    a pair groupby, union sizes from broadcast doc shingle-counts.
-    At 100 TB, ultra-hot shingles would be df-capped (documented
-    candidate-loss); the sf corpora have no such shingles, and the
-    MinHash path below is the scale route anyway.
+    Candidates from the shingle inverted list — a coarse-bucket
+    ``groupby(sh_hash % N_BUCKETS)`` shuffle (millions of one-doc
+    shingle groups would pay per-group dispatch overhead), with pair
+    explosion per exact-sh_hash run vectorized inside each bucket.
+    Intersection counts via a pair groupby, union sizes from broadcast
+    doc shingle-counts.  At 100 TB, ultra-hot shingles would be
+    df-capped (documented candidate-loss); the sf corpora have no such
+    shingles, and the MinHash path below is the scale route anyway.
     """
-    shingles = _docs(sf_dir).map_batches(_shingle_batch, batch_format="pyarrow")
-    candidates = shingles.groupby("sh_hash").map_groups(
-        _PairsFromGroup(), batch_format="pandas"
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["sh_hash"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((h % N_BUCKETS).astype(np.int32))
+        )
+
+    candidates = (
+        _docs(sf_dir)
+        .map_batches(_shingle_batch, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_SigRunPairs(["sh_hash"]), batch_format="pandas")
     )
     return _verified_pairs(sf_dir, candidates)
 
@@ -295,14 +308,6 @@ ORDER BY doc_a, doc_b
 # ---------------------------------------------------------------------------
 # MinHash + LSH  (shingle -> minhash -> band -> bucket groupby -> verify)
 # ---------------------------------------------------------------------------
-
-
-#: coarse shuffle buckets per band — groups for the candidate shuffle are
-#: (band, sig0 % N_BUCKETS), NOT the full signature: tens of thousands of
-#: one-doc signature groups would pay per-group dispatch overhead, while
-#: 64 buckets/band keep groups block-sized and the exact-signature match
-#: happens vectorized (run detection over a lexsort) inside each bucket.
-N_BUCKETS = 64
 
 
 def _minhash_batch(batch: pa.Table) -> pa.Table:
