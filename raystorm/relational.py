@@ -174,8 +174,17 @@ def revenue_by_priority(sf_dir: str):
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
-    out = joined.groupby("o_orderpriority").aggregate(
-        Sum("rev_sum", alias_name="revenue")
+    # combine per batch before the final groupby: its shuffle input
+    # shrinks from order-count rows to (blocks x 5 priorities)
+    def pri_partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["o_orderpriority", "rev_sum"]).group_by(
+            "o_orderpriority"
+        ).aggregate([("rev_sum", "sum")])
+
+    out = (
+        joined.map_batches(pri_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev_sum_sum", alias_name="revenue"))
     )
     pdf = out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
     pdf["revenue"] = pdf["revenue"].round(2)
