@@ -107,13 +107,20 @@ def run_suite(
         extras["build_synth_turns_per_sec"] = sy_turns / timings["build_synth"]
 
         # -- 5. auxiliary pipelines (skipped by scaling children) ------------
+        # best-of-2 per op: single-box wall times swing up to ~2x with
+        # host-level contention (see BASELINE.md); builds stay single
+        # cold runs because a repeat would be warm-cache-flattered.
         if not core_only:
             from raystorm import pipelines
 
+            extras["ops_repeats"] = 2
             for name, fn in pipelines.bench_pipelines().items():
-                t0 = time.perf_counter()
-                fn(sf_dir)
-                timings[name] = time.perf_counter() - t0
+                best = float("inf")
+                for _rep in range(2):
+                    t0 = time.perf_counter()
+                    fn(sf_dir)
+                    best = min(best, time.perf_counter() - t0)
+                timings[name] = best
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
 
