@@ -45,6 +45,17 @@ def md5int60_sql(expr: str) -> str:
     return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
 
 
+def round_half_up(x, nd: int):
+    """DuckDB-compatible rounding: half away from zero.  ``np.round`` is
+    banker's (half to even) and flips exact .5 ties the other way —
+    e.g. 105/128 at 6 decimals: np.round -> 0.820312, DuckDB round ->
+    0.820313.  Ratios of small integers (quality features, Jaccard) hit
+    such exact binary ties for real; every hash-compared rounded float
+    must go through this, not np.round."""
+    p = 10.0 ** nd
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
 # ---------------------------------------------------------------------------
 # language ID (n-gram/stopword heuristic)
 # ---------------------------------------------------------------------------
@@ -174,9 +185,9 @@ def quality_score(sf_dir: str):
                 "doc_id": batch["doc_id"],
                 "n_chars": pa.array(n_chars.astype(np.int64), pa.int64()),
                 "n_words": pa.array(n_words, pa.int64()),
-                "stopword_ratio": pa.array(np.round(stop_ratio, ROUND)),
-                "alpha_ratio": pa.array(np.round(alpha_ratio, ROUND)),
-                "quality": pa.array(np.round(comp, ROUND)),
+                "stopword_ratio": pa.array(round_half_up(stop_ratio, ROUND)),
+                "alpha_ratio": pa.array(round_half_up(alpha_ratio, ROUND)),
+                "quality": pa.array(round_half_up(comp, ROUND)),
             }
         )
 

@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .analysis import md5int60, md5int60_np, md5int60_sql
+from .analysis import md5int60, md5int60_np, md5int60_sql, round_half_up
 
 ROUND = 6
 
@@ -237,7 +237,7 @@ def _verified_pairs(sf_dir: str, candidates):
             c = batch["common"].to_numpy(zero_copy_only=False).astype(np.float64)
             na = np.array([self._m[int(x)] for x in a], np.float64)
             nb = np.array([self._m[int(x)] for x in b], np.float64)
-            j = np.round(c / (na + nb - c), ROUND)
+            j = round_half_up(c / (na + nb - c), ROUND)
             keep = j >= JACCARD_T
             return pa.table(
                 {
@@ -473,7 +473,7 @@ def dedup_minhash(sf_dir: str):
             )
             na = np.fromiter((len(self._m[int(x)]) for x in a), np.float64, n)
             nb = np.fromiter((len(self._m[int(y)]) for y in b), np.float64, n)
-            j = np.round(common / (na + nb - common), ROUND)
+            j = round_half_up(common / (na + nb - common), ROUND)
             keep = j >= JACCARD_T
             return pa.table(
                 {
@@ -720,9 +720,11 @@ def dedup_embedding(sf_dir: str):
 
     tbl = pq.read_table(path, columns=["vec_id", "embedding"])
     ids = tbl["vec_id"].to_numpy()
-    mat = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False))
+    # float64 BEFORE normalizing — float32 normalization injects ~1e-7
+    # error that flips 6-decimal rounding vs the DOUBLE-cast SQL mirror
+    mat = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids, mat.astype(np.float64)))
+    ref = ray.put((ids, mat))
 
     class Block:
         def __init__(self, ref):
@@ -744,7 +746,7 @@ def dedup_embedding(sf_dir: str):
                 {
                     "vec_a": pa.array(bid[r], pa.int64()),
                     "vec_b": pa.array(all_ids[c], pa.int64()),
-                    "cosine": pa.array(np.round(sims[r, c], ROUND)),
+                    "cosine": pa.array(round_half_up(sims[r, c], ROUND)),
                 }
             )
 
@@ -758,8 +760,8 @@ def dedup_embedding(sf_dir: str):
 
 DEDUP_EMBEDDING_SQL = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), {ROUND}) AS cosine
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), {ROUND}) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), {ROUND}) >= {COSINE_T}
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), {ROUND}) >= {COSINE_T}
 ORDER BY vec_a, vec_b
 """

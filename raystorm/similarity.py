@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .analysis import md5int60
+from .analysis import md5int60, round_half_up
 
 ROUND = 6
 TOP_K = 10
@@ -117,7 +117,7 @@ class _PartialTopK:
             if len(idx) == 0:
                 continue
             sub = s[idx]
-            take = idx[np.lexsort((vids[idx], -np.round(sub, ROUND)))[: self.k]]
+            take = idx[np.lexsort((vids[idx], -round_half_up(sub, ROUND)))[: self.k]]
             out_q.append(np.full(len(take), qid, np.int64))
             out_v.append(vids[take])
             out_s.append(s[take])
@@ -138,7 +138,7 @@ def _merge_topk(cand: pd.DataFrame, k: int) -> pd.DataFrame:
     """Driver-side merge of per-block partial top-k -> final ranked rows."""
     out = []
     for qid, g in cand.groupby("query_vec", sort=True):
-        r = np.round(g["cosine"].to_numpy(), ROUND)
+        r = round_half_up(g["cosine"].to_numpy(), ROUND)
         order = np.lexsort((g["vec_id"].to_numpy(), -r))[:k]
         sel = g.iloc[order]
         out.append(
@@ -147,7 +147,7 @@ def _merge_topk(cand: pd.DataFrame, k: int) -> pd.DataFrame:
                     "query_vec": np.full(len(sel), qid, np.int64),
                     "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
                     "vec_id": sel["vec_id"].to_numpy(),
-                    "cosine": np.round(sel["cosine"].to_numpy(), ROUND),
+                    "cosine": round_half_up(sel["cosine"].to_numpy(), ROUND),
                 }
             )
         )
@@ -178,7 +178,7 @@ ANN_COSINE_TOPK_SQL = f"""
 WITH q AS (SELECT vec_id AS query_vec, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_vec, e.vec_id,
-         round(list_cosine_similarity(q.embedding, e.embedding), {ROUND}) AS cosine
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), {ROUND}) AS cosine
   FROM q JOIN embeddings e ON e.vec_id <> q.query_vec
 ),
 ranked AS (
@@ -247,7 +247,7 @@ def ann_lsh_topk(sf_dir: str):
                 if len(idx) == 0:
                     continue
                 s = norm[idx] @ qmat[i]
-                take = np.lexsort((vids[idx], -np.round(s, ROUND)))[: self.k]
+                take = np.lexsort((vids[idx], -round_half_up(s, ROUND)))[: self.k]
                 out_q.append(np.full(len(take), qid, np.int64))
                 out_v.append(vids[idx][take])
                 out_s.append(s[take])
@@ -304,7 +304,7 @@ cand AS (
 ),
 scored AS (
   SELECT c.query_vec, c.vec_id,
-         round(list_cosine_similarity(qe.embedding, e.embedding), {ROUND}) AS cosine
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), {ROUND}) AS cosine
   FROM cand c
   JOIN embeddings qe ON qe.vec_id = c.query_vec
   JOIN embeddings e ON e.vec_id = c.vec_id
@@ -350,7 +350,7 @@ def _load_centroids(sf_dir: str):
 
 def _assign_cells(mat_norm: np.ndarray, cids: np.ndarray, cmat: np.ndarray) -> np.ndarray:
     """Nearest centroid per row: argmax cosine, tie-break centroid id asc."""
-    sims = np.round(mat_norm @ cmat.T, ROUND)  # rounding pins FP ties vs SQL
+    sims = round_half_up(mat_norm @ cmat.T, ROUND)  # rounding pins FP ties vs SQL
     best = sims.argmax(axis=1)  # ties -> lowest index == centroid id asc
     return cids[best]
 
@@ -372,7 +372,7 @@ def ann_ivf_topk(sf_dir: str):
     cids, cmat = _load_centroids(sf_dir)
     qids, qmat = _load_queries(sf_dir)
     # query -> probed cells (top-N_PROBE centroids by rounded cosine)
-    qsims = np.round(qmat @ cmat.T, ROUND)
+    qsims = round_half_up(qmat @ cmat.T, ROUND)
     probe = {}
     for i, qid in enumerate(qids):
         order = np.lexsort((cids, -qsims[i]))[:N_PROBE]
@@ -401,7 +401,7 @@ def ann_ivf_topk(sf_dir: str):
                 if len(idx) == 0:
                     continue
                 s = norm[idx] @ qmat[i]
-                take = np.lexsort((vids[idx], -np.round(s, ROUND)))[: self.k]
+                take = np.lexsort((vids[idx], -round_half_up(s, ROUND)))[: self.k]
                 out_q.append(np.full(len(take), qid, np.int64))
                 out_v.append(vids[idx][take])
                 out_s.append(s[take])
@@ -434,14 +434,14 @@ WITH cents AS (
 assign AS (
   SELECT e.vec_id, c.cid,
          row_number() OVER (PARTITION BY e.vec_id
-           ORDER BY round(list_cosine_similarity(e.embedding, c.embedding), {ROUND}) DESC, c.cid) AS rn
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), {ROUND}) DESC, c.cid) AS rn
   FROM embeddings e CROSS JOIN cents c
 ),
 cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
 qprobe AS (
   SELECT q.vec_id AS query_vec, c.cid AS cell,
          row_number() OVER (PARTITION BY q.vec_id
-           ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), {ROUND}) DESC, c.cid) AS rn
+           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), {ROUND}) DESC, c.cid) AS rn
   FROM embeddings q CROSS JOIN cents c
   WHERE q.vec_id < {N_QUERIES}
 ),
@@ -452,7 +452,7 @@ cand AS (
 ),
 scored AS (
   SELECT c.query_vec, c.vec_id,
-         round(list_cosine_similarity(qe.embedding, e.embedding), {ROUND}) AS cosine
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), {ROUND}) AS cosine
   FROM cand c
   JOIN embeddings qe ON qe.vec_id = c.query_vec
   JOIN embeddings e ON e.vec_id = c.vec_id

@@ -35,6 +35,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .analysis import round_half_up
+
 D = 0.85
 ITERS = 5
 ROUND = 8
@@ -165,7 +167,7 @@ def textrank(sf_dir: str):
             contribs["di"].to_numpy(np.int64),
             D * contribs["c_sum"].to_numpy(np.float64),
         )
-        ranks_vec = np.round(new_vec, ROUND)
+        ranks_vec = round_half_up(new_vec, ROUND)
 
     return pd.DataFrame({"node": node_arr, "rank": ranks_vec})
 
