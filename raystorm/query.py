@@ -36,6 +36,8 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from .analysis import round_half_up
 import pyarrow.parquet as pq
 
 from . import corpus, normalize, segments
@@ -136,7 +138,7 @@ class SegmentIndex:
             return pd.DataFrame(
                 {"rank": np.empty(0, np.int32), "conv_id": [], "turn_idx": np.empty(0, np.int32), "score": []}
             )
-        r = np.round(scores, RANK_ROUND)
+        r = round_half_up(scores, RANK_ROUND)
         if len(docids) > k:
             top = np.argpartition(-r, k - 1)[: max(k, 1)]
             # re-tighten: candidates tied at the boundary need docid order
@@ -152,7 +154,7 @@ class SegmentIndex:
                 "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
                 "conv_id": conv,
                 "turn_idx": turn,
-                "score": np.round(scores[sel], SCORE_ROUND),
+                "score": round_half_up(scores[sel], SCORE_ROUND),
             }
         )
 
@@ -254,7 +256,7 @@ class SegmentIndex:
             return pd.DataFrame(
                 {"rank": np.empty(0, np.int32), "conv_id": [], "turn_idx": np.empty(0, np.int32), "score": []}
             )
-        r = np.round(acc_sc, RANK_ROUND)
+        r = round_half_up(acc_sc, RANK_ROUND)
         order = np.lexsort((acc_ids, -r))[:k]
         conv, turn = self.codec.decode(acc_ids[order])
         return pd.DataFrame(
@@ -262,7 +264,7 @@ class SegmentIndex:
                 "rank": np.arange(1, len(order) + 1, dtype=np.int32),
                 "conv_id": conv,
                 "turn_idx": turn,
-                "score": np.round(acc_sc[order], SCORE_ROUND),
+                "score": round_half_up(acc_sc[order], SCORE_ROUND),
             }
         )
 
@@ -343,7 +345,7 @@ def _topk_boosted(index: "SegmentIndex", query_text: str, k: int, titles: dict) 
     prior = index.codec.extents[pos].astype(np.float64) / index.codec.span
     scores = scores + PRIOR_WEIGHT * prior
     # phase 1: candidate top-60
-    r = np.round(scores, RANK_ROUND)
+    r = round_half_up(scores, RANK_ROUND)
     order = np.lexsort((docids, -r))[:CAND_K]
     cand_ids, cand_scores = docids[order], scores[order]
     # phase 2: title boosts on candidates
@@ -357,7 +359,7 @@ def _topk_boosted(index: "SegmentIndex", query_text: str, k: int, titles: dict) 
         elif q and title.startswith(q):
             boost[i] = PREFIX_BOOST
     final = cand_scores + boost
-    fr = np.round(final, RANK_ROUND)
+    fr = round_half_up(final, RANK_ROUND)
     order2 = np.lexsort((cand_ids, -fr))[: min(k, FINAL_K)]
     conv2, turn2 = index.codec.decode(cand_ids[order2])
     return pd.DataFrame(
@@ -365,7 +367,7 @@ def _topk_boosted(index: "SegmentIndex", query_text: str, k: int, titles: dict) 
             "rank": np.arange(1, len(order2) + 1, dtype=np.int32),
             "conv_id": conv2,
             "turn_idx": turn2,
-            "score": np.round(final[order2], SCORE_ROUND),
+            "score": round_half_up(final[order2], SCORE_ROUND),
         }
     )
 
@@ -742,7 +744,7 @@ def batch_evaluate_sharded(index_dir: str, queries=REFERENCE_QUERIES) -> pd.Data
         k = int(kmap[qid])
         docids = group["docid"].to_numpy()
         scores = group["score"].to_numpy()
-        r = np.round(scores, RANK_ROUND)
+        r = round_half_up(scores, RANK_ROUND)
         order = np.lexsort((docids, -r))[:k]
         conv, turn = codec.decode(docids[order])
         return pd.DataFrame(
@@ -751,7 +753,7 @@ def batch_evaluate_sharded(index_dir: str, queries=REFERENCE_QUERIES) -> pd.Data
                 "rank": np.arange(1, len(order) + 1, dtype=np.int32),
                 "conv_id": conv,
                 "turn_idx": turn,
-                "score": np.round(scores[order], SCORE_ROUND),
+                "score": round_half_up(scores[order], SCORE_ROUND),
             }
         )
 
