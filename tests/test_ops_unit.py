@@ -75,3 +75,23 @@ def test_plane_matrix_deterministic_range():
     assert p.shape == (similarity.N_PLANES, similarity.DIM)
     assert (p >= -1.0).all() and (p <= 1.0).all()
     assert np.allclose(p, similarity.plane_matrix())
+
+
+def test_round_half_up_matches_duckdb_on_ties():
+    """np.round is banker's; DuckDB round is half away from zero.  Exact
+    binary ties (k/2^n) flip between them — round_half_up must match
+    DuckDB for every hash-compared emission (quality ratios, jaccard,
+    cosine, textrank ranks)."""
+    import duckdb
+    import numpy as np
+
+    from raystorm.analysis import round_half_up
+
+    # exact binary fractions with a .5 at the 6th decimal + regular values
+    vals = [105 / 128, 1 / 128, 3 / 128, 0.1234565, 0.25, 0.1, 2 / 3, 0.8203125]
+    got = round_half_up(np.array(vals), 6)
+    con = duckdb.connect()
+    want = [con.execute("SELECT round(?::DOUBLE, 6)", [v]).fetchone()[0] for v in vals]
+    assert got.tolist() == want
+    # np.round genuinely disagrees on at least one of these (the tie)
+    assert np.round(np.array(vals), 6).tolist() != want
