@@ -88,7 +88,10 @@ def lang_id(sf_dir: str):
         n = len(texts)
         words, rows = [], []
         for i, t in enumerate(texts):
-            ws = (t or "").lower().split()
+            # single-space split to match the SQL string_split(..., ' ')
+            # delimiter ('' tokens never match a marker, so keeping them
+            # is harmless and delimiter-identical)
+            ws = (t or "").lower().split(" ")
             words.extend(ws)
             rows.extend([i] * len(ws))
         warr = np.array(words, object)
@@ -169,7 +172,9 @@ def quality_score(sf_dir: str):
         n_words = np.zeros(n, np.int64)
         words, rows = [], []
         for i, t in enumerate(texts):
-            ws = (t or "").lower().split()
+            # single-space split + '' drop == the SQL mirror's
+            # list_filter(string_split(lower(text), ' '), x -> x <> '')
+            ws = [w for w in (t or "").lower().split(" ") if w]
             n_words[i] = len(ws)
             words.extend(ws)
             rows.extend([i] * len(ws))
@@ -330,7 +335,9 @@ def fingerprint(sf_dir: str):
         min_tok = np.empty(len(texts), np.int64)
         words, rows = [], []
         for i, t in enumerate(texts):
-            for w in set((t or "").lower().split()):
+            # single-space split + '' drop == the SQL mirror's
+            # string_split(..., ' ') ... WHERE w <> ''
+            for w in set((t or "").lower().split(" ")) - {""}:
                 words.append(w)
                 rows.append(i)
         if words:

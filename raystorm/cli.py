@@ -62,7 +62,14 @@ def cmd_query(args) -> int:
 
     _ensure_ray()
     idx = query.SegmentIndex(args.index_dir)
-    df = idx.topk(args.query, args.k, args.mode)
+    if args.mode == "faithful_boosted":
+        if not args.sf_dir:
+            print("--mode faithful_boosted requires --sf-dir (title map source)")
+            return 2
+        titles = query.conv_titles(args.sf_dir)
+        df = query._topk_boosted(idx, args.query, args.k, titles)
+    else:
+        df = idx.topk(args.query, args.k, args.mode)
     print(df.to_string(index=False))
     return 0
 
@@ -87,7 +94,14 @@ def main(argv=None) -> int:
     q.add_argument("--index-dir", required=True)
     q.add_argument("--query", required=True)
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--mode", choices=("bm25", "faithful"), default="bm25")
+    q.add_argument(
+        "--mode",
+        choices=("bm25", "bm25_pruned", "faithful", "faithful_boosted"),
+        default="bm25",
+    )
+    q.add_argument(
+        "--sf-dir", default=None, help="documents dir (faithful_boosted title map)"
+    )
     q.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)

@@ -528,18 +528,20 @@ ORDER BY p.doc_a, p.doc_b
 
 
 # ---------------------------------------------------------------------------
-# SimHash  (32-bit tf-weighted; hamming-ball near-dup)
+# SimHash  (48-bit tf-weighted; hamming-ball near-dup)
 # ---------------------------------------------------------------------------
 
 
 def _simhash_batch(batch: pa.Table) -> pa.Table:
-    """documents batch -> (doc_id, simhash) — vectorized bit accumulation."""
+    """documents batch -> (doc_id, simhash) — 48-bit, vectorized bit accumulation."""
     texts = batch["text"].to_pylist()
     n = len(texts)
     out = np.zeros(n, np.int64)
     words, rows = [], []
     for i, t in enumerate(texts):
-        ws = (t or "").lower().split()
+        # single-space split, '' tokens kept — matches the SQL mirror's
+        # string_split(lower(text), ' ') word set exactly
+        ws = (t or "").lower().split(" ")
         words.extend(ws)
         rows.extend([i] * len(ws))
     if words:
@@ -553,7 +555,7 @@ def _simhash_batch(batch: pa.Table) -> pa.Table:
 
 
 def simhash_docs(sf_dir: str):
-    """Per-document 32-bit tf-weighted SimHash."""
+    """Per-document 48-bit tf-weighted SimHash."""
     return (
         _docs(sf_dir)
         .map_batches(_simhash_batch, batch_format="pyarrow")
@@ -584,9 +586,10 @@ FROM v GROUP BY doc_id ORDER BY doc_id
 
 
 def dedup_simhash(sf_dir: str):
-    """Document pairs within hamming distance <= 10 of each other's SimHash.
+    """Document pairs within hamming distance <= HAMMING_T (4) of each
+    other's 48-bit SimHash.
 
-    Candidates via 4 bit-bands of 8 bits (any shared band -> candidate;
+    Candidates via 4 bit-bands of 12 bits (any shared band -> candidate;
     standard SimHash blocking), verified by exact hamming distance.
     Scale shape: band groupby, no full cross join.
     """
@@ -739,14 +742,17 @@ def dedup_embedding(sf_dir: str):
             bid = batch["vec_id"].to_numpy(zero_copy_only=False)
             bm = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
             bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
-            sims = bm @ all_mat.T
+            sims = round_half_up(bm @ all_mat.T, ROUND)
+            # threshold AFTER rounding — the SQL mirror filters on
+            # round(cosine, 6) >= T, so a true cosine in
+            # [T - 5e-7, T) must be kept here too
             keep = (sims >= COSINE_T) & (bid[:, None] < all_ids[None, :])
             r, c = np.nonzero(keep)
             return pa.table(
                 {
                     "vec_a": pa.array(bid[r], pa.int64()),
                     "vec_b": pa.array(all_ids[c], pa.int64()),
-                    "cosine": pa.array(round_half_up(sims[r, c], ROUND)),
+                    "cosine": pa.array(sims[r, c]),
                 }
             )
 

@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .analysis import round_half_up
+
 ROUND = 2
 SESSION_GAP_MIN = 30
 
@@ -70,7 +72,7 @@ def window_agg(sf_dir: str):
         )
     )
     pdf = out.to_pandas().sort_values(["window_start", "event_type"]).reset_index(drop=True)
-    pdf["sum_value"] = pdf["sum_value"].round(ROUND)
+    pdf["sum_value"] = round_half_up(pdf["sum_value"].to_numpy(), ROUND)
     return pdf
 
 

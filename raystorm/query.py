@@ -72,8 +72,10 @@ class SegmentIndex:
         ):
             self.term_stats[(f, t)] = (df, cf, idf)
         # dictionary: (field, term) -> list of runs
-        # (salt, part, offset, nbytes, max_score)
-        self.runs: dict[tuple[str, str], list[tuple[int, int, int, int, float]]] = {}
+        # (salt, part, offset, nbytes, max_score, first_docid, last_docid)
+        self.runs: dict[
+            tuple[str, str], list[tuple[int, int, int, int, float, int, int]]
+        ] = {}
         parts_dir = os.path.join(index_dir, "parts")
         self._part_data: dict[int, np.memmap] = {}
         if os.path.isdir(parts_dir):

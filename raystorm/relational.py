@@ -29,6 +29,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .analysis import round_half_up
+
 _BROADCAST_CACHE: dict = {}
 
 
@@ -128,7 +130,7 @@ def revenue_by_segment(sf_dir: str):
         )
     )
     pdf = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
-    pdf["revenue"] = pdf["revenue"].round(2)
+    pdf["revenue"] = round_half_up(pdf["revenue"].to_numpy(), 2)
     return pdf
 
 
@@ -187,7 +189,7 @@ def revenue_by_priority(sf_dir: str):
         .aggregate(Sum("rev_sum_sum", alias_name="revenue"))
     )
     pdf = out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
-    pdf["revenue"] = pdf["revenue"].round(2)
+    pdf["revenue"] = round_half_up(pdf["revenue"].to_numpy(), 2)
     return pdf
 
 
@@ -470,10 +472,10 @@ def lineitem_totals(sf_dir: str):
     )
     return pd.DataFrame(
         {
-            "sum_qty": [round(float(res["sum_qty"]), 2)],
-            "sum_price": [round(float(res["sum_price"]), 2)],
+            "sum_qty": [float(round_half_up(float(res["sum_qty"]), 2))],
+            "sum_price": [float(round_half_up(float(res["sum_price"]), 2))],
             "n_rows": [int(res["n_rows"])],
-            "avg_price": [round(float(res["avg_price"]), 4)],
+            "avg_price": [float(round_half_up(float(res["avg_price"]), 4))],
         }
     )
 
@@ -529,7 +531,7 @@ def pricing_summary(sf_dir: str):
     )
     pdf = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        pdf[c] = pdf[c].round(2)
+        pdf[c] = round_half_up(pdf[c].to_numpy(), 2)
     return pdf
 
 
