@@ -45,6 +45,28 @@ def md5int60_sql(expr: str) -> str:
     return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
 
 
+def split_words_arrow(texts) -> tuple[pa.Array, np.ndarray]:
+    """Lowercase + single-space split of a string column, vectorized.
+
+    Returns the flattened pyarrow string array of words ('' tokens kept,
+    exactly the SQL ``string_split(lower(x), ' ')`` word multiset; null
+    rows contribute no words, as SQL unnest of NULL does) and an int64
+    row-index array mapping each word to its input row.  The Arrow
+    split+offsets pattern from ``normalize.tokenize_column`` — no
+    per-row Python in the split.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not (pa.types.is_string(texts.type) or pa.types.is_large_string(texts.type)):
+        texts = texts.cast(pa.string())
+    lists = pc.split_pattern(pc.utf8_lower(texts), " ")
+    counts = np.nan_to_num(
+        pc.list_value_length(lists).to_numpy(zero_copy_only=False), nan=0
+    ).astype(np.int64)
+    row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return lists.flatten(), row_idx
+
+
 def round_half_up(x, nd: int):
     """DuckDB-compatible rounding: half away from zero.  ``np.round`` is
     banker's (half to even) and flips exact .5 ties the other way —
@@ -84,18 +106,11 @@ def lang_id(sf_dir: str):
     marker_sets = {l: np.array(LANG_MARKERS[l], object) for l in langs}
 
     def score(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n = len(texts)
-        words, rows = [], []
-        for i, t in enumerate(texts):
-            # single-space split to match the SQL string_split(..., ' ')
-            # delimiter ('' tokens never match a marker, so keeping them
-            # is harmless and delimiter-identical)
-            ws = (t or "").lower().split(" ")
-            words.extend(ws)
-            rows.extend([i] * len(ws))
-        warr = np.array(words, object)
-        rarr = np.array(rows, np.int64)
+        n = len(batch)
+        # vectorized single-space split ('' tokens never match a marker,
+        # so keeping them is harmless and SQL-delimiter-identical)
+        warrow, rarr = split_words_arrow(batch["text"])
+        warr = warrow.to_numpy(zero_copy_only=False)
         hits = np.zeros((n, len(langs)), np.int64)
         for j, l in enumerate(langs):
             m = np.isin(warr, marker_sets[l])
@@ -167,19 +182,15 @@ def quality_score(sf_dir: str):
         alpha_chars = pc.count_substring_regex(text, "[a-z]").to_numpy(
             zero_copy_only=False
         ).astype(np.float64)
-        texts = text.to_pylist()
-        n = len(texts)
-        n_words = np.zeros(n, np.int64)
-        words, rows = [], []
-        for i, t in enumerate(texts):
-            # single-space split + '' drop == the SQL mirror's
-            # list_filter(string_split(lower(text), ' '), x -> x <> '')
-            ws = [w for w in (t or "").lower().split(" ") if w]
-            n_words[i] = len(ws)
-            words.extend(ws)
-            rows.extend([i] * len(ws))
-        m = np.isin(np.array(words, object), sw)
-        sw_hits = np.bincount(np.array(rows, np.int64)[m], minlength=n)
+        n = len(batch)
+        # vectorized split; '' drop == the SQL mirror's
+        # list_filter(string_split(lower(text), ' '), x -> x <> '')
+        warrow, rows = split_words_arrow(text)
+        warr = warrow.to_numpy(zero_copy_only=False)
+        nonempty = warr != ""
+        n_words = np.bincount(rows[nonempty], minlength=n).astype(np.int64)
+        m = np.isin(warr[nonempty], sw)
+        sw_hits = np.bincount(rows[nonempty][m], minlength=n)
         nw = np.maximum(n_words, 1).astype(np.float64)
         nc = np.maximum(n_chars, 1)
         stop_ratio = sw_hits / nw
@@ -332,25 +343,15 @@ def fingerprint(sf_dir: str):
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         content = np.array([md5int60(t or "") for t in texts], np.int64)
-        min_tok = np.empty(len(texts), np.int64)
-        words, rows = [], []
-        for i, t in enumerate(texts):
-            # single-space split + '' drop == the SQL mirror's
-            # string_split(..., ' ') ... WHERE w <> ''
-            for w in set((t or "").lower().split(" ")) - {""}:
-                words.append(w)
-                rows.append(i)
-        if words:
-            h = md5int60_np(np.array(words, object))
-            r = np.array(rows, np.int64)
-            order = np.lexsort((h, r))
-            r, h = r[order], h[order]
-            first = np.searchsorted(r, np.arange(len(texts)))
-            has = np.append(first[1:], len(r)) > first
-            min_tok[:] = np.iinfo(np.int64).max
-            min_tok[has] = h[first[has]]
-        else:
-            min_tok[:] = np.iinfo(np.int64).max
+        # vectorized split; '' drop == the SQL mirror's WHERE w <> '';
+        # no per-row distinct needed — min over duplicates is the min
+        warrow, rows = split_words_arrow(batch["text"])
+        warr = warrow.to_numpy(zero_copy_only=False)
+        mask = warr != ""
+        min_tok = np.full(len(texts), np.iinfo(np.int64).max, np.int64)
+        if mask.any():
+            h = md5int60_np(warr[mask])
+            np.minimum.at(min_tok, rows[mask], h)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

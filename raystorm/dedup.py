@@ -31,8 +31,15 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from .analysis import md5int60, md5int60_np, md5int60_sql, round_half_up
+from .analysis import (
+    md5int60,
+    md5int60_np,
+    md5int60_sql,
+    round_half_up,
+    split_words_arrow,
+)
 
 ROUND = 6
 
@@ -96,24 +103,82 @@ def _docs(sf_dir: str):
 
 
 def shingle_row(text: str) -> list[str]:
-    """Distinct 3-word shingles; whole text if shorter than 3 words."""
+    """Distinct 3-word shingles; whole text if shorter than 3 words.
+    (Reference implementation — tests pin `_shingle_hashes` against it.)"""
     words = (text or "").lower().split(" ")
     n = max(1, len(words) - 2)
     return sorted({" ".join(words[i : i + 3]) for i in range(n)})
 
 
+def _shingle_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """String column -> (row_idx, sh_hash) for every 3-word shingle
+    occurrence (NOT deduped) — fully vectorized.
+
+    Trigram strings are built with one Arrow ``binary_join_element_wise``
+    over three shifted views of the flattened word array; rows shorter
+    than 3 words emit their whole text as the single shingle (matching
+    ``shingle_row``); hashing is per *unique* shingle (``md5int60_np``).
+    """
+    words, row = split_words_arrow(texts)
+    nw = len(row)
+    parts_s, parts_r = [], []
+    if nw >= 3:
+        valid = row[:-2] == row[2:]
+        if valid.any():
+            tri = pc.binary_join_element_wise(
+                words.slice(0, nw - 2),
+                words.slice(1, nw - 2),
+                words.slice(2, nw - 2),
+                " ",
+            ).filter(pa.array(valid))
+            parts_s.append(tri.to_numpy(zero_copy_only=False))
+            parts_r.append(row[:-2][valid])
+    # short rows: L==1 -> the word; L==2 -> the 2-word join
+    n_rows = int(row[-1]) + 1 if nw else 0
+    counts = np.bincount(row, minlength=n_rows) if nw else np.empty(0, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1] if nw else counts
+    one = np.flatnonzero(counts == 1)
+    if len(one):
+        parts_s.append(
+            words.take(pa.array(starts[one])).to_numpy(zero_copy_only=False)
+        )
+        parts_r.append(one)
+    two = np.flatnonzero(counts == 2)
+    if len(two):
+        bi = pc.binary_join_element_wise(
+            words.take(pa.array(starts[two])),
+            words.take(pa.array(starts[two] + 1)),
+            " ",
+        )
+        parts_s.append(bi.to_numpy(zero_copy_only=False))
+        parts_r.append(two)
+    if not parts_s:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    sh = np.concatenate(parts_s)
+    r = np.concatenate(parts_r).astype(np.int64)
+    return r, md5int60_np(sh)
+
+
 def _shingle_batch(batch: pa.Table) -> pa.Table:
     """documents batch -> (doc_id, sh_hash) distinct shingle rows."""
-    doc_ids, hashes = [], []
-    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        shs = shingle_row(text)
-        doc_ids.extend([did] * len(shs))
-        hashes.extend(shs)
-    h = md5int60_np(np.array(hashes, object)) if hashes else np.empty(0, np.int64)
+    rows, h = _shingle_hashes(batch["text"])
+    if len(rows) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "sh_hash": pa.array([], pa.int64()),
+            }
+        )
+    # per-(row, hash) dedup via integer keys (vocab-bounded unique)
+    uniq_h, codes = np.unique(h, return_inverse=True)
+    ukey = np.unique(rows * len(uniq_h) + codes)
+    r = ukey // len(uniq_h)
+    hh = uniq_h[ukey % len(uniq_h)]
+    did = batch["doc_id"].to_numpy(zero_copy_only=False)[r]
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "sh_hash": pa.array(h, pa.int64()),
+            "doc_id": pa.array(did, pa.int64()),
+            "sh_hash": pa.array(hh, pa.int64()),
         }
     )
 
@@ -196,58 +261,95 @@ ORDER BY a.doc_id
 # ---------------------------------------------------------------------------
 
 
-def _verified_pairs(sf_dir: str, candidates):
-    """candidates (doc_a, doc_b[, dup rows]) -> exact-Jaccard-verified pairs.
-
-    Shingle-count map is conversation-table sized -> per-block partial
-    counts summed driver-side and broadcast into the verify stage, not
-    two more shuffles.
-    """
+def _join_parts() -> int:
+    """Shuffle-join fan-out for the verify joins: each join partition is
+    a 1-CPU aggregator actor that must ALL schedule before blocks flow,
+    so the fan-out must stay below the cluster CPU count (8 partitions
+    on a 4-CPU test session deadlocks).  Scales with cluster width —
+    the joins are plain hash exchanges with no driver state."""
     import ray
-    from ray.data.aggregate import Count
 
-    shingles = _docs(sf_dir).map_batches(_shingle_batch, batch_format="pyarrow")
-    common = candidates.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="common")
-    )
+    n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(8, n // 2))
 
-    def _count_partials(b: pa.Table) -> pa.Table:
+
+def _add_bucket(batch: pa.Table) -> pa.Table:
+    h = batch["sh_hash"].to_numpy(zero_copy_only=False)
+    return batch.append_column("bucket", pa.array((h % N_BUCKETS).astype(np.int32)))
+
+
+def _doc_counts(shingles):
+    """shingle Dataset -> (doc_id, n) per-doc shingle counts (combiner
+    partials inside map_batches, then one group-cardinality shuffle)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
         return b.group_by("doc_id").aggregate([("doc_id", "count")])
 
-    counts = (
-        shingles.map_batches(_count_partials, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("doc_id")["doc_id_count"]
-        .sum()
+    return (
+        shingles.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("doc_id_count", alias_name="n"))
     )
-    cmap = {int(k): int(v) for k, v in counts.items()}
-    cref = ray.put(cmap)
 
-    class Verify:
-        def __init__(self, cref):
-            self.cref = cref
-            self._m = None
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if self._m is None:
-                obj = self.cref
-                self._m = _get_ref(obj) if not isinstance(obj, dict) else obj
-            a = batch["doc_a"].to_numpy(zero_copy_only=False)
-            b = batch["doc_b"].to_numpy(zero_copy_only=False)
-            c = batch["common"].to_numpy(zero_copy_only=False).astype(np.float64)
-            na = np.array([self._m[int(x)] for x in a], np.float64)
-            nb = np.array([self._m[int(x)] for x in b], np.float64)
-            j = round_half_up(c / (na + nb - c), ROUND)
-            keep = j >= JACCARD_T
-            return pa.table(
-                {
-                    "doc_a": pa.array(a[keep], pa.int64()),
-                    "doc_b": pa.array(b[keep], pa.int64()),
-                    "jaccard": pa.array(j[keep]),
-                }
-            )
+def _verify_common(common, counts):
+    """(doc_a, doc_b, common) ⋈ per-doc counts -> Jaccard-filtered pairs.
 
-    out = common.map_batches(Verify(cref), batch_format="pyarrow").to_pandas()
+    Fully distributed: union sizes arrive by two hash-shuffle
+    ``Dataset.join``s against the (doc_id, n) count table — NO
+    corpus-sized driver structure anywhere in the path (the round-1
+    all-docs broadcast map dies at billions of docs).
+    """
+
+    def rename(old, new):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns([new if c == old else c for c in b.column_names])
+
+        return fn
+
+    counts_a = counts.map_batches(rename("n", "na"), batch_format="pyarrow")
+    counts_b = counts.map_batches(rename("n", "nb"), batch_format="pyarrow")
+    j1 = common.join(
+        counts_a,
+        join_type="inner",
+        num_partitions=_join_parts(),
+        on=("doc_a",),
+        right_on=("doc_id",),
+    )
+    j2 = j1.join(
+        counts_b,
+        join_type="inner",
+        num_partitions=_join_parts(),
+        on=("doc_b",),
+        right_on=("doc_id",),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        c = batch["common"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j = round_half_up(c / (na + nb - c), ROUND)
+        keep = j >= JACCARD_T
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(j[keep]),
+            }
+        )
+
+    out = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": np.empty(0, np.int64),
+                "doc_b": np.empty(0, np.int64),
+                "jaccard": np.empty(0),
+            }
+        )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -258,26 +360,24 @@ def dedup_ngram_jaccard(sf_dir: str):
     ``groupby(sh_hash % N_BUCKETS)`` shuffle (millions of one-doc
     shingle groups would pay per-group dispatch overhead), with pair
     explosion per exact-sh_hash run vectorized inside each bucket.
-    Intersection counts via a pair groupby, union sizes from broadcast
-    doc shingle-counts.  At 100 TB, ultra-hot shingles would be
-    df-capped (documented candidate-loss); the sf corpora have no such
-    shingles, and the MinHash path below is the scale route anyway.
+    Intersection counts via a pair groupby; union sizes join in from a
+    distributed (doc_id, n) count table — the whole verify is Dataset
+    end-to-end with no driver-side corpus state.  At 100 TB, ultra-hot
+    shingles would be df-capped (documented candidate-loss); the sf
+    corpora have no such shingles, and the MinHash path below is the
+    scale route anyway.
     """
+    from ray.data.aggregate import Count
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        h = batch["sh_hash"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "bucket", pa.array((h % N_BUCKETS).astype(np.int32))
-        )
-
-    candidates = (
-        _docs(sf_dir)
-        .map_batches(_shingle_batch, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
+    shingles = _docs(sf_dir).map_batches(_shingle_batch, batch_format="pyarrow")
+    common = (
+        shingles.map_batches(_add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_SigRunPairs(["sh_hash"]), batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="common"))
     )
-    return _verified_pairs(sf_dir, candidates)
+    return _verify_common(common, _doc_counts(shingles))
 
 
 _VERIFY_SQL_TAIL = f"""
@@ -318,25 +418,18 @@ def _minhash_batch(batch: pa.Table) -> pa.Table:
     sharing every sig value of a band are LSH candidates.
     """
     rows_per_band = N_PERMS // N_BANDS
-    dids, shs, rows = [], [], []
-    for i, (did, text) in enumerate(
-        zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist())
-    ):
-        dids.append(did)
-        for s in shingle_row(text):
-            shs.append(s)
-            rows.append(i)
-    n = len(dids)
+    n = len(batch)
+    dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    r, h = _shingle_hashes(batch["text"])  # occurrences; min over dups == min
     sigs = np.full((n, N_PERMS), np.iinfo(np.int64).max, np.int64)
-    if shs:
-        r = np.array(rows, np.int64)
+    if len(h):
         # one md5 per unique shingle; N_PERMS perms via affine mod-prime maps
-        h = md5int60_np(np.array(shs, object)) % MERSENNE31
+        h = h % MERSENNE31
         for p in range(N_PERMS):
             hp = (PERM_A[p] * h + PERM_B[p]) % MERSENNE31
             np.minimum.at(sigs[:, p], r, hp)
     cols = {
-        "doc_id": np.repeat(np.array(dids, np.int64), N_BANDS),
+        "doc_id": np.repeat(dids.astype(np.int64), N_BANDS),
         "band": np.tile(np.arange(N_BANDS, dtype=np.int32), n),
     }
     for j in range(rows_per_band):
@@ -382,6 +475,29 @@ class _SigRunPairs:
         )
 
 
+class CandShingles:
+    """documents batch -> shingle rows for candidate docs only (the
+    candidate doc-id array broadcasts once via ``ray.put``)."""
+
+    def __init__(self, dref):
+        self.__name__ = "CandShingles"
+        self.dref = dref
+        self._docs = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._docs is None:
+            obj = self.dref
+            self._docs = obj if isinstance(obj, np.ndarray) else _get_ref(obj)
+        keep = np.isin(batch["doc_id"].to_numpy(zero_copy_only=False), self._docs)
+        return _shingle_batch(batch.filter(pa.array(keep)))
+
+
+#: above this many LSH candidate pairs the broadcast verify switches to
+#: the shuffle-join verify (`_verify_common`) — the bounded-collect
+#: contract made explicit: ~2M pairs ≈ 32 MB of int64s on the driver
+MAX_BROADCAST_PAIRS = 2_000_000
+
+
 def dedup_minhash(sf_dir: str):
     """MinHash(16)+LSH(8x2) near-dup pairs, verified at Jaccard >= 0.1.
 
@@ -389,105 +505,137 @@ def dedup_minhash(sf_dir: str):
     shingle-join blowup.  Output is the *verified* (exact-Jaccard)
     subset of LSH candidates — deterministic, and mirrored exactly by
     the SQL oracle (same permutation hashes, same banding).
+
+    Verify: LSH pairs are deduped by a pair groupby (a Dataset — no
+    unconditional driver collect); the exact-Jaccard pass recomputes
+    shingles for *candidate docs only* (one filtered pass) and derives
+    pair intersections by the same bucketed run-pair explosion.  While
+    the pair count is under ``MAX_BROADCAST_PAIRS`` the (pair, na, nb)
+    table is assembled driver-side and broadcast into a vectorized
+    merge-verify (the fast path — all structures candidate-bounded);
+    past the cap the flow switches to pure shuffle joins
+    (``_verify_common``) with no driver pair state at all.
     """
+    import ray
+    from ray.data.aggregate import Count
+
     rows_per_band = N_PERMS // N_BANDS
     sigs = _docs(sf_dir).map_batches(_minhash_batch, batch_format="pyarrow")
-    candidates = sigs.groupby(["band", "bucket"]).map_groups(
-        _SigRunPairs([f"sig{j}" for j in range(rows_per_band)]),
-        batch_format="pandas",
+    pairs = (
+        sigs.groupby(["band", "bucket"])
+        .map_groups(
+            _SigRunPairs([f"sig{j}" for j in range(rows_per_band)]),
+            batch_format="pandas",
+        )
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
     )
-    # exact-Jaccard verify over *candidate docs only*.  The LSH contract
-    # is that candidates are a tiny slice of the corpus, so one filtered
-    # shingle pass over just those docs replaces the two full-corpus
-    # shingle shuffles a join-based verify would need; the doc->shingle
-    # map broadcasts (ray.put) into a streamed verify over pair batches.
-    import ray
-    import ray.data as rd
-
-    # LSH emits the same pair from multiple bands; candidate volume is
-    # broadcast-small by construction, so dedup driver-side rather than
-    # paying a shuffle for a few thousand rows
-    cand_pdf = (
-        candidates.to_pandas()
-        .drop_duplicates(["doc_a", "doc_b"])
-        .reset_index(drop=True)
-    )
-    if len(cand_pdf) == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return pd.DataFrame(
-            {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64), "jaccard": np.empty(0)}
+            {
+                "doc_a": np.empty(0, np.int64),
+                "doc_b": np.empty(0, np.int64),
+                "jaccard": np.empty(0),
+            }
         )
-    cand_doc_arr = np.unique(
-        np.concatenate(
-            [cand_pdf.doc_a.to_numpy(np.int64), cand_pdf.doc_b.to_numpy(np.int64)]
+    broadcast_ok = n_pairs <= MAX_BROADCAST_PAIRS
+    if broadcast_ok:
+        pair_pdf = pairs.to_pandas()
+        doc_ids = np.unique(
+            np.concatenate(
+                [
+                    pair_pdf["doc_a"].to_numpy(np.int64),
+                    pair_pdf["doc_b"].to_numpy(np.int64),
+                ]
+            )
         )
+    else:
+        # ids-only collect (strictly smaller than the pair set)
+        def _docs_of(col):
+            def fn(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return pa.table({"doc_id": pc.unique(b[col])})
+
+            return fn
+
+        doc_ids = np.unique(
+            np.concatenate(
+                [
+                    pairs.map_batches(_docs_of(c), batch_format="pyarrow")
+                    .to_pandas()["doc_id"]
+                    .to_numpy(np.int64)
+                    for c in ("doc_a", "doc_b")
+                ]
+            )
+        )
+    dref = ray.put(doc_ids)
+    cand_shingles = _docs(sf_dir).map_batches(
+        CandShingles(dref), batch_format="pyarrow"
     )
-    dref = ray.put(cand_doc_arr)
+    # pair intersections over candidate docs (same coarse-bucket run
+    # explosion as the ngram path)
+    sh_common = (
+        cand_shingles.map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_SigRunPairs(["sh_hash"]), batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="common"))
+    )
+    if not broadcast_ok:
+        common_lsh = sh_common.join(
+            pairs,
+            join_type="inner",
+            num_partitions=_join_parts(),
+            on=("doc_a", "doc_b"),
+        )
+        return _verify_common(common_lsh, _doc_counts(cand_shingles))
 
-    class CandShingles:
-        """documents batch -> shingle rows for LSH-candidate docs only."""
+    # fast path: candidate-bounded (pair, na, nb) broadcast + vectorized
+    # pandas merge inside the verify stage
+    counts_pdf = _doc_counts(cand_shingles).to_pandas()
+    pair_pdf = pair_pdf.merge(
+        counts_pdf.rename(columns={"doc_id": "doc_a", "n": "na"}), on="doc_a"
+    ).merge(counts_pdf.rename(columns={"doc_id": "doc_b", "n": "nb"}), on="doc_b")
+    pref = ray.put(pair_pdf)
 
-        def __init__(self, dref):
-            self.__name__ = "CandShingles"
-            self.dref = dref
-            self._docs = None
+    class VerifyMerge:
+        def __init__(self, pref):
+            self.__name__ = "VerifyMerge"
+            self.pref = pref
+            self._p = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            if self._docs is None:
-                obj = self.dref
-                self._docs = obj if isinstance(obj, np.ndarray) else _get_ref(obj)
-            keep = np.isin(
-                batch["doc_id"].to_numpy(zero_copy_only=False), self._docs
+            if self._p is None:
+                obj = self.pref
+                self._p = obj if isinstance(obj, pd.DataFrame) else _get_ref(obj)
+            m = batch.to_pandas().merge(self._p, on=["doc_a", "doc_b"])
+            c = m["common"].to_numpy(np.float64)
+            j = round_half_up(
+                c / (m["na"].to_numpy(np.float64) + m["nb"].to_numpy(np.float64) - c),
+                ROUND,
             )
-            return _shingle_batch(batch.filter(pa.array(keep)))
-
-    sh_pdf = (
-        _docs(sf_dir)
-        .map_batches(CandShingles(dref), batch_format="pyarrow")
-        .to_pandas()
-    )
-    shmap = {
-        int(d): frozenset(g["sh_hash"].astype(int))
-        for d, g in sh_pdf.groupby("doc_id")
-    }
-    sref = ray.put(shmap)
-
-    class VerifyPairs:
-        """candidate-pair batch -> exact-Jaccard-verified pairs."""
-
-        def __init__(self, sref):
-            self.__name__ = "VerifyPairs"
-            self.sref = sref
-            self._m = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if self._m is None:
-                obj = self.sref
-                self._m = obj if isinstance(obj, dict) else _get_ref(obj)
-            a = batch["doc_a"].to_numpy(zero_copy_only=False)
-            b = batch["doc_b"].to_numpy(zero_copy_only=False)
-            n = len(a)
-            common = np.fromiter(
-                (len(self._m[int(x)] & self._m[int(y)]) for x, y in zip(a, b)),
-                np.float64,
-                n,
-            )
-            na = np.fromiter((len(self._m[int(x)]) for x in a), np.float64, n)
-            nb = np.fromiter((len(self._m[int(y)]) for y in b), np.float64, n)
-            j = round_half_up(common / (na + nb - common), ROUND)
             keep = j >= JACCARD_T
             return pa.table(
                 {
-                    "doc_a": pa.array(a[keep], pa.int64()),
-                    "doc_b": pa.array(b[keep], pa.int64()),
+                    "doc_a": pa.array(m["doc_a"].to_numpy(np.int64)[keep], pa.int64()),
+                    "doc_b": pa.array(m["doc_b"].to_numpy(np.int64)[keep], pa.int64()),
                     "jaccard": pa.array(j[keep]),
                 }
             )
 
-    out = (
-        rd.from_pandas(cand_pdf)
-        .map_batches(VerifyPairs(sref), batch_format="pyarrow")
-        .to_pandas()
-    )
+    out = sh_common.map_batches(VerifyMerge(pref), batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": np.empty(0, np.int64),
+                "doc_b": np.empty(0, np.int64),
+                "jaccard": np.empty(0),
+            }
+        )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -534,19 +682,15 @@ ORDER BY p.doc_a, p.doc_b
 
 def _simhash_batch(batch: pa.Table) -> pa.Table:
     """documents batch -> (doc_id, simhash) — 48-bit, vectorized bit accumulation."""
-    texts = batch["text"].to_pylist()
-    n = len(texts)
+    n = len(batch)
     out = np.zeros(n, np.int64)
-    words, rows = [], []
-    for i, t in enumerate(texts):
-        # single-space split, '' tokens kept — matches the SQL mirror's
-        # string_split(lower(text), ' ') word set exactly
-        ws = (t or "").lower().split(" ")
-        words.extend(ws)
-        rows.extend([i] * len(ws))
-    if words:
-        h = md5int60_np(np.array(words, object)) & ((1 << SIMHASH_BITS) - 1)
-        r = np.array(rows, np.int64)
+    # vectorized single-space split, '' tokens kept — matches the SQL
+    # mirror's string_split(lower(text), ' ') word multiset exactly
+    warrow, r = split_words_arrow(batch["text"])
+    if len(r):
+        h = md5int60_np(warrow.to_numpy(zero_copy_only=False)) & (
+            (1 << SIMHASH_BITS) - 1
+        )
         bits = ((h[:, None] >> np.arange(SIMHASH_BITS)) & 1) * 2 - 1  # ±1
         acc = np.zeros((n, SIMHASH_BITS), np.int64)
         np.add.at(acc, r, bits)

@@ -35,7 +35,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .analysis import round_half_up
+import pyarrow.compute as pc
+
+from .analysis import round_half_up, split_words_arrow
 
 D = 0.85
 ITERS = 5
@@ -43,25 +45,31 @@ ROUND = 8
 
 
 def _bigram_batch(batch: pa.Table) -> pa.Table:
-    """documents batch -> distinct (src, dst) bigram edges of this batch."""
-    srcs, dsts = [], []
-    for text in batch["text"].to_pylist():
-        words = (text or "").lower().split(" ")
-        pairs = {(words[i], words[i + 1]) for i in range(len(words) - 1)}
-        for s, t in pairs:
-            srcs.append(s)
-            dsts.append(t)
+    """documents batch -> distinct (src, dst) bigram edges of this batch.
+
+    Vectorized: adjacent-word pairs are two shifted views of the
+    flattened word array (valid where both words share a row); batch-
+    level distinct via Arrow ``group_by`` — no per-row Python.
+    """
+    words, row = split_words_arrow(batch["text"])
+    nw = len(row)
+    if nw < 2:
+        return pa.table(
+            {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+        )
+    valid = pa.array(row[:-1] == row[1:])
     tbl = pa.table(
-        {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
+        {
+            "src": words.slice(0, nw - 1).filter(valid),
+            "dst": words.slice(1, nw - 1).filter(valid),
+        }
     )
     return tbl.group_by(["src", "dst"]).aggregate([])
 
 
 def _node_batch(batch: pa.Table) -> pa.Table:
-    words = set()
-    for text in batch["text"].to_pylist():
-        words.update((text or "").lower().split(" "))
-    return pa.table({"node": pa.array(sorted(words), pa.string())})
+    words, _row = split_words_arrow(batch["text"])
+    return pa.table({"node": pc.unique(words)})
 
 
 def textrank(sf_dir: str):

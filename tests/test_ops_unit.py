@@ -29,6 +29,31 @@ def test_shingle_row_short_and_long():
     assert dedup.shingle_row("x x x x") == ["x x x"]
 
 
+def test_shingle_hashes_matches_shingle_row():
+    """Vectorized _shingle_hashes == per-row shingle_row (hash multiset
+    per row, short-row and empty-string cases included)."""
+    texts = [
+        "the quick brown fox jumps",
+        "a b",
+        "one",
+        "",
+        "x x x x",
+        "pad w1 w2 w3 pad",
+    ]
+    rows, h = dedup._shingle_hashes(pa.array(texts))
+    for i, t in enumerate(texts):
+        want = sorted(analysis.md5int60(s) for s in set(dedup.shingle_row(t)))
+        got = sorted(set(h[rows == i].tolist()))
+        assert got == want, f"row {i}: {got} != {want}"
+
+
+def test_split_words_arrow_semantics():
+    words, rows = analysis.split_words_arrow(pa.array(["A  b", "", None, "c"]))
+    # '' tokens kept (double space), null rows contribute nothing
+    assert words.to_pylist() == ["a", "", "b", "", "c"]
+    assert rows.tolist() == [0, 0, 0, 1, 3]
+
+
 def test_simhash_popcount_vectorized():
     # pairs within one band bucket: vectorized popcount == python bin()
     g = pd.DataFrame(
@@ -95,3 +120,13 @@ def test_round_half_up_matches_duckdb_on_ties():
     assert got.tolist() == want
     # np.round genuinely disagrees on at least one of these (the tie)
     assert np.round(np.array(vals), 6).tolist() != want
+
+
+def test_minhash_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    """Past MAX_BROADCAST_PAIRS the verify switches to pure shuffle
+    joins — both paths must produce identical verified pairs."""
+    sf = "/root/testdata/sf0.001"
+    fast = dedup.dedup_minhash(sf)
+    monkeypatch.setattr(dedup, "MAX_BROADCAST_PAIRS", 0)
+    joined = dedup.dedup_minhash(sf)
+    pd.testing.assert_frame_equal(fast, joined)
