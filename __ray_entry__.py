@@ -155,12 +155,9 @@ def _q_term_stats(sf_dir: str):
     (hardcoded N, df-from-string-length; SearchServer.java:17,123)."""
     index_dir = _index_for(sf_dir)
     idx = query.SegmentIndex(index_dir)
-    rows = [
-        (t, df, cf)
-        for (f, t), (df, cf, _idf) in sorted(idx.term_stats.items())
-        if f == "text"
-    ]
-    return pd.DataFrame(rows, columns=["term", "df", "cf"])
+    ts = idx.term_stats_table()
+    out = ts[ts.field == "text"][["term", "df", "cf"]]
+    return out.sort_values("term").reset_index(drop=True)
 
 
 def _q_corpus_stats(sf_dir: str):

@@ -47,6 +47,39 @@ RANK_ROUND = 9
 SCORE_ROUND = 6
 
 
+class _FieldDict:
+    """Columnar per-field dictionary: one sorted Arrow term vocabulary +
+    parallel numpy stat columns + run rows grouped by term rank.
+
+    The round-1 version exploded every dictionary row into Python
+    dict-of-tuples entries (``to_pylist`` loops) — tens of GB of object
+    overhead per scorer actor at the SCALE.md design point (100M terms).
+    Here term strings stay in ONE Arrow buffer (data + 4-byte offsets);
+    lookups binary-search it with O(log V) ``as_py`` probes per term
+    (the ``build.Vocab`` pattern applied to the read side).
+    """
+
+    __slots__ = (
+        "terms", "df", "cf", "idf", "run_start",
+        "salt", "part", "offset", "nbytes", "max_score",
+        "first_docid", "last_docid",
+    )
+
+    def rank_of(self, term: str) -> int:
+        """Binary search the Arrow vocabulary; -1 if absent."""
+        arr = self.terms
+        lo, hi = 0, len(arr)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if arr[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(arr) and arr[lo].as_py() == term:
+            return lo
+        return -1
+
+
 class SegmentIndex:
     """Loads the on-disk index once; answers term lookups + top-k queries."""
 
@@ -62,43 +95,116 @@ class SegmentIndex:
             pq.read_table(os.path.join(index_dir, "convmap.parquet"))
         )
         ts = pq.read_table(os.path.join(index_dir, "terms_stats.parquet"))
-        self.term_stats: dict[tuple[str, str], tuple[int, int, float]] = {}
-        for f, t, df, cf, idf in zip(
-            ts["field"].to_pylist(),
-            ts["term"].to_pylist(),
-            ts["df"].to_pylist(),
-            ts["cf"].to_pylist(),
-            ts["idf"].to_pylist(),
-        ):
-            self.term_stats[(f, t)] = (df, cf, idf)
-        # dictionary: (field, term) -> list of runs
-        # (salt, part, offset, nbytes, max_score, first_docid, last_docid)
-        self.runs: dict[
-            tuple[str, str], list[tuple[int, int, int, int, float, int, int]]
-        ] = {}
+        # gather all part dictionaries columnar (one Arrow concat; no
+        # per-row Python) with a part-id column
         parts_dir = os.path.join(index_dir, "parts")
         self._part_data: dict[int, np.memmap] = {}
+        run_tables = []
         if os.path.isdir(parts_dir):
             for name in sorted(os.listdir(parts_dir)):
                 if not name.startswith("part-") or "." in name:
                     continue
                 p = int(name.split("-")[1])
-                tdict = pq.read_table(os.path.join(parts_dir, name, "terms.parquet"))
-                for f, t, salt, off, nb, ms, fd, ld in zip(
-                    tdict["field"].to_pylist(),
-                    tdict["term"].to_pylist(),
-                    tdict["salt"].to_pylist(),
-                    tdict["offset"].to_pylist(),
-                    tdict["nbytes"].to_pylist(),
-                    tdict["max_score"].to_pylist(),
-                    tdict["first_docid"].to_pylist(),
-                    tdict["last_docid"].to_pylist(),
-                ):
-                    self.runs.setdefault((f, t), []).append(
-                        (salt, p, off, nb, ms, fd, ld)
+                tdict = pq.read_table(
+                    os.path.join(parts_dir, name, "terms.parquet"),
+                    columns=[
+                        "field", "term", "salt", "offset", "nbytes",
+                        "max_score", "first_docid", "last_docid",
+                    ],
+                )
+                run_tables.append(
+                    tdict.append_column(
+                        "part", pa.array(np.full(len(tdict), p, np.int32))
                     )
-        for runs in self.runs.values():
-            runs.sort()  # salt order == docid-range order
+                )
+        runs_all = (
+            pa.concat_tables(run_tables)
+            if run_tables
+            else None
+        )
+        self._dict: dict[str, _FieldDict] = {}
+        import pyarrow.compute as pc_
+
+        for f in pc_.unique(ts["field"]).to_pylist():
+            fd = _FieldDict()
+            sub = ts.filter(pc_.equal(ts["field"], f))
+            order = pc_.sort_indices(sub["term"])
+            sub = sub.take(order)
+            fd.terms = sub["term"].combine_chunks()
+            fd.df = sub["df"].to_numpy()
+            fd.cf = sub["cf"].to_numpy()
+            fd.idf = sub["idf"].to_numpy()
+            V = len(fd.terms)
+            if runs_all is not None:
+                rsub = runs_all.filter(pc_.equal(runs_all["field"], f))
+                # rank of each run row in the sorted vocabulary
+                # (transient object arrays — freed after init)
+                vocab_np = fd.terms.to_numpy(zero_copy_only=False)
+                rank = np.searchsorted(
+                    vocab_np, rsub["term"].to_numpy(zero_copy_only=False)
+                )
+                salt = rsub["salt"].to_numpy()
+                ro = np.lexsort((salt, rank))
+                fd.salt = salt[ro]
+                fd.part = rsub["part"].to_numpy()[ro]
+                fd.offset = rsub["offset"].to_numpy()[ro]
+                fd.nbytes = rsub["nbytes"].to_numpy()[ro]
+                fd.max_score = rsub["max_score"].to_numpy()[ro]
+                fd.first_docid = rsub["first_docid"].to_numpy()[ro]
+                fd.last_docid = rsub["last_docid"].to_numpy()[ro]
+                counts = np.bincount(rank, minlength=V)
+            else:
+                fd.salt = fd.part = fd.offset = fd.nbytes = np.empty(0, np.int64)
+                fd.max_score = np.empty(0)
+                fd.first_docid = fd.last_docid = np.empty(0, np.int64)
+                counts = np.zeros(V, np.int64)
+            fd.run_start = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            self._dict[f] = fd
+
+    # ----- columnar dictionary accessors -----
+    def fields(self) -> list[str]:
+        return sorted(self._dict)
+
+    def terms(self, field: str = "text") -> list[str]:
+        fd = self._dict.get(field)
+        return fd.terms.to_pylist() if fd is not None else []
+
+    def term_info(self, term: str, field: str = "text"):
+        """(df, cf, idf) from the stats table, or None."""
+        fd = self._dict.get(field)
+        if fd is None:
+            return None
+        r = fd.rank_of(term)
+        if r < 0:
+            return None
+        return int(fd.df[r]), int(fd.cf[r]), float(fd.idf[r])
+
+    def n_runs(self, term: str, field: str = "text") -> int:
+        fd = self._dict.get(field)
+        if fd is None:
+            return 0
+        r = fd.rank_of(term)
+        if r < 0:
+            return 0
+        return int(fd.run_start[r + 1] - fd.run_start[r])
+
+    def term_stats_table(self) -> pd.DataFrame:
+        """All (field, term, df, cf, idf) rows — vectorized export."""
+        frames = [
+            pd.DataFrame(
+                {
+                    "field": np.full(len(fd.terms), f, object),
+                    "term": fd.terms.to_numpy(zero_copy_only=False),
+                    "df": fd.df,
+                    "cf": fd.cf,
+                    "idf": fd.idf,
+                }
+            )
+            for f, fd in sorted(self._dict.items())
+        ]
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"field": [], "term": [], "df": [], "cf": [], "idf": []}
+        )
 
     def _part(self, p: int) -> np.memmap:
         if p not in self._part_data:
@@ -109,22 +215,41 @@ class SegmentIndex:
             )
         return self._part_data[p]
 
+    def _decode_runs(self, fd: _FieldDict, idxs) -> list:
+        return [
+            segments.decode_run(
+                self._part(int(fd.part[i]))[
+                    int(fd.offset[i]) : int(fd.offset[i]) + int(fd.nbytes[i])
+                ]
+            )
+            for i in idxs
+        ]
+
     def postings(self, term: str, field: str = "text"):
         """Decoded posting list (docids, tfs, dls) or None."""
-        runs = self.runs.get((field, term))
-        if not runs:
+        fd = self._dict.get(field)
+        if fd is None:
             return None
-        parts = [
-            segments.decode_run(self._part(p)[off : off + nb])
-            for _salt, p, off, nb, _ms, _fd, _ld in runs
-        ]
+        r = fd.rank_of(term)
+        if r < 0:
+            return None
+        s, e = int(fd.run_start[r]), int(fd.run_start[r + 1])
+        if s == e:
+            return None
+        parts = self._decode_runs(fd, range(s, e))
         if len(parts) == 1:
             return parts[0]
         return tuple(np.concatenate([pr[i] for pr in parts]) for i in range(3))
 
     def term_max_score(self, term: str, field: str = "text") -> float:
-        runs = self.runs.get((field, term))
-        return max(r[4] for r in runs) if runs else 0.0
+        fd = self._dict.get(field)
+        if fd is None:
+            return 0.0
+        r = fd.rank_of(term)
+        if r < 0:
+            return 0.0
+        s, e = int(fd.run_start[r]), int(fd.run_start[r + 1])
+        return float(fd.max_score[s:e].max()) if e > s else 0.0
 
     # ----- scoring -----
     def topk(self, query_text: str, k: int, mode: str = "bm25") -> pd.DataFrame:
@@ -164,14 +289,24 @@ class SegmentIndex:
         toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
         terms = sorted(set(toks.tolist()))
         gs = self.global_stats["text"]
+        fd = self._dict.get("text")
         id_chunks, sc_chunks = [], []
+        if fd is None:
+            return _accumulate(id_chunks, sc_chunks)
         for t in terms:
-            post = self.postings(t, "text")
-            if post is None:
+            r = fd.rank_of(t)
+            if r < 0:
                 continue
-            docids, tfs, dls = post
-            _df, _cf, idf = self.term_stats[("text", t)]
-            sc = segments.bm25_term_scores(tfs, dls, idf, gs["avgdl"], self.k1, self.b)
+            s, e = int(fd.run_start[r]), int(fd.run_start[r + 1])
+            if s == e:
+                continue
+            parts = self._decode_runs(fd, range(s, e))
+            docids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            sc = segments.bm25_term_scores(
+                tfs, dls, float(fd.idf[r]), gs["avgdl"], self.k1, self.b
+            )
             id_chunks.append(docids)
             sc_chunks.append(sc)
         return _accumulate(id_chunks, sc_chunks)
@@ -198,40 +333,40 @@ class SegmentIndex:
         toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
         terms = sorted(set(toks.tolist()))
         gs = self.global_stats["text"]
+        fd = self._dict.get("text")
         infos = []
-        for t in terms:
-            runs = self.runs.get(("text", t))
-            if runs:
-                infos.append((t, max(r[4] for r in runs)))
-        infos.sort(key=lambda x: (-x[1], x[0]))
+        if fd is not None:
+            for t in terms:
+                r = fd.rank_of(t)
+                if r < 0:
+                    continue
+                s, e = int(fd.run_start[r]), int(fd.run_start[r + 1])
+                if e > s:
+                    infos.append((t, r, float(fd.max_score[s:e].max())))
+        infos.sort(key=lambda x: (-x[2], x[0]))
         tail = np.concatenate(
-            [np.cumsum([m for _t, m in infos][::-1])[::-1], [0.0]]
+            [np.cumsum([m for _t, _r, m in infos][::-1])[::-1], [0.0]]
         ) if infos else np.array([0.0])
 
         acc_ids = np.empty(0, np.int64)
         acc_sc = np.empty(0, np.float64)
         theta = -np.inf
-        for i, (t, _m) in enumerate(infos):
-            _df, _cf, idf = self.term_stats[("text", t)]
+        for i, (t, rank, _m) in enumerate(infos):
+            idf = float(fd.idf[rank])
             prune = tail[i] + self.PRUNE_EPS < theta
-            runs = self.runs[("text", t)]
+            s, e = int(fd.run_start[rank]), int(fd.run_start[rank + 1])
+            idxs = np.arange(s, e)
             if prune and len(acc_ids):
                 # run-level skip: decode only runs whose docid range
                 # contains at least one accumulated doc (first/last
                 # bounds from the segment dictionary — the same skip a
                 # disk reader does with the block payload_nbytes)
-                runs = [
-                    r
-                    for r in runs
-                    if np.searchsorted(acc_ids, r[5], side="left")
-                    < np.searchsorted(acc_ids, r[6], side="right")
-                ]
-                if not runs:
+                lo = np.searchsorted(acc_ids, fd.first_docid[s:e], side="left")
+                hi = np.searchsorted(acc_ids, fd.last_docid[s:e], side="right")
+                idxs = idxs[lo < hi]
+                if len(idxs) == 0:
                     continue
-            chunks = [
-                segments.decode_run(self._part(p)[off : off + nb])
-                for _s, p, off, nb, _ms, _fd, _ld in runs
-            ]
+            chunks = self._decode_runs(fd, idxs)
             docids = np.concatenate([c[0] for c in chunks])
             tfs = np.concatenate([c[1] for c in chunks])
             dls = np.concatenate([c[2] for c in chunks])
@@ -654,21 +789,31 @@ class PartitionScorer:
         self.k1 = manifest["config"]["k1"]
         self.b = manifest["config"]["b"]
         self.gs = manifest["global_stats"]
-        ts = pq_.read_table(
-            os.path.join(index_dir, "terms_stats.parquet"),
-            columns=["field", "term", "idf"],
-        )
-        self.idf = {
-            (f, t): v
-            for f, t, v in zip(
-                ts["field"].to_pylist(), ts["term"].to_pylist(), ts["idf"].to_pylist()
-            )
-        }
         # query terms (deduped, sorted — the pinned accumulation order)
         self.queries = [
             (qid, sorted(set(normalize.tokenize_column(pa.array([text]), "body")[0].tolist())))
             for qid, text, _k in queries
         ]
+        # resolve idf for the query terms ONLY (query-sized dict, not a
+        # whole-vocabulary map per actor): one vectorized searchsorted
+        # against the sorted text-field term column
+        import pyarrow.compute as pc_
+
+        ts = pq_.read_table(
+            os.path.join(index_dir, "terms_stats.parquet"),
+            columns=["field", "term", "idf"],
+        )
+        sub = ts.filter(pc_.equal(ts["field"], "text"))
+        order = pc_.sort_indices(sub["term"])
+        sub = sub.take(order)
+        vocab = sub["term"].to_numpy(zero_copy_only=False)
+        idfs = sub["idf"].to_numpy()
+        qterms = sorted({t for _qid, ts_ in self.queries for t in ts_})
+        pos = np.searchsorted(vocab, np.array(qterms, object)) if len(vocab) else np.empty(0, np.int64)
+        self.idf = {}
+        for t, p in zip(qterms, pos):
+            if p < len(vocab) and vocab[p] == t:
+                self.idf[("text", t)] = float(idfs[p])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq_

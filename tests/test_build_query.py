@@ -74,7 +74,7 @@ def test_postings_match_oracle_tfs(index_dir, duck):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         # head terms must actually be salted into >1 run
         if term == "the":
-            assert len(idx.runs[("text", term)]) > 1
+            assert idx.n_runs(term, "text") > 1
 
 
 def test_index_stats_match_oracle(index_dir, duck):

@@ -24,14 +24,17 @@ def pair(ray_session, tmp_path_factory):
 
 def test_single_run_per_term(pair):
     _src, dst = pair
-    for (f, t), runs in dst.runs.items():
-        assert len(runs) == 1, f"{f}:{t} still has {len(runs)} runs"
-        assert runs[0][0] == 0  # salt reset
+    for f in dst.fields():
+        fd = dst._dict[f]
+        for r, t in enumerate(fd.terms.to_pylist()):
+            s0, e0 = int(fd.run_start[r]), int(fd.run_start[r + 1])
+            assert e0 - s0 == 1, f"{f}:{t} still has {e0 - s0} runs"
+            assert int(fd.salt[s0]) == 0  # salt reset
 
 
 def test_postings_identical(pair):
     src, dst = pair
-    terms = sorted(t for (f, t) in src.runs if f == "text")
+    terms = sorted(src.terms("text"))
     for t in terms[:20] + terms[-5:]:
         a = src.postings(t, "text")
         b = dst.postings(t, "text")

@@ -38,9 +38,7 @@ def test_postings_cover_every_nonempty_doc(built):
     expect_dl = np.bincount(rows, minlength=len(pdf))
     seen_dl = np.zeros(len(pdf), np.int64)
     seen_tf = np.zeros(len(pdf), np.int64)
-    for (f, t) in idx.runs:
-        if f != "text":
-            continue
+    for t in idx.terms("text"):
         docids, tfs, dls = idx.postings(t, "text")
         # dl is replicated per posting — must agree everywhere
         mism = seen_dl[docids] != 0

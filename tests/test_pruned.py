@@ -49,9 +49,7 @@ def test_pruned_rank_identical_sf(sf_index):
 
 def test_pruned_rank_identical_synth_head_terms(synth_index):
     # queries mixing head (split) and tail terms of the synthetic vocab
-    vocab_terms = sorted(
-        t for (f, t) in synth_index.term_stats if f == "text"
-    )
+    vocab_terms = sorted(synth_index.terms("text"))
     head = vocab_terms[:3]  # aaaa-ish: Zipf head of the base-26 vocab
     tail = vocab_terms[-3:]
     cases = [
