@@ -106,6 +106,76 @@ def _q_tokenize_title(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+#: the "alt string" analog: a document's first ALT_WORDS words play the
+#: role the <img alt="..."> attribute plays in the reference
+ALT_WORDS = 6
+
+
+def _q_tokenize_alt(sf_dir: str):
+    """Alt-text indexer port (ImageAltSelfIndexer.java:44-73 alt-string
+    filters + :107-125 cleanupMeaningfulAlt token rules): the alt string
+    is dropped whole if empty, length <= 3, in USELESS_ALTS, or pure
+    numeric; surviving strings tokenize in 'alt' mode (pure-alpha <=30
+    minus the same stoplist)."""
+    import re
+
+    import ray.data as rd
+
+    useless = set(normalize.USELESS_ALTS)
+    num_re = re.compile(r"^[0-9]+$")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # derive the alt string: first ALT_WORDS words, trimmed
+        words = pc.split_pattern(batch["text"], " ")
+        alt = pc.binary_join(pc.list_slice(words, 0, ALT_WORDS), " ")
+        alt_l = pc.utf8_trim_whitespace(pc.utf8_lower(alt))
+        alts = alt_l.to_numpy(zero_copy_only=False)
+        keep = np.array(
+            [
+                bool(a) and len(a) > 3 and a not in useless and not num_re.match(a)
+                for a in alts
+            ],
+            bool,
+        )
+        sub = batch.filter(pa.array(keep))
+        sub_alt = alt_l.filter(pa.array(keep))
+        toks, rows = normalize.tokenize_column(sub_alt, "alt")
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"].take(pa.array(rows)),
+                "term": pa.array(toks, pa.string()),
+            }
+        )
+
+    import numpy as np
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _tokenize_alt_sql() -> str:
+    useless = ", ".join(f"'{t}'" for t in normalize.USELESS_ALTS)
+    return f"""
+WITH alts AS (
+  SELECT doc_id,
+         trim(lower(array_to_string(list_slice(string_split(text, ' '), 1, {ALT_WORDS}), ' '))) AS alt
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, alt FROM alts
+  WHERE alt <> '' AND length(alt) > 3
+    AND alt NOT IN ({useless})
+    AND NOT regexp_full_match(alt, '[0-9]+')
+)
+SELECT doc_id, tok.term FROM kept, {normalize.tokens_sql('alt', 'alt')}
+WHERE {normalize.tokens_keep_sql('tok.term', 'alt')}
+"""
+
+
 def _q_index_segment_stats(sf_dir: str):
     """Per-partition build lineage + metrics from the index manifests
     (terms, postings, bytes) — the checkpoint/resume bookkeeping the
@@ -203,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts": _q_transcripts,
         "tokenize_body": _q_tokenize_body,
         "tokenize_title": _q_tokenize_title,
+        "tokenize_alt": _q_tokenize_alt,
         "index_segment_stats": _q_index_segment_stats,
         "term_stats": _q_term_stats,
         "compacted_term_stats": _q_compacted_term_stats,
@@ -235,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
             f"{normalize.tokens_sql('text', 'title')} "
             f"WHERE {normalize.tokens_keep_sql('tok.term', 'title')}"
         ),
+        "tokenize_alt": _tokenize_alt_sql(),
         "term_stats": (
             f"WITH {query.corpus_ctes()} "
             "SELECT t.term, CAST(count(*) AS BIGINT) AS df, CAST(sum(t.tf) AS BIGINT) AS cf "

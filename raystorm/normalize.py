@@ -42,7 +42,15 @@ TOOL_STOPLIST = (
     "error", "debug", "404", "500",
 )
 
-MODES = ("body", "title", "tool")
+#: ImageAltSelfIndexer.java:12-17 — alt strings/tokens considered useless
+USELESS_ALTS = (
+    "logo", "icon", "image", "img", "photo", "picture",
+    "banner", "thumbnail", "thumb", "avatar", "spacer",
+    "header", "footer", "advertisement", "ad", "promo",
+    "loading", "placeholder", "default", "profile", "user",
+)
+
+MODES = ("body", "title", "tool", "alt")
 
 # (pre-split replace chain [(pattern, replacement)...], keep-token regex)
 _MODE_RULES = {
@@ -58,7 +66,17 @@ _MODE_RULES = {
         [(r"[^a-z]+", " ")],
         r"^[a-z]{2,30}$",
     ),
+    # ImageAltSelfIndexer.java:107-125 cleanupMeaningfulAlt: strip tags,
+    # collapse non-letters, keep pure-alpha <=30 minus USELESS_ALTS
+    # (tokenize_column lowercases first, so [^a-zA-Z ]+ == [^a-z ]+ here)
+    "alt": (
+        [(r"(?s)<[^>]*>", " "), (r"[^a-z ]+", " ")],
+        r"^[a-z]{1,30}$",
+    ),
 }
+
+#: per-mode token stoplists (applied after the keep regex)
+_MODE_STOPLIST = {"tool": TOOL_STOPLIST, "alt": USELESS_ALTS}
 
 
 def tokenize_column(texts, mode: str = "body"):
@@ -84,9 +102,10 @@ def tokenize_column(texts, mode: str = "body"):
     row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     values = lists.flatten()
     mask = pc.match_substring_regex(values, keep)
-    if mode == "tool":
+    stoplist = _MODE_STOPLIST.get(mode)
+    if stoplist is not None:
         mask = pc.and_(
-            mask, pc.invert(pc.is_in(values, value_set=pa.array(TOOL_STOPLIST)))
+            mask, pc.invert(pc.is_in(values, value_set=pa.array(stoplist)))
         )
     mask_np = mask.to_numpy(zero_copy_only=False)
     mask_np = np.nan_to_num(mask_np, nan=False).astype(bool)
@@ -176,7 +195,8 @@ def tokens_keep_sql(term_col: str, mode: str = "body") -> str:
     """WHERE-clause fragment matching the keep mask of ``tokenize_column``."""
     _, keep = _MODE_RULES[mode]
     cond = f"regexp_full_match({term_col}, '{keep.strip('^$')}')"
-    if mode == "tool":
-        stop = ", ".join(f"'{t}'" for t in TOOL_STOPLIST)
+    stoplist = _MODE_STOPLIST.get(mode)
+    if stoplist is not None:
+        stop = ", ".join(f"'{t}'" for t in stoplist)
         cond += f" AND {term_col} NOT IN ({stop})"
     return cond

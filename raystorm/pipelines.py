@@ -54,6 +54,10 @@ def registry() -> dict:
         "positional_postings": (positional.positional_postings, positional.positional_postings_sql()),
         # --- graph rank (PageRank analog) ---
         "textrank": (textrank.textrank, textrank.textrank_sql()),
+        "textrank_converged": (
+            textrank.textrank_converged,
+            textrank.textrank_converged_sql(),
+        ),
         # --- stream windows ---
         "window_agg": (events.window_agg, events.WINDOW_AGG_SQL),
         "sessionize": (events.sessionize, events.SESSIONIZE_SQL),

@@ -130,3 +130,25 @@ def test_minhash_join_fallback_matches_broadcast(ray_session, monkeypatch):
     monkeypatch.setattr(dedup, "MAX_BROADCAST_PAIRS", 0)
     joined = dedup.dedup_minhash(sf)
     pd.testing.assert_frame_equal(fast, joined)
+
+
+def test_alt_mode_tokenizer():
+    toks, rows = normalize.tokenize_column(
+        pa.array(["Red Sunset over Hills!", "logo icon banner", "a1b2 c3"]), "alt"
+    )
+    # USELESS_ALTS dropped, non-letters collapsed, pure-alpha kept
+    assert toks.tolist() == ["red", "sunset", "over", "hills", "a", "b", "c"]
+
+
+def test_textrank_joined_matches_broadcast(ray_session):
+    """The Dataset.join-based iteration (non-broadcastable-ranks
+    fallback) must be rank-identical to the broadcast-vector driver."""
+    import numpy as np
+
+    from raystorm import textrank
+
+    sf = "/root/testdata/sf0.001"
+    j = textrank.textrank_joined(sf, iters=2)
+    b = textrank._run_broadcast(sf, 2, converge=False)
+    assert (j["node"].to_numpy() == b["node"].to_numpy()).all()
+    assert np.array_equal(j["rank"].to_numpy(), b["rank"].to_numpy())
