@@ -46,6 +46,7 @@ def registry() -> dict:
         "simhash_docs": (dedup.simhash_docs, dedup.simhash_docs_sql()),
         "dedup_simhash": (dedup.dedup_simhash, dedup.dedup_simhash_sql()),
         "dedup_embedding": (dedup.dedup_embedding, dedup.DEDUP_EMBEDDING_SQL),
+        "dedup_embedding_ivf": (dedup.dedup_embedding_ivf, dedup.dedup_embedding_ivf_sql()),
         # --- similarity search ---
         "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL),
         "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ann_lsh_topk_sql()),

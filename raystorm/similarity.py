@@ -64,32 +64,25 @@ def plane_matrix(dim: int = DIM) -> np.ndarray:
 def _load_queries_raw(sf_dir: str):
     import pyarrow.parquet as pq
 
+    # predicate pushdown: only row groups containing vec_id < N_QUERIES
+    # leave storage — never a full-table driver read
     tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
     )
     ids = tbl["vec_id"].to_numpy()
-    sel = np.nonzero(ids < N_QUERIES)[0]
-    qids = ids[sel]
-    qmat = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False)[sel]).astype(np.float64)
-    order = np.argsort(qids)
-    return qids[order], qmat[order]
+    qmat = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    order = np.argsort(ids)
+    return ids[order], qmat[order]
 
 
 def _load_queries(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    ids = tbl["vec_id"].to_numpy()
-    sel = np.nonzero(ids < N_QUERIES)[0]
-    qids = ids[sel]
-    qmat = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False)[sel]).astype(
-        np.float64
-    )
+    qids, qmat = _load_queries_raw(sf_dir)
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    order = np.argsort(qids)
-    return qids[order], qmat[order]
+    return qids, qmat
 
 
 class _PartialTopK:
@@ -332,16 +325,28 @@ N_PROBE = 2
 
 
 def _load_centroids(sf_dir: str):
+    """Streamed codebook load: a modulo predicate can't push down into
+    parquet row groups, so the table is read batch-by-batch
+    (``ParquetFile.iter_batches``) keeping only the 1/IVF_STRIDE
+    centroid rows — driver memory stays codebook-sized."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    ids = tbl["vec_id"].to_numpy()
-    sel = np.nonzero(ids % IVF_STRIDE == 0)[0]
-    cids = ids[sel]
-    cmat = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False)[sel]).astype(
-        np.float64
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    ids_l, mats = [], []
+    for b in pf.iter_batches(columns=["vec_id", "embedding"], batch_size=8192):
+        ids = b.column(0).to_numpy()
+        sel = ids % IVF_STRIDE == 0
+        if not sel.any():
+            continue
+        ids_l.append(ids[sel])
+        mats.append(
+            np.vstack(b.column(1).to_numpy(zero_copy_only=False)[sel]).astype(
+                np.float64
+            )
+        )
+    cids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+    cmat = (
+        np.vstack(mats) if mats else np.empty((0, DIM))
     )
     cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
     order = np.argsort(cids)
