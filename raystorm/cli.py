@@ -74,6 +74,23 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_admin(args) -> int:
+    from . import admin
+
+    if args.op == "rename":
+        admin.rename_index(args.src, args.dst)
+        print(json.dumps({"renamed": [args.src, args.dst]}))
+    elif args.op == "delete":
+        admin.delete_index(args.src)
+        print(json.dumps({"deleted": args.src}))
+    elif args.op == "swap":
+        backup = admin.swap_index(args.src, args.dst)
+        print(json.dumps({"live": args.dst, "rollback": backup}))
+    elif args.op == "info":
+        print(json.dumps(admin.index_info(args.src)))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="raystorm")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -103,6 +120,14 @@ def main(argv=None) -> int:
         "--sf-dir", default=None, help="documents dir (faithful_boosted title map)"
     )
     q.set_defaults(fn=cmd_query)
+
+    a = sub.add_parser(
+        "admin", help="index lifecycle: rename/delete/swap/info"
+    )
+    a.add_argument("op", choices=("rename", "delete", "swap", "info"))
+    a.add_argument("src", help="index dir (or swap candidate)")
+    a.add_argument("dst", nargs="?", default=None, help="target dir (rename/swap)")
+    a.set_defaults(fn=cmd_admin)
 
     args = ap.parse_args(argv)
     return args.fn(args)

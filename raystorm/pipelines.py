@@ -28,6 +28,7 @@ def registry() -> dict:
         "cogroup_nation": (relational.cogroup_nation, relational.COGROUP_NATION_SQL),
         "intersection_nations": (relational.intersection_nations, relational.INTERSECTION_NATIONS_SQL),
         "sample_events": (relational.sample_events, relational.SAMPLE_EVENTS_SQL),
+        "sample_bernoulli": (relational.sample_bernoulli, relational.SAMPLE_BERNOULLI_SQL),
         "customers_without_orders": (relational.customers_without_orders, relational.CUSTOMERS_WITHOUT_ORDERS_SQL),
         "topk_orders": (relational.topk_orders, relational.TOPK_ORDERS_SQL),
         "lineitem_totals": (relational.lineitem_totals, relational.LINEITEM_TOTALS_SQL),

@@ -343,6 +343,38 @@ SELECT event_id, event_type, value FROM events
 WHERE event_id % {SAMPLE_STEP} = 0 ORDER BY event_id
 """
 
+#: seeded Bernoulli fraction (FlameRDDImpl.java:133-139 sample(f) —
+#: made deterministic by hashing the key instead of Math.random, so the
+#: oracle can mirror it exactly)
+BERNOULLI_F = 0.05
+_BERNOULLI_THRESH = int(BERNOULLI_F * (1 << 60))
+
+
+def sample_bernoulli(sf_dir: str):
+    """Deterministic Bernoulli sample: keep events whose 60-bit md5 of
+    'bern|<event_id>' falls below f·2^60 — each key is an independent
+    uniform draw (hash-seeded), so the sample is Bernoulli(f) yet
+    reproducible and SQL-mirrorable (the reference's Math.random
+    variant is observationally identical but ungateable)."""
+    from .analysis import md5int60_np
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        keys = np.array([f"bern|{int(i)}" for i in ids], object)
+        h = md5int60_np(keys)
+        return batch.filter(pa.array(h < _BERNOULLI_THRESH))
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return ds.map_batches(pick, batch_format="pyarrow").sort("event_id")
+
+
+SAMPLE_BERNOULLI_SQL = f"""
+SELECT event_id, event_type, value FROM events
+WHERE CAST('0x' || substring(md5('bern|' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+      < {_BERNOULLI_THRESH}
+ORDER BY event_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # top-k without full sort  (SearchServer.java:183-186 sort+limit;

@@ -1,0 +1,67 @@
+"""Index lifecycle admin: build -> compact -> swap -> query the
+swapped-in live index (KVSClient.java:224-251 rename/delete analog)."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from raystorm import admin, build, compact, corpus, query
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index_pair(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("admin")
+    src = str(root / "live")
+    ds = corpus.transcripts_from_documents(SF)
+    cfg = build.BuildConfig(num_partitions=4, split_target=500)
+    build.build_index(ds, src, input_fingerprint=SF, cfg=cfg)
+    cand = str(root / "candidate")
+    compact.compact_index(src, cand)
+    return root, src, cand
+
+
+def test_swap_promotes_candidate_and_keeps_rollback(index_pair):
+    root, src, cand = index_pair
+    want = query.SegmentIndex(cand).topk("hash join", 10, "bm25")
+    before = query.SegmentIndex(src).topk("hash join", 10, "bm25")
+    backup = admin.swap_index(cand, src)
+    # the live dir now serves the compacted index, answers unchanged
+    after = query.SegmentIndex(src).topk("hash join", 10, "bm25")
+    pd.testing.assert_frame_equal(after, want)
+    pd.testing.assert_frame_equal(after, before)  # compaction is lossless
+    # rollback dir holds the old live index and still answers
+    assert backup == src + ".prev"
+    rb = query.SegmentIndex(backup).topk("hash join", 10, "bm25")
+    pd.testing.assert_frame_equal(rb, before)
+
+
+def test_rename_delete_info(index_pair, tmp_path):
+    root, src, _cand = index_pair
+    info = admin.index_info(src)
+    assert info["status"] == "complete" and info["postings"] > 0
+    moved = str(tmp_path / "moved")
+    admin.rename_index(src + ".prev", moved)
+    assert query.SegmentIndex(moved).postings("the", "text") is not None
+    admin.delete_index(moved)
+    assert not os.path.exists(moved)
+
+
+def test_delete_refuses_non_index(tmp_path):
+    d = tmp_path / "notindex"
+    d.mkdir()
+    (d / "data.txt").write_text("x")
+    with pytest.raises(ValueError):
+        admin.delete_index(str(d))
+    assert d.exists()
+
+
+def test_swap_refuses_incomplete_candidate(index_pair, tmp_path):
+    d = tmp_path / "cand"
+    d.mkdir()
+    (d / "manifest.json").write_text(json.dumps({"status": "building"}))
+    with pytest.raises(ValueError):
+        admin.swap_index(str(d), str(tmp_path / "live"))
