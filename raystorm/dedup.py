@@ -519,21 +519,20 @@ def dedup_minhash(sf_dir: str):
     import ray
     from ray.data.aggregate import Count
 
+    import ray.data as rd
+
     rows_per_band = N_PERMS // N_BANDS
     sigs = _docs(sf_dir).map_batches(_minhash_batch, batch_format="pyarrow")
-    pairs = (
+    raw_pairs = (
         sigs.groupby(["band", "bucket"])
         .map_groups(
             _SigRunPairs([f"sig{j}" for j in range(rows_per_band)]),
             batch_format="pandas",
         )
-        .groupby(["doc_a", "doc_b"])
-        .count()
-        .drop_columns(["count()"])
         .materialize()
     )
-    n_pairs = pairs.count()
-    if n_pairs == 0:
+    n_raw = raw_pairs.count()
+    if n_raw == 0:
         return pd.DataFrame(
             {
                 "doc_a": np.empty(0, np.int64),
@@ -541,9 +540,16 @@ def dedup_minhash(sf_dir: str):
                 "jaccard": np.empty(0),
             }
         )
-    broadcast_ok = n_pairs <= MAX_BROADCAST_PAIRS
+    broadcast_ok = n_raw <= MAX_BROADCAST_PAIRS
     if broadcast_ok:
-        pair_pdf = pairs.to_pandas()
+        # bounded collect: multi-band duplicate pairs dedup driver-side
+        # (cheaper than a pair-groupby shuffle at this volume)
+        pair_pdf = (
+            raw_pairs.to_pandas()
+            .drop_duplicates(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        pairs = rd.from_pandas(pair_pdf)
         doc_ids = np.unique(
             np.concatenate(
                 [
@@ -553,6 +559,13 @@ def dedup_minhash(sf_dir: str):
             )
         )
     else:
+        # past the cap the dedup is a pair groupby (stays a Dataset)
+        pairs = (
+            raw_pairs.groupby(["doc_a", "doc_b"])
+            .count()
+            .drop_columns(["count()"])
+            .materialize()
+        )
         # ids-only collect (strictly smaller than the pair set)
         def _docs_of(col):
             def fn(b: pa.Table) -> pa.Table:
@@ -576,16 +589,18 @@ def dedup_minhash(sf_dir: str):
     cand_shingles = _docs(sf_dir).map_batches(
         CandShingles(dref), batch_format="pyarrow"
     )
-    # pair intersections over candidate docs (same coarse-bucket run
-    # explosion as the ngram path)
-    sh_common = (
-        cand_shingles.map_batches(_add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_SigRunPairs(["sh_hash"]), batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="common"))
-    )
     if not broadcast_ok:
+        # shuffle path: pair intersections over candidate docs via the
+        # same coarse-bucket run explosion as the ngram path, then keep
+        # only true LSH pairs and join in per-doc counts — no driver
+        # pair/shingle state at all
+        sh_common = (
+            cand_shingles.map_batches(_add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_SigRunPairs(["sh_hash"]), batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Count(alias_name="common"))
+        )
         common_lsh = sh_common.join(
             pairs,
             join_type="inner",
@@ -594,40 +609,61 @@ def dedup_minhash(sf_dir: str):
         )
         return _verify_common(common_lsh, _doc_counts(cand_shingles))
 
-    # fast path: candidate-bounded (pair, na, nb) broadcast + vectorized
-    # pandas merge inside the verify stage
-    counts_pdf = _doc_counts(cand_shingles).to_pandas()
-    pair_pdf = pair_pdf.merge(
-        counts_pdf.rename(columns={"doc_id": "doc_a", "n": "na"}), on="doc_a"
-    ).merge(counts_pdf.rename(columns={"doc_id": "doc_b", "n": "nb"}), on="doc_b")
-    pref = ray.put(pair_pdf)
+    # fast path: ONE collected candidate-shingle pass broadcast as a
+    # CSR (sorted doc ids -> extents into a sorted hash array — numpy
+    # buffers, no Python objects), verified per LSH-pair batch.  The
+    # all-shared-shingle pair explosion the shuffle path uses is far
+    # larger than the LSH pair set on near-dup-heavy corpora (measured
+    # 5x wall time at sf0.1) — pair-batch intersection touches exactly
+    # the pairs that need verifying.
+    sh_pdf = cand_shingles.to_pandas()
+    d = sh_pdf["doc_id"].to_numpy(np.int64)
+    h = sh_pdf["sh_hash"].to_numpy(np.int64)
+    order = np.lexsort((h, d))
+    d, h = d[order], h[order]
+    doc_u, starts = np.unique(d, return_index=True)
+    ends = np.append(starts[1:], len(d))
+    csr_ref = ray.put((doc_u, starts, ends, h))
 
-    class VerifyMerge:
-        def __init__(self, pref):
-            self.__name__ = "VerifyMerge"
-            self.pref = pref
-            self._p = None
+    class VerifyCSR:
+        def __init__(self, ref):
+            self.__name__ = "VerifyCSR"
+            self.ref = ref
+            self._m = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            if self._p is None:
-                obj = self.pref
-                self._p = obj if isinstance(obj, pd.DataFrame) else _get_ref(obj)
-            m = batch.to_pandas().merge(self._p, on=["doc_a", "doc_b"])
-            c = m["common"].to_numpy(np.float64)
-            j = round_half_up(
-                c / (m["na"].to_numpy(np.float64) + m["nb"].to_numpy(np.float64) - c),
-                ROUND,
+            if self._m is None:
+                obj = self.ref
+                self._m = obj if isinstance(obj, tuple) else _get_ref(obj)
+            doc_u, starts, ends, h = self._m
+            a = batch["doc_a"].to_numpy(zero_copy_only=False)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(doc_u, a)
+            ib = np.searchsorted(doc_u, b)
+            na = (ends[ia] - starts[ia]).astype(np.float64)
+            nb = (ends[ib] - starts[ib]).astype(np.float64)
+            common = np.fromiter(
+                (
+                    np.intersect1d(
+                        h[starts[x] : ends[x]], h[starts[y] : ends[y]],
+                        assume_unique=True,
+                    ).size
+                    for x, y in zip(ia, ib)
+                ),
+                np.float64,
+                len(a),
             )
+            j = round_half_up(common / (na + nb - common), ROUND)
             keep = j >= JACCARD_T
             return pa.table(
                 {
-                    "doc_a": pa.array(m["doc_a"].to_numpy(np.int64)[keep], pa.int64()),
-                    "doc_b": pa.array(m["doc_b"].to_numpy(np.int64)[keep], pa.int64()),
+                    "doc_a": pa.array(a[keep], pa.int64()),
+                    "doc_b": pa.array(b[keep], pa.int64()),
                     "jaccard": pa.array(j[keep]),
                 }
             )
 
-    out = sh_common.map_batches(VerifyMerge(pref), batch_format="pyarrow").to_pandas()
+    out = pairs.map_batches(VerifyCSR(csr_ref), batch_format="pyarrow").to_pandas()
     if out.empty:
         return pd.DataFrame(
             {
