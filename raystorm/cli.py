@@ -74,6 +74,27 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from . import serve
+
+    _ensure_ray()
+    handle = serve.start(
+        args.index_dir,
+        replicas=args.replicas,
+        name=args.name,
+        sf_dir=args.sf_dir,
+        detached=args.detached,
+    )
+    print(json.dumps({"replicas": args.replicas, "name": args.name, **handle.info()}))
+    for q in args.query or []:
+        df = handle.topk(q, args.k, args.mode)
+        print(f"# {q}")
+        print(df.to_string(index=False))
+    if not args.detached and not args.query:
+        print("(no --query given and not --detached: replicas stop with this driver)")
+    return 0
+
+
 def cmd_admin(args) -> int:
     from . import admin
 
@@ -120,6 +141,24 @@ def main(argv=None) -> int:
         "--sf-dir", default=None, help="documents dir (faithful_boosted title map)"
     )
     q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser(
+        "serve", help="start the named query-serving actor pool"
+    )
+    s.add_argument("--index-dir", required=True)
+    s.add_argument("--replicas", type=int, default=2)
+    s.add_argument("--name", default="raystorm-server")
+    s.add_argument("--sf-dir", default=None)
+    s.add_argument("--detached", action="store_true",
+                   help="replicas outlive this driver (cluster mode)")
+    s.add_argument("--query", action="append", help="evaluate via the pool")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument(
+        "--mode",
+        choices=("bm25", "bm25_pruned", "faithful", "faithful_boosted"),
+        default="bm25",
+    )
+    s.set_defaults(fn=cmd_serve)
 
     a = sub.add_parser(
         "admin", help="index lifecycle: rename/delete/swap/info"

@@ -65,3 +65,28 @@ def test_swap_refuses_incomplete_candidate(index_pair, tmp_path):
     (d / "manifest.json").write_text(json.dumps({"status": "building"}))
     with pytest.raises(ValueError):
         admin.swap_index(str(d), str(tmp_path / "live"))
+
+
+def test_serve_actor_pool_matches_direct_index(index_pair):
+    """Named-actor serving replicas (SearchServer analog) must answer
+    exactly like a locally loaded SegmentIndex, and start() must be
+    idempotent (get_if_exists reconnects instead of reloading)."""
+    from raystorm import serve
+
+    _root, live, _cand = index_pair
+    h = serve.start(live, replicas=2, name="t-serve")
+    try:
+        direct = query.SegmentIndex(live)
+        for text in ("hash join", "the", "zzzabsent"):
+            a = h.topk(text, 10, "bm25")  # round-robins both replicas
+            b = h.topk(text, 10, "bm25")
+            want = direct.topk(text, 10, "bm25")
+            pd.testing.assert_frame_equal(a, want)
+            pd.testing.assert_frame_equal(b, want)
+        assert h.info()["n_terms"] > 0
+        h2 = serve.start(live, replicas=2, name="t-serve")  # reconnect
+        pd.testing.assert_frame_equal(
+            h2.topk("hash join", 10, "bm25"), direct.topk("hash join", 10, "bm25")
+        )
+    finally:
+        assert serve.stop(replicas=2, name="t-serve") == 2
