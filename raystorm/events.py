@@ -227,3 +227,167 @@ FROM marked m
 LEFT JOIN ordered o ON o.user_id = m.user_id AND o.rn = m.mark_rn
 ORDER BY m.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# range join (brief: "an operator Ray Data lacks — as-of join, range
+# join": same composition — groupby(user).map_groups with a vectorized
+# interval search inside the group)
+# ---------------------------------------------------------------------------
+
+RANGE_MARK = "purchase"
+RANGE_REF = "error"
+RANGE_WINDOW_MIN = 10
+
+
+def range_join_errors(sf_dir: str):
+    """For every '{RANGE_MARK}' event: how many '{RANGE_REF}' events the
+    same user had in the strict interval [ts - 10 min, ts), plus the
+    latest such event's id (-1 if none) — a banded time-range join.
+
+    Partitioning assumption: per-user groups (hash partition on
+    user_id), like ``asof_last_click``; inside the group the interval
+    membership is two vectorized ``searchsorted`` probes over the
+    time-sorted reference rows.  All timestamp math is integer
+    microseconds on both engines — no fractional-epoch drift.
+    """
+
+    def rjoin(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        is_ref = (g["event_type"] == RANGE_REF).to_numpy()
+        ref_pos = np.nonzero(is_ref)[0]
+        ref_us = us[ref_pos]
+        is_mark = (g["event_type"] == RANGE_MARK).to_numpy()
+        mp = np.nonzero(is_mark)[0]
+        lo = np.searchsorted(ref_us, us[mp] - RANGE_WINDOW_MIN * 60_000_000, "left")
+        hi = np.searchsorted(ref_us, us[mp], "left")  # strict: ref.ts < mark.ts
+        n = (hi - lo).astype(np.int64)
+        last = np.full(len(mp), -1, np.int64)
+        has = hi > lo
+        # latest ref in-window: max event_id among ties on the max ts is
+        # not needed — ref rows are (ts, event_id)-sorted, so hi-1 is it
+        last[has] = eid[ref_pos[hi[has] - 1]]
+        return pd.DataFrame(
+            {
+                "event_id": eid[mp],
+                "user_id": np.full(len(mp), int(group["user_id"].iloc[0]), np.int64),
+                "n_errors_10m": n,
+                "last_error_id": last,
+            }
+        )
+
+    out = (
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(rjoin, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+RANGE_JOIN_ERRORS_SQL = f"""
+WITH marks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = '{RANGE_MARK}'
+),
+refs AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = '{RANGE_REF}'
+),
+pairs AS (
+  SELECT m.event_id, m.user_id, r.event_id AS rid, r.ts AS rts
+  FROM marks m JOIN refs r
+    ON r.user_id = m.user_id
+   AND r.ts >= m.ts - INTERVAL '{RANGE_WINDOW_MIN} minutes'
+   AND r.ts < m.ts
+),
+latest AS (
+  SELECT event_id, rid FROM (
+    SELECT event_id, rid,
+           row_number() OVER (PARTITION BY event_id ORDER BY rts DESC, rid DESC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT event_id, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY event_id
+)
+SELECT m.event_id, m.user_id,
+       coalesce(c.n, 0) AS n_errors_10m,
+       coalesce(l.rid, -1) AS last_error_id
+FROM marks m
+LEFT JOIN counts c USING (event_id)
+LEFT JOIN latest l USING (event_id)
+ORDER BY m.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding (hopping) window aggregate — each event lands in
+# WINDOW_MIN/HOP_MIN windows; the tumbling window_agg above is the
+# degenerate hop == size case
+# ---------------------------------------------------------------------------
+
+SLIDE_SIZE_MIN = 60
+SLIDE_HOP_MIN = 30
+
+
+def window_sliding(sf_dir: str):
+    """1-hour windows hopping every 30 min, per event_type: count +
+    sum(value).  Each event explodes into size/hop window keys inside
+    ``map_batches`` (vectorized floor arithmetic), then the same
+    partial-combine + small groupby as the tumbling variant — shuffle
+    volume is windows x types x blocks, not events."""
+    from ray.data.aggregate import Sum
+
+    n_wins = SLIDE_SIZE_MIN // SLIDE_HOP_MIN
+    hop_us = SLIDE_HOP_MIN * 60_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        base = (us // hop_us) * hop_us  # latest window start containing ts
+        starts = base[None, :] - hop_us * np.arange(n_wins)[:, None]
+        t = pa.table(
+            {
+                "window_start": pa.array(
+                    starts.reshape(-1).astype("datetime64[us]")
+                ),
+                "event_type": pa.concat_arrays(
+                    [batch["event_type"].combine_chunks()] * n_wins
+                ),
+                "value": pa.concat_arrays(
+                    [batch["value"].combine_chunks()] * n_wins
+                ),
+            }
+        )
+        return t.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
+
+    out = (
+        _events(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("value_sum", alias_name="sum_value"),
+            Sum("count_all", alias_name="n_events"),
+        )
+    )
+    pdf = out.to_pandas().sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    pdf["sum_value"] = round_half_up(pdf["sum_value"].to_numpy(), ROUND)
+    return pdf
+
+
+WINDOW_SLIDING_SQL = f"""
+WITH hops AS (SELECT unnest(generate_series(0, {SLIDE_SIZE_MIN // SLIDE_HOP_MIN - 1})) AS k),
+exploded AS (
+  SELECT make_timestamp((epoch_us(e.ts) // {SLIDE_HOP_MIN * 60_000_000} - h.k)
+                        * {SLIDE_HOP_MIN * 60_000_000}) AS window_start,
+         e.event_type, e.value
+  FROM events e CROSS JOIN hops h
+)
+SELECT window_start, event_type,
+       round(sum(value), {ROUND}) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM exploded
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""

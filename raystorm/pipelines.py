@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from . import (
     analysis,
+    curate,
     dedup,
     events,
     multimodal,
@@ -40,6 +41,7 @@ def registry() -> dict:
         "fingerprint": (analysis.fingerprint, analysis.fingerprint_sql()),
         "winnow_fingerprints": (lambda sf: analysis.winnow_fingerprints(sf).to_pandas(), analysis.winnow_fingerprints_sql()),
         "corpus_quality": (analysis.corpus_quality, analysis.CORPUS_QUALITY_SQL),
+        "curate": (curate.curate, curate.curate_sql()),
         # --- dedup family ---
         "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
         "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.dedup_ngram_jaccard_sql()),
@@ -62,8 +64,10 @@ def registry() -> dict:
         ),
         # --- stream windows ---
         "window_agg": (events.window_agg, events.WINDOW_AGG_SQL),
+        "window_sliding": (events.window_sliding, events.WINDOW_SLIDING_SQL),
         "sessionize": (events.sessionize, events.SESSIONIZE_SQL),
         "asof_last_click": (events.asof_last_click, events.ASOF_LAST_CLICK_SQL),
+        "range_join_errors": (events.range_join_errors, events.RANGE_JOIN_ERRORS_SQL),
         # --- multimodal plumbing (stubbed decode; oracle mirrors the fake) ---
         "media_features": (lambda sf: multimodal.media_features(sf).to_pandas(), multimodal.media_features_sql()),
         "media_resized": (lambda sf: multimodal.media_resized(sf).to_pandas(), multimodal.media_resized_sql()),
