@@ -81,12 +81,16 @@ BENCH_NAMES = (
     "revenue_by_priority",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_embedding_ivf",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "window_agg",
+    "window_sliding",
     "sessionize",
     "asof_last_click",
+    "range_join_errors",
     "textrank",
+    "curate",
 )
 
 
