@@ -159,8 +159,10 @@ SCALING_CONVS = 200_000
 
 
 #: fresh-process repetitions per CPU level; min is taken (least-noise
-#: estimator — single-box runs vary with object-store/page-cache state)
-SCALING_REPEATS = 3
+#: estimator — hypervisor steal makes identical 32-CPU runs swing 2x:
+#: measured 94.9 / 161.1 / 187.0 s back-to-back, while 8-CPU runs stay
+#: within 1%; wide runs need more repeats to reach their floor)
+SCALING_REPEATS = 4
 
 
 def main_scaling(sf_dir: str) -> dict:

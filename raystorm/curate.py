@@ -109,8 +109,11 @@ def curate(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
+    # task pool, not an actor pool: the stage's setup (marker arrays) is
+    # trivial, and a fixed actor count would cap map parallelism
+    # (CLAUDE.md round-1 gotcha)
     out = (
-        ds.map_batches(CurateStage, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(CurateStage(), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(rep_only, batch_format="pandas")
         .to_pandas()

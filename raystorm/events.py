@@ -391,3 +391,63 @@ FROM exploded
 GROUP BY window_start, event_type
 ORDER BY window_start, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# semi-structured column extraction (the events.props JSON strings) —
+# regex-extract a field vectorized (RE2 kernel), bucket, aggregate
+# ---------------------------------------------------------------------------
+
+PROPS_BUCKET = 10
+
+
+def props_agg(sf_dir: str):
+    """Parse ``props`` JSON strings (regex-extracted 'k' field), bucket
+    k by 10, and aggregate count + sum(value) per (event_type, bucket).
+
+    The extraction is one RE2 kernel call per batch
+    (``pc.extract_regex``) — the semi-structured-parsing shape where the
+    JSON stays a string column and only the needed field leaves it.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)')
+        k = pc.struct_field(m, "k").cast(pa.string()).cast(pa.int64())
+        karr = k.to_numpy(zero_copy_only=False)
+        bucket = (karr // PROPS_BUCKET) * PROPS_BUCKET
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "k_bucket": pa.array(bucket, pa.int64()),
+                "value": batch["value"],
+            }
+        )
+        return t.group_by(["event_type", "k_bucket"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
+
+    out = (
+        _events(sf_dir, ["event_type", "value", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "k_bucket"])
+        .aggregate(
+            Sum("value_sum", alias_name="sum_value"),
+            Sum("count_all", alias_name="n_events"),
+        )
+    )
+    pdf = out.to_pandas().sort_values(["event_type", "k_bucket"]).reset_index(drop=True)
+    pdf["sum_value"] = round_half_up(pdf["sum_value"].to_numpy(), ROUND)
+    return pdf
+
+
+PROPS_AGG_SQL = f"""
+SELECT event_type,
+       (CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) // {PROPS_BUCKET}) * {PROPS_BUCKET} AS k_bucket,
+       round(sum(value), {ROUND}) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type, (CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) // {PROPS_BUCKET}) * {PROPS_BUCKET}
+ORDER BY event_type, k_bucket
+"""

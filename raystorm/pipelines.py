@@ -54,6 +54,7 @@ def registry() -> dict:
         "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL),
         "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ann_lsh_topk_sql()),
         "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_TOPK_SQL),
+        "kmeans_cells": (similarity.kmeans_cells, similarity.kmeans_cells_sql()),
         # --- positional postings (AnchorTextIndexer path) ---
         "positional_postings": (positional.positional_postings, positional.positional_postings_sql()),
         # --- graph rank (PageRank analog) ---
@@ -68,6 +69,7 @@ def registry() -> dict:
         "sessionize": (events.sessionize, events.SESSIONIZE_SQL),
         "asof_last_click": (events.asof_last_click, events.ASOF_LAST_CLICK_SQL),
         "range_join_errors": (events.range_join_errors, events.RANGE_JOIN_ERRORS_SQL),
+        "props_agg": (events.props_agg, events.PROPS_AGG_SQL),
         # --- multimodal plumbing (stubbed decode; oracle mirrors the fake) ---
         "media_features": (lambda sf: multimodal.media_features(sf).to_pandas(), multimodal.media_features_sql()),
         "media_resized": (lambda sf: multimodal.media_resized(sf).to_pandas(), multimodal.media_resized_sql()),

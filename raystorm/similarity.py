@@ -471,3 +471,199 @@ ranked AS (
 SELECT query_vec, rank, vec_id, cosine FROM ranked
 WHERE rank <= {TOP_K} ORDER BY query_vec, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# spherical k-means (iterative algorithm over embeddings — Lloyd's
+# iterations with a deterministic data-derived init, so the SQL oracle
+# can unroll them exactly like textrank's)
+# ---------------------------------------------------------------------------
+
+#: fixed Lloyd iterations (unrolled in the SQL oracle)
+KM_ITERS = 3
+#: parity anchor: centroid coordinates round to 6 decimals after every
+#: update, so both engines feed bit-identical centroids into the next
+#: assignment no matter their float-sum association
+KM_ROUND = 6
+
+
+def kmeans_cells(sf_dir: str):
+    """Spherical k-means over ``embeddings``: centroids init from the
+    IVF_STRIDE vectors, KM_ITERS Lloyd iterations (assign by rounded
+    cosine, tie -> lowest cell id; recenter = per-dimension mean of the
+    assigned raw vectors, rounded), then the final assignment.
+
+    Output: (vec_id, cell, cosine) — cell is the init vector's vec_id.
+
+    Ray shape: centroids broadcast per iteration; each batch assigns
+    vectorized and emits a (k x dim) partial sum + count matrix, so the
+    per-iteration reduce is k·dim floats per block — a driver vector
+    add, never a shuffle (the textrank broadcast-iteration pattern on a
+    dense key space).
+    """
+    import ray
+    import ray.data as rd
+
+    cids, _ = _load_centroids(sf_dir)
+    # raw (unnormalized) init vectors — cosine handles norms
+    import pyarrow.parquet as pq
+
+    init = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(c) for c in cids])],
+    )
+    order = np.argsort(init["vec_id"].to_numpy())
+    cent = np.vstack(
+        init["embedding"].to_numpy(zero_copy_only=False)[order]
+    ).astype(np.float64)
+    cells = init["vec_id"].to_numpy()[order]
+    k, dim = cent.shape
+
+    class AssignPartial:
+        """embeddings batch -> per-cell (sum-vector, count) partials."""
+
+        def __init__(self, ref):
+            self.ref = ref
+            self._c = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._c is None:
+                obj = self.ref
+                self._c = obj if isinstance(obj, np.ndarray) else _get_ref(obj)
+            c = self._c
+            m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            cos = round_half_up(
+                (m @ c.T)
+                / (
+                    np.linalg.norm(m, axis=1, keepdims=True)
+                    * np.linalg.norm(c, axis=1)[None, :]
+                ),
+                KM_ROUND,
+            )
+            best = cos.argmax(axis=1)  # ties -> lowest index == cell asc
+            sums = np.zeros((k, m.shape[1]), np.float64)
+            np.add.at(sums, best, m)
+            counts = np.bincount(best, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "ci": pa.array(np.arange(k), pa.int64()),
+                    "count": pa.array(counts, pa.int64()),
+                    "sums": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    for _it in range(KM_ITERS):
+        ref = ray.put(cent)
+        pdf = ds.map_batches(AssignPartial(ref), batch_format="pyarrow").to_pandas()
+        sums = np.zeros((k, dim), np.float64)
+        counts = np.zeros(k, np.int64)
+        np.add.at(sums, pdf["ci"].to_numpy(np.int64), np.vstack(pdf["sums"].to_numpy()))
+        np.add.at(counts, pdf["ci"].to_numpy(np.int64), pdf["count"].to_numpy(np.int64))
+        nonempty = counts > 0
+        new = cent.copy()  # empty cells keep their previous centroid
+        new[nonempty] = round_half_up(
+            sums[nonempty] / counts[nonempty, None], KM_ROUND
+        )
+        cent = new
+
+    class FinalAssign:
+        def __init__(self, ref, cells):
+            self.ref = ref
+            self.cells = cells
+            self._c = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._c is None:
+                obj = self.ref
+                self._c = obj if isinstance(obj, np.ndarray) else _get_ref(obj)
+            c = self._c
+            m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            cos = round_half_up(
+                (m @ c.T)
+                / (
+                    np.linalg.norm(m, axis=1, keepdims=True)
+                    * np.linalg.norm(c, axis=1)[None, :]
+                ),
+                KM_ROUND,
+            )
+            best = cos.argmax(axis=1)
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "cell": pa.array(self.cells[best], pa.int64()),
+                    "cosine": pa.array(cos[np.arange(len(m)), best]),
+                }
+            )
+
+    out = (
+        ds.map_batches(FinalAssign(ray.put(cent), cells), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def kmeans_cells_sql() -> str:
+    """Unrolled Lloyd iterations (MATERIALIZED — see textrank oracle)."""
+    dims = f"(SELECT unnest(generate_series(1, {DIM})) AS d)"
+    parts = [
+        f"""
+cent0 AS MATERIALIZED (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+)"""
+    ]
+    for it in range(1, KM_ITERS + 1):
+        prev = f"cent{it - 1}"
+        parts.append(
+            f"""
+assign{it} AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c), {KM_ROUND}) DESC,
+                      c.cell) AS rn
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+means{it} AS MATERIALIZED (
+  SELECT a.cell, dd.d, round(avg(e.embedding[dd.d]), {KM_ROUND}) AS v
+  FROM assign{it} a
+  JOIN embeddings e USING (vec_id)
+  CROSS JOIN {dims} dd
+  GROUP BY a.cell, dd.d
+),
+cent{it} AS MATERIALIZED (
+  SELECT p.cell,
+         coalesce(m.c, p.c) AS c
+  FROM {prev} p
+  LEFT JOIN (SELECT cell, list(v ORDER BY d) AS c FROM means{it} GROUP BY cell) m
+    USING (cell)
+)"""
+        )
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT f.vec_id, f.cell,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c), {KM_ROUND}) AS cosine
+FROM (
+  SELECT e2.vec_id, c2.cell,
+         row_number() OVER (PARTITION BY e2.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), c2.c), {KM_ROUND}) DESC,
+                    c2.cell) AS rn
+  FROM embeddings e2 CROSS JOIN cent{KM_ITERS} c2
+) f
+JOIN embeddings e ON e.vec_id = f.vec_id
+JOIN cent{KM_ITERS} c ON c.cell = f.cell
+WHERE f.rn = 1
+ORDER BY f.vec_id
+"""
