@@ -16,9 +16,11 @@ Every stage is Ray-Data-shaped for scale:
   dispatch overhead dominates tiny groups); exact signature/band-key
   matching and pair explosion happen vectorized inside ``map_groups``;
 - verification (MinHash): exact Jaccard over *candidate docs only* — one
-  filtered shingle pass, doc shingle-sets broadcast (``ray.put``) into a
-  streamed verify over pair batches — never a full cross join and no
-  full-corpus shingle shuffle.
+  filtered shingle pass; under ``MAX_BROADCAST_PAIRS`` the candidate
+  shingles broadcast as a CSR (numpy buffers) and each LSH-pair batch
+  intersects vectorized; past the cap everything switches to pure
+  hash-shuffle joins with zero driver state.  n-gram Jaccard's union
+  sizes always arrive by joins (no corpus-sized driver map anywhere).
 
 Exact DuckDB mirrors are emitted for the driver oracle; all hashes are
 the shared 60-bit md5 (``analysis.md5int60``) so both sides agree.

@@ -13,8 +13,10 @@ turn_idx asc) within each term — exactly the reference's posting order,
 but as real columns instead of ``url:p1 p2,url2:p1`` strings.
 
 Shape: tokenize+explode in ``map_batches`` (the ``flatMapToPair``
-analog), one ``groupby(term).map_groups`` shuffle (the ``foldByKey`` +
-``valueProcessing`` analog).
+analog), one coarse-bucket ``groupby(hash(term) % N_BUCKETS)`` shuffle
+(one group per TERM would pay per-group dispatch that dwarfs compute —
+the dedup.py lesson); per-term posting assembly happens vectorized
+inside each bucket.
 """
 
 from __future__ import annotations
@@ -24,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 
 from . import corpus, normalize
+from .analysis import md5int60_np
+from .dedup import N_BUCKETS
 
 
 def positional_postings(sf_dir: str):
@@ -32,37 +36,44 @@ def positional_postings(sf_dir: str):
     def explode(batch: pa.Table) -> pa.Table:
         toks, rows, pos = normalize.tokenize_with_positions(batch["text"], "body")
         r = pa.array(rows)
+        bucket = (md5int60_np(toks) % N_BUCKETS).astype(np.int32) if len(toks) else np.empty(0, np.int32)
         return pa.table(
             {
                 "term": pa.array(toks, pa.string()),
                 "conv_id": batch["conv_id"].take(r),
                 "turn_idx": batch["turn_idx"].take(r),
                 "pos": pa.array(pos, pa.int64()),
+                "bucket": pa.array(bucket),
             }
         )
 
     def build(group: pd.DataFrame) -> pd.DataFrame:
-        term = group["term"].iloc[0]
         agg = (
             group.sort_values("pos")
-            .groupby(["conv_id", "turn_idx"], sort=True)["pos"]
+            .groupby(["term", "conv_id", "turn_idx"], sort=True)["pos"]
             .agg([("tf", "size"), ("positions", lambda p: " ".join(map(str, p)))])
             .reset_index()
         )
         order = np.lexsort(
-            (agg["turn_idx"].to_numpy(), agg["conv_id"].to_numpy(), -agg["tf"].to_numpy())
+            (
+                agg["turn_idx"].to_numpy(),
+                agg["conv_id"].to_numpy(),
+                -agg["tf"].to_numpy(),
+                agg["term"].to_numpy(),
+            )
         )
         agg = agg.iloc[order].reset_index(drop=True)
-        agg.insert(0, "term", term)
-        agg.insert(1, "doc_rank", np.arange(1, len(agg) + 1, dtype=np.int32))
+        agg["doc_rank"] = (
+            agg.groupby("term", sort=False).cumcount().to_numpy().astype(np.int32) + 1
+        )
         agg["turn_idx"] = agg["turn_idx"].astype(np.int32)
         agg["tf"] = agg["tf"].astype(np.int64)
-        return agg
+        return agg[["term", "doc_rank", "conv_id", "turn_idx", "tf", "positions"]]
 
     ds = corpus.transcripts_from_documents(sf_dir)
     out = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("term")
+        .groupby("bucket")
         .map_groups(build, batch_format="pandas")
     )
     return (
