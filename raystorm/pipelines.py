@@ -63,6 +63,7 @@ def registry() -> dict:
             textrank.textrank_converged,
             textrank.textrank_converged_sql(),
         ),
+        "textrank_report": (textrank.textrank_report, textrank.textrank_report_sql()),
         # --- stream windows ---
         "window_agg": (events.window_agg, events.WINDOW_AGG_SQL),
         "window_sliding": (events.window_sliding, events.WINDOW_SLIDING_SQL),

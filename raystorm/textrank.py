@@ -395,3 +395,72 @@ r{it} AS MATERIALIZED (
     return (
         f"WITH {body}\nSELECT node, r AS rank FROM r{MAX_ITERS} ORDER BY node"
     )
+
+
+# ---------------------------------------------------------------------------
+# final ranking report — PageRank.java:245-278's driver-side post-pass:
+# collect ranks, social-media hosts x0.10, merge the wiki family into
+# one entry, sort desc, top-1000 report.  Transcript analogs: the
+# common-word stoplist plays SOCIAL_MEDIA; words of <= FAMILY_MAXLEN
+# chars merge into one 'shortfamily(all)' entry the way *.wikipedia.org
+# variants merge into WikiFamily(all).
+# ---------------------------------------------------------------------------
+
+#: SOCIAL_MEDIA analog (PageRank.java:14-23): downweighted x0.10
+SOCIAL_WORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+SOCIAL_FACTOR = 0.10
+#: isWikiFamily analog (PageRank.java:26-33): merged into one entry
+FAMILY_MAXLEN = 2
+FAMILY_KEY = "shortfamily(all)"
+REPORT_K = 1000
+
+
+def textrank_report(sf_dir: str):
+    """Top-1000 final ranking after social downweight + family merge.
+
+    Output: (pos, node, score) — score %.8f-rounded, ties -> node asc
+    (the reference's sort is value-desc only; the tie rule pins
+    determinism).  The post-pass is node-level (vocabulary-sized) and
+    runs on the driver exactly like the reference's collect loop.
+    """
+    base = textrank(sf_dir)
+    node = base["node"].to_numpy()
+    v = base["rank"].to_numpy().copy()
+    social = np.isin(node, np.array(SOCIAL_WORDS, object))
+    v[social] = v[social] * SOCIAL_FACTOR
+    lens = np.array([len(n) for n in node])
+    fam = lens <= FAMILY_MAXLEN
+    keep_nodes = np.append(node[~fam], FAMILY_KEY)
+    keep_v = np.append(v[~fam], v[fam].sum())
+    score = round_half_up(keep_v, ROUND)
+    order = np.lexsort((keep_nodes, -score))[:REPORT_K]
+    return pd.DataFrame(
+        {
+            "pos": np.arange(1, len(order) + 1, dtype=np.int32),
+            "node": keep_nodes[order],
+            "score": score[order],
+        }
+    )
+
+
+def textrank_report_sql() -> str:
+    social = ", ".join(f"'{w}'" for w in SOCIAL_WORDS)
+    return f"""
+WITH tr AS ({textrank_sql()}),
+adj AS (
+  SELECT node,
+         CASE WHEN node IN ({social}) THEN rank * {SOCIAL_FACTOR} ELSE rank END AS v
+  FROM tr
+),
+merged AS (
+  SELECT node, v FROM adj WHERE length(node) > {FAMILY_MAXLEN}
+  UNION ALL
+  SELECT '{FAMILY_KEY}' AS node, sum(v) AS v
+  FROM adj WHERE length(node) <= {FAMILY_MAXLEN}
+)
+SELECT CAST(row_number() OVER (ORDER BY round(v, {ROUND}) DESC, node) AS INTEGER) AS pos,
+       node, round(v, {ROUND}) AS score
+FROM merged
+ORDER BY round(v, {ROUND}) DESC, node
+LIMIT {REPORT_K}
+"""
