@@ -76,10 +76,24 @@ def run_suite(
         timings["query_batch_bm25"] = time.perf_counter() - t0
         extras["query_batch_rows"] = float(len(out))
 
+        # block-max/MaxScore-pruned mode (the north-star query stage;
+        # rank-identical to exhaustive — gated by the same oracle)
+        t0 = time.perf_counter()
+        qds.map_batches(
+            query.QueryScorer,
+            fn_constructor_kwargs={"index_dir": idx_sf, "mode": "bm25_pruned"},
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=4,
+        ).to_pandas()
+        timings["query_batch_pruned"] = time.perf_counter() - t0
+
         # -- 3. per-query latency p50/p99 (warm index, serving path) ---------
         idx = query.SegmentIndex(idx_sf)
-        lat = []
         qset = query.REFERENCE_QUERIES
+        for _qid, text, k in qset:  # warm pass: fault in the mmap pages
+            idx.topk(text, int(k), "bm25")
+        lat = []
         for _rep in range(20):
             for _qid, text, k in qset:
                 t0 = time.perf_counter()
