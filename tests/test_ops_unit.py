@@ -165,3 +165,68 @@ def test_dedup_embedding_ivf_subset_and_recall(ray_session):
     ki = set(zip(ivf.vec_a, ivf.vec_b))
     assert ki <= kx
     assert len(ki) / max(1, len(kx)) >= 0.7  # measured 0.86 (2-probe) on sf data
+
+
+def test_range_join_interval_semantics():
+    """Spec check of the banded range join's interval math (the same
+    searchsorted probes rjoin uses): strict upper bound, 10-minute
+    closed lower bound, latest-ref selection, no-ref marks -> -1."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mins = lambda m: base + np.timedelta64(m * 60_000_000, "us")
+    g = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [7] * 6,
+            "ts": [mins(0), mins(5), mins(9), mins(10), mins(30), mins(41)],
+            "event_type": ["error", "error", "purchase", "error", "purchase", "purchase"],
+        }
+    )
+    # purchase@9min: errors at 0,5 in [-1min..9) -> both (0 >= 9-10) -> n=2, last=2
+    # purchase@30min: errors at 0,5,10 -> window [20,30) -> none -> n=0, last=-1
+    # purchase@41min: none in [31,41) -> n=0
+    want = {3: (2, 2), 5: (0, -1), 6: (0, -1)}
+    gg = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    us = gg["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    eid = gg["event_id"].to_numpy()
+    is_ref = (gg["event_type"] == "error").to_numpy()
+    ref_pos = np.nonzero(is_ref)[0]
+    ref_us = us[ref_pos]
+    mp = np.nonzero((gg["event_type"] == "purchase").to_numpy())[0]
+    lo = np.searchsorted(ref_us, us[mp] - 10 * 60_000_000, "left")
+    hi = np.searchsorted(ref_us, us[mp], "left")
+    for i, m in enumerate(mp):
+        n, last = want[int(eid[m])]
+        assert hi[i] - lo[i] == n
+        got_last = int(eid[ref_pos[hi[i] - 1]]) if hi[i] > lo[i] else -1
+        assert got_last == last
+
+
+def test_textrank_report_rules():
+    """Post-pass semantics: social words x0.10, short words merge into
+    the family entry, ties break node-ascending."""
+    from raystorm import textrank as tr
+
+    base = pd.DataFrame(
+        {
+            "node": np.array(["aa", "the", "zebra", "apple", "b"], object),
+            "rank": np.array([0.1, 0.5, 0.04, 0.05, 0.02]),
+        }
+    )
+    node = base["node"].to_numpy()
+    v = base["rank"].to_numpy().copy()
+    social = np.isin(node, np.array(tr.SOCIAL_WORDS, object))
+    v[social] *= tr.SOCIAL_FACTOR
+    fam = np.array([len(n) <= tr.FAMILY_MAXLEN for n in node])
+    # 'the' is social (0.5 -> 0.05) and len 3 -> not family
+    # 'aa' (0.1) + 'b' (0.02) merge -> 0.12
+    keep_nodes = np.append(node[~fam], tr.FAMILY_KEY)
+    keep_v = np.append(v[~fam], v[fam].sum())
+    from raystorm.analysis import round_half_up
+
+    score = round_half_up(keep_v, tr.ROUND)
+    order = np.lexsort((keep_nodes, -score))
+    ranked = list(zip(keep_nodes[order], score[order]))
+    assert ranked[0] == (tr.FAMILY_KEY, 0.12)
+    # 'apple' and 'the' tie at 0.05 -> 'apple' first (node asc)
+    assert ranked[1] == ("apple", 0.05) and ranked[2] == ("the", 0.05)
+    assert ranked[3] == ("zebra", 0.04)
