@@ -30,6 +30,8 @@ def registry() -> dict:
         "intersection_nations": (relational.intersection_nations, relational.INTERSECTION_NATIONS_SQL),
         "sample_events": (relational.sample_events, relational.SAMPLE_EVENTS_SQL),
         "sample_bernoulli": (relational.sample_bernoulli, relational.SAMPLE_BERNOULLI_SQL),
+        "reservoir_sample": (relational.reservoir_sample, relational.RESERVOIR_SAMPLE_SQL),
+        "stratified_sample": (relational.stratified_sample, relational.STRATIFIED_SAMPLE_SQL),
         "customers_without_orders": (relational.customers_without_orders, relational.CUSTOMERS_WITHOUT_ORDERS_SQL),
         "topk_orders": (relational.topk_orders, relational.TOPK_ORDERS_SQL),
         "lineitem_totals": (relational.lineitem_totals, relational.LINEITEM_TOTALS_SQL),

@@ -377,6 +377,110 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# seeded exact-k sample + stratified per-group sample — the training-data
+# export primitives ("take exactly k uniform rows" / "cap k per stratum")
+# computed WITHOUT a global shuffle: ranking every key by a keyed 60-bit
+# md5 defines one uniform permutation, so the k smallest hashes ARE a
+# uniform without-replacement sample, and smallest-k distributes as
+# per-block partial top-k + tiny merge (the topk_orders shape).
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 200
+STRATA_K = 25
+
+
+def _hash60(prefix: str, ids: np.ndarray) -> np.ndarray:
+    from .analysis import md5int60_np
+
+    keys = np.array([f"{prefix}|{int(i)}" for i in ids], object)
+    return md5int60_np(keys)
+
+
+def reservoir_sample(sf_dir: str):
+    """Seeded exact-k uniform sample without replacement (reservoir-
+    sample analog, made deterministic): each block emits its own k
+    smallest keyed hashes (bounded k rows per block), the driver merges
+    the k·blocks candidates.  At 100 TB insert a ``repartition(16)`` +
+    re-partial hop between the map and the merge; no global sort or
+    shuffle is ever needed."""
+    k = RESERVOIR_K
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        h = _hash60("rsv", ids)
+        sel = np.sort(np.lexsort((ids, h))[:k])
+        return batch.take(pa.array(sel)).append_column("h", pa.array(h[sel]))
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((cand.event_id.to_numpy(), cand.h.to_numpy()))[:k]
+    out = cand.iloc[order].drop(columns=["h"]).reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int32))
+    return out
+
+
+RESERVOIR_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT event_id, event_type, value,
+         CAST('0x' || substring(md5('rsv|' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+  FROM events
+)
+SELECT CAST(row_number() OVER (ORDER BY hh, event_id) AS INTEGER) AS rank,
+       event_id, event_type, value
+FROM h ORDER BY hh, event_id LIMIT {RESERVOIR_K}
+"""
+
+
+def stratified_sample(sf_dir: str):
+    """Per-stratum exact-k sample: the k smallest keyed hashes per
+    ``event_type`` — the balanced-sampling primitive for training-data
+    curation (cap per language / per source).  Per block each stratum
+    contributes at most k candidates (vectorized run detection over a
+    (type, hash) lexsort), then a tiny per-stratum groupby resolves the
+    final k over k·blocks candidate rows."""
+    k = STRATA_K
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        h = _hash60("strat", ids)
+        order = np.lexsort((ids, h, types))
+        st = types[order]
+        starts = np.r_[0, np.flatnonzero(st[1:] != st[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(st)])
+        pos = np.arange(len(st)) - np.repeat(starts, counts)
+        sel = np.sort(order[pos < k])
+        return batch.take(pa.array(sel)).append_column("h", pa.array(h[sel]))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g.event_id.to_numpy(), g.h.to_numpy()))[:k]
+        out = g.iloc[o].drop(columns=["h"]).reset_index(drop=True)
+        out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int32))
+        return out
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    cand = ds.map_batches(partial, batch_format="pyarrow")
+    out = cand.groupby("event_type").map_groups(final, batch_format="pandas").to_pandas()
+    return out.sort_values(["event_type", "rank"]).reset_index(drop=True)
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT event_id, event_type, value,
+         CAST('0x' || substring(md5('strat|' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+  FROM events
+),
+r AS (
+  SELECT event_id, event_type, value,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY hh, event_id) AS INTEGER) AS rank
+  FROM h
+)
+SELECT rank, event_id, event_type, value FROM r
+WHERE rank <= {STRATA_K} ORDER BY event_type, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # top-k without full sort  (SearchServer.java:183-186 sort+limit;
 # PageRank.java:269-277 top-1000)
 # ---------------------------------------------------------------------------

@@ -230,3 +230,23 @@ def test_textrank_report_rules():
     # 'apple' and 'the' tie at 0.05 -> 'apple' first (node asc)
     assert ranked[1] == ("apple", 0.05) and ranked[2] == ("the", 0.05)
     assert ranked[3] == ("zebra", 0.04)
+
+
+def test_sampling_exact_k_and_strata(ray_session):
+    """reservoir_sample returns exactly K rows ranked by keyed hash;
+    stratified_sample returns exactly K per event_type; both are
+    deterministic across runs (seeded hash, not RNG)."""
+    from raystorm import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    res = rel.reservoir_sample(sf)
+    assert len(res) == rel.RESERVOIR_K
+    assert list(res["rank"]) == list(range(1, rel.RESERVOIR_K + 1))
+    assert res["event_id"].is_unique
+    res2 = rel.reservoir_sample(sf)
+    pd.testing.assert_frame_equal(res, res2)
+
+    st = rel.stratified_sample(sf)
+    per = st.groupby("event_type").size()
+    assert (per == rel.STRATA_K).all()
+    assert set(st.groupby("event_type")["rank"].max()) == {rel.STRATA_K}
