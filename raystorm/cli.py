@@ -95,6 +95,40 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_run(args) -> int:
+    """Run a registered pipeline; print its job output then a JSON summary.
+
+    Mirrors the reference's submit flow: ``FlameSubmit`` posts a job and
+    the response body is whatever the job passed to ``ctx.output``
+    (``FlameSubmit.java:11-59``, ``FlameContextImpl.java:18-25``).  Here
+    the job is a registry pipeline and the output block is accumulated
+    through :class:`raystorm.context.JobOutput`.
+    """
+    import time
+
+    from . import pipelines
+    from .context import JobOutput
+
+    _ensure_ray()
+    reg = pipelines.registry()
+    if args.pipeline not in reg:
+        print(f"unknown pipeline {args.pipeline!r}; one of: {', '.join(sorted(reg))}")
+        return 2
+    out = JobOutput()
+    fn, _sql = reg[args.pipeline]
+    t0 = time.perf_counter()
+    result = fn(args.sf_dir)
+    if hasattr(result, "to_pandas"):  # Dataset / pyarrow.Table -> DataFrame
+        result = result.to_pandas()
+    elapsed = time.perf_counter() - t0
+    out.output(f"pipeline {args.pipeline}: {len(result)} rows in {elapsed:.2f}s")
+    if args.head:
+        out.output(result.head(args.head).to_string(index=False))
+    print(out.value())
+    print(json.dumps({"pipeline": args.pipeline, "rows": len(result), "elapsed_s": round(elapsed, 3)}))
+    return 0
+
+
 def cmd_admin(args) -> int:
     from . import admin
 
@@ -159,6 +193,14 @@ def main(argv=None) -> int:
         default="bm25",
     )
     s.set_defaults(fn=cmd_serve)
+
+    r = sub.add_parser(
+        "run", help="run a registered pipeline (FlameSubmit analog)"
+    )
+    r.add_argument("--pipeline", required=True, help="name from pipelines.registry()")
+    r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    r.add_argument("--head", type=int, default=0, help="also print the first N rows")
+    r.set_defaults(fn=cmd_run)
 
     a = sub.add_parser(
         "admin", help="index lifecycle: rename/delete/swap/info"
