@@ -11,10 +11,12 @@ and report lines (e.g. ``CrawlQualityAnalyzer.java:27-55``).
 Ray-native shape: a zero-CPU actor holds the buffer so the driver *and*
 any task/actor in the job can append — a ``JobOutput`` handle is
 serializable (it carries only the actor handle) and may be captured by
-``map_batches`` callables.  Appends from one caller stay ordered (Ray
-orders calls per submitter, like the reference's per-thread appends);
-cross-worker interleaving is arrival order, matching the synchronized
-StringBuilder's semantics under concurrency.
+``map_batches`` callables.  ``output()`` blocks until the buffer holds
+the line, exactly like the reference's synchronized ``StringBuilder``
+append: when a stage (or the whole job) finishes, every line it emitted
+is already visible to ``lines()``/``value()``.  Appends from one caller
+stay ordered; cross-worker interleaving is arrival order, matching the
+synchronized StringBuilder's semantics under concurrency.
 
 Never calls ``ray.init`` — the session is owned by the caller
 (driver contract; see CLAUDE.md invariants).
@@ -63,9 +65,14 @@ class JobOutput:
         self._buf = _OutputBuffer.remote()
 
     def output(self, s) -> None:
-        """Append one line (fire-and-forget; ``None`` is ignored)."""
+        """Append one line (``None`` is ignored).
+
+        Blocks until the buffer actor applied the append — the
+        reference's ``synchronized`` semantics — so output emitted by a
+        completed stage is always visible to a subsequent ``value()``.
+        """
         if s is not None:
-            self._buf.append.remote(s)
+            ray.get(self._buf.append.remote(s))
 
     def lines(self) -> list[str]:
         return ray.get(self._buf.lines.remote())
