@@ -451,3 +451,42 @@ FROM events
 GROUP BY event_type, (CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) // {PROPS_BUCKET}) * {PROPS_BUCKET}
 ORDER BY event_type, k_bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# regex scrub (PII-style redaction over the semi-structured props column)
+# ---------------------------------------------------------------------------
+
+#: digit-run scrub — the synthetic stand-in for PII patterns (emails,
+#: phone numbers); both sides are RE2 (Arrow and DuckDB), so the
+#: pattern language is identical by construction.
+REDACT_PATTERN = "[0-9]+"
+REDACT_WITH = "#"
+
+
+def redact_props(sf_dir: str):
+    """Redact digit runs in ``props`` — the regex-scrub primitive a
+    training-data pipeline runs for PII removal.  Stateless one-pass
+    ``map_batches`` over the pruned two-column read; the regex kernel
+    is Arrow's RE2 ``replace_substring_regex`` (global, like the SQL
+    mirror's ``'g'`` flag)."""
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        red = pc.replace_substring_regex(
+            batch["props"], pattern=REDACT_PATTERN, replacement=REDACT_WITH
+        )
+        return pa.table({"event_id": batch["event_id"], "props_redacted": red})
+
+    return (
+        _events(sf_dir, ["event_id", "props"])
+        .map_batches(scrub, batch_format="pyarrow")
+        .sort("event_id")
+        .to_pandas()
+    )
+
+
+REDACT_PROPS_SQL = f"""
+SELECT event_id, regexp_replace(props, '{REDACT_PATTERN}', '{REDACT_WITH}', 'g') AS props_redacted
+FROM events ORDER BY event_id
+"""

@@ -13,6 +13,7 @@ from . import (
     dedup,
     events,
     multimodal,
+    ngrams,
     positional,
     relational,
     similarity,
@@ -32,6 +33,7 @@ def registry() -> dict:
         "sample_bernoulli": (relational.sample_bernoulli, relational.SAMPLE_BERNOULLI_SQL),
         "reservoir_sample": (relational.reservoir_sample, relational.RESERVOIR_SAMPLE_SQL),
         "stratified_sample": (relational.stratified_sample, relational.STRATIFIED_SAMPLE_SQL),
+        "top_per_group": (relational.top_per_group, relational.TOP_PER_GROUP_SQL),
         "customers_without_orders": (relational.customers_without_orders, relational.CUSTOMERS_WITHOUT_ORDERS_SQL),
         "topk_orders": (relational.topk_orders, relational.TOPK_ORDERS_SQL),
         "lineitem_totals": (relational.lineitem_totals, relational.LINEITEM_TOTALS_SQL),
@@ -44,6 +46,10 @@ def registry() -> dict:
         "winnow_fingerprints": (lambda sf: analysis.winnow_fingerprints(sf).to_pandas(), analysis.winnow_fingerprints_sql()),
         "corpus_quality": (analysis.corpus_quality, analysis.CORPUS_QUALITY_SQL),
         "curate": (curate.curate, curate.curate_sql()),
+        # --- corpus n-gram family (decontamination / repetition / LM counts) ---
+        "decontaminate": (ngrams.decontaminate, ngrams.decontaminate_sql()),
+        "repetition_stats": (ngrams.repetition_stats, ngrams.repetition_stats_sql()),
+        "ngram_counts": (ngrams.ngram_counts, ngrams.ngram_counts_sql()),
         # --- dedup family ---
         "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
         "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.dedup_ngram_jaccard_sql()),
@@ -73,6 +79,7 @@ def registry() -> dict:
         "asof_last_click": (events.asof_last_click, events.ASOF_LAST_CLICK_SQL),
         "range_join_errors": (events.range_join_errors, events.RANGE_JOIN_ERRORS_SQL),
         "props_agg": (events.props_agg, events.PROPS_AGG_SQL),
+        "redact_props": (events.redact_props, events.REDACT_PROPS_SQL),
         # --- multimodal plumbing (stubbed decode; oracle mirrors the fake) ---
         "media_features": (lambda sf: multimodal.media_features(sf).to_pandas(), multimodal.media_features_sql()),
         "media_resized": (lambda sf: multimodal.media_resized(sf).to_pandas(), multimodal.media_resized_sql()),
@@ -96,6 +103,8 @@ BENCH_NAMES = (
     "range_join_errors",
     "textrank",
     "curate",
+    "decontaminate",
+    "ngram_counts",
 )
 
 

@@ -481,6 +481,62 @@ WHERE rank <= {STRATA_K} ORDER BY event_type, rank
 
 
 # ---------------------------------------------------------------------------
+# per-group top-k selection (balanced curation: cap the best docs kept
+# per language/source — the grouped analog of the sort+limit above)
+# ---------------------------------------------------------------------------
+
+TOP_PER_GROUP_K = 3
+
+
+def top_per_group(sf_dir: str):
+    """Top ``TOP_PER_GROUP_K`` documents per ``lang`` by
+    (``n_chars`` desc, ``doc_id`` asc).
+
+    Same two-level shape as ``stratified_sample``: each block
+    contributes at most k candidates per group (vectorized run
+    detection over a (lang, -n_chars, doc_id) lexsort), then a tiny
+    per-group groupby resolves the final k over k·blocks candidates —
+    no global sort, shuffle bounded by k x |groups| x blocks rows.
+    """
+    k = TOP_PER_GROUP_K
+
+    def partial(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nch, langs))
+        st = langs[order]
+        starts = np.r_[0, np.flatnonzero(st[1:] != st[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(st)])
+        pos = np.arange(len(st)) - np.repeat(starts, counts)
+        sel = np.sort(order[pos < k])
+        return batch.take(pa.array(sel))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g.doc_id.to_numpy(), -g.n_chars.to_numpy()))[:k]
+        out = g.iloc[o].reset_index(drop=True)
+        out.insert(1, "rk", np.arange(1, len(out) + 1, dtype=np.int64))
+        return out
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    cand = ds.map_batches(partial, batch_format="pyarrow")
+    out = cand.groupby("lang").map_groups(final, batch_format="pandas").to_pandas()
+    return out.sort_values(["lang", "rk"]).reset_index(drop=True)
+
+
+TOP_PER_GROUP_SQL = f"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+              AS BIGINT) AS rk
+  FROM documents
+)
+SELECT doc_id, rk, lang, n_chars FROM r WHERE rk <= {TOP_PER_GROUP_K}
+ORDER BY lang, rk
+"""
+
+
+# ---------------------------------------------------------------------------
 # top-k without full sort  (SearchServer.java:183-186 sort+limit;
 # PageRank.java:269-277 top-1000)
 # ---------------------------------------------------------------------------
