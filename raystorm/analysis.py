@@ -466,3 +466,77 @@ UNION
 SELECT doc_id, fp FROM large
 ORDER BY doc_id, fp
 """
+
+
+# ---------------------------------------------------------------------------
+# fixed-size sequence chunking (split documents into training-sequence
+# sized word chunks — the pre-packing step of an LM data pipeline)
+# ---------------------------------------------------------------------------
+
+#: words per chunk (a stand-in for the tokenizer's sequence length)
+CHUNK_W = 64
+
+
+def chunk_docs(sf_dir: str):
+    """Split every document into consecutive ``CHUNK_W``-word chunks.
+
+    Output: ``(doc_id, chunk_idx, chunk_text, n_words)`` — the last
+    chunk holds the remainder.  Fully vectorized: one Arrow word split
+    per batch, chunk boundaries found by run detection over
+    ``word_position // CHUNK_W``, chunk strings rebuilt with a single
+    ``ListArray`` + ``binary_join`` (no per-row Python).  Stateless
+    single pass; rows explode in place, nothing shuffles.
+    """
+    import ray.data as rd
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        words, row = split_words_arrow(batch["text"])
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_words": pa.array([], pa.int64()),
+            }
+        )
+        if not len(row):
+            return empty
+        counts = np.bincount(row, minlength=len(batch))
+        starts = np.r_[0, np.cumsum(counts)][:-1]
+        pos = np.arange(len(row)) - starts[row]
+        ck = pos // CHUNK_W
+        change = np.flatnonzero((row[1:] != row[:-1]) | (ck[1:] != ck[:-1])) + 1
+        offsets = np.r_[0, change, len(row)]
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), words)
+        texts = pc.binary_join(lists, " ")
+        first = offsets[:-1]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[row[first]], pa.int64()),
+                "chunk_idx": pa.array(ck[first], pa.int64()),
+                "chunk_text": texts,
+                "n_words": pa.array(np.diff(offsets), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .map_batches(chunk, batch_format="pyarrow")
+        .sort(["doc_id", "chunk_idx"])
+        .to_pandas()
+    )
+
+
+CHUNK_DOCS_SQL = f"""
+WITH p AS (SELECT doc_id, string_split(lower(text), ' ') AS parts FROM documents),
+c AS (
+  SELECT doc_id, s.i AS chunk_idx,
+         array_to_string(list_slice(parts, s.i * {CHUNK_W} + 1, (s.i + 1) * {CHUNK_W}), ' ') AS chunk_text,
+         least(len(parts) - s.i * {CHUNK_W}, {CHUNK_W}) AS n_words
+  FROM p, LATERAL (SELECT unnest(generate_series(0, (len(p.parts) - 1) // {CHUNK_W})) AS i) s
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+       CAST(n_words AS BIGINT) AS n_words
+FROM c ORDER BY doc_id, chunk_idx
+"""

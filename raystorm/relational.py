@@ -377,6 +377,44 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# weighted corpus mixing (per-source sampling rates — the "data mixture"
+# primitive: downsample each source to its mixture weight)
+# ---------------------------------------------------------------------------
+
+
+def mix_sources(sf_dir: str):
+    """Deterministic per-source weighted sampling: keep a document iff
+    its keyed 60-bit hash mod 100 falls below its source's rate
+    (rate_source = md5int60(source) % 100 + 1, i.e. 1..100% — a
+    deterministic stand-in for a configured mixture-weight table).
+
+    Integer-exact on both sides (no float thresholds), stateless one
+    pass, no shuffle — the shape a 100 TB mixing job needs; a real
+    weight table would be a broadcast dict keyed by source.
+    """
+    from .analysis import md5int60_np
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        srcs = batch["source"].to_numpy(zero_copy_only=False)
+        usrc, inv = np.unique(srcs, return_inverse=True)
+        rates = (md5int60_np(usrc) % 100 + 1)[inv]
+        hd = _hash60("mix", ids) % 100
+        return batch.filter(pa.array(hd < rates))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
+
+
+MIX_SOURCES_SQL = """
+SELECT doc_id, source FROM documents
+WHERE CAST('0x' || substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+      < CAST('0x' || substring(md5(source), 1, 15) AS BIGINT) % 100 + 1
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # seeded exact-k sample + stratified per-group sample — the training-data
 # export primitives ("take exactly k uniform rows" / "cap k per stratum")
 # computed WITHOUT a global shuffle: ranking every key by a keyed 60-bit

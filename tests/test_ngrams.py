@@ -88,3 +88,36 @@ def test_top_per_group_k_and_order(ray_session):
         assert (g["rk"].to_numpy() == np.arange(1, len(g) + 1)).all()
         nch = g["n_chars"].to_numpy()
         assert (np.diff(nch) <= 0).all()
+
+
+def test_chunk_docs_reconstructs_text(ray_session, duck):
+    from raystorm import analysis
+
+    out = analysis.chunk_docs(SF)
+    # chunk sizes: all CHUNK_W except the last chunk per doc
+    for _, g in out.groupby("doc_id"):
+        nw = g.sort_values("chunk_idx")["n_words"].to_numpy()
+        assert (nw[:-1] == analysis.CHUNK_W).all()
+        assert 1 <= nw[-1] <= analysis.CHUNK_W
+    # concatenating a doc's chunks reproduces its lowercased text
+    texts = duck.execute(
+        "SELECT doc_id, lower(text) AS t FROM documents ORDER BY doc_id"
+    ).df()
+    rebuilt = (
+        out.sort_values(["doc_id", "chunk_idx"])
+        .groupby("doc_id")["chunk_text"]
+        .agg(" ".join)
+    )
+    for did, t in zip(texts["doc_id"], texts["t"]):
+        assert rebuilt.loc[did] == t
+
+
+def test_mix_sources_rates(ray_session):
+    from raystorm.analysis import md5int60
+
+    out = rel.mix_sources(SF).to_pandas()
+    # kept docs only, and every source's keep-count is plausible for its
+    # deterministic rate (exact per-key decision, so just bound-check)
+    for src, g in out.groupby("source"):
+        rate = md5int60(src) % 100 + 1
+        assert len(g) >= 1 or rate <= 5
