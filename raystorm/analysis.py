@@ -540,3 +540,70 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
        CAST(n_words AS BIGINT) AS n_words
 FROM c ORDER BY doc_id, chunk_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles (per-source length percentiles — the
+# corpus-profiling step that sizes batch/sequence budgets)
+# ---------------------------------------------------------------------------
+
+#: (quantile, output column) pairs; rank = ceil(q·n), 1-based —
+#: DuckDB ``quantile_disc`` semantics, pinned by probe
+QUANTILE_COLS = ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+
+
+def length_quantiles(sf_dir: str):
+    """Exact discrete per-source quantiles of ``n_chars``.
+
+    Distributed as value counts, not a sort: each batch emits its
+    (source, n_chars) pair counts, one small groupby sums them
+    (|sources| x |distinct lengths| rows — bounded by the value domain,
+    not the corpus), and the driver walks each source's cumulative
+    counts to the ``ceil(q*n)`` rank.  No global sort at any scale.
+    """
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        u_s, s_inv = np.unique(src, return_inverse=True)
+        u_n, n_inv = np.unique(nch, return_inverse=True)
+        key = s_inv * len(u_n) + n_inv
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(u_s[uk // len(u_n)], pa.string()),
+                "n_chars": pa.array(u_n[uk % len(u_n)], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    counts = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "n_chars"])
+        .sum("cnt")
+        .to_pandas()
+    )
+    rows = []
+    for src, g in counts.groupby("source"):
+        g = g.sort_values("n_chars")
+        c = g["sum(cnt)"].to_numpy().cumsum()
+        vals = g["n_chars"].to_numpy()
+        row = {"source": src}
+        for q, name in QUANTILE_COLS:
+            rank = int(np.ceil(q * c[-1]))
+            row[name] = int(vals[np.searchsorted(c, rank)])
+        rows.append(row)
+    return pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+
+
+LENGTH_QUANTILES_SQL = """
+SELECT source,
+       quantile_disc(n_chars, 0.5) AS p50,
+       quantile_disc(n_chars, 0.9) AS p90,
+       quantile_disc(n_chars, 0.99) AS p99
+FROM documents GROUP BY source ORDER BY source
+"""

@@ -46,6 +46,7 @@ def registry() -> dict:
         "winnow_fingerprints": (lambda sf: analysis.winnow_fingerprints(sf).to_pandas(), analysis.winnow_fingerprints_sql()),
         "corpus_quality": (analysis.corpus_quality, analysis.CORPUS_QUALITY_SQL),
         "chunk_docs": (analysis.chunk_docs, analysis.CHUNK_DOCS_SQL),
+        "length_quantiles": (analysis.length_quantiles, analysis.LENGTH_QUANTILES_SQL),
         "mix_sources": (relational.mix_sources, relational.MIX_SOURCES_SQL),
         "curate": (curate.curate, curate.curate_sql()),
         # --- corpus n-gram family (decontamination / repetition / LM counts) ---

@@ -121,3 +121,11 @@ def test_mix_sources_rates(ray_session):
     for src, g in out.groupby("source"):
         rate = md5int60(src) % 100 + 1
         assert len(g) >= 1 or rate <= 5
+
+
+def test_length_quantiles_monotone(ray_session):
+    from raystorm import analysis
+
+    out = analysis.length_quantiles(SF)
+    assert (out["p50"] <= out["p90"]).all() and (out["p90"] <= out["p99"]).all()
+    assert out["source"].is_unique

@@ -70,3 +70,27 @@ def test_positions_parity_with_sql_ordinality():
     for r in np.unique(rows):
         p = pos[rows == r]
         assert p.tolist() == list(range(len(p)))
+
+def test_word_ngrams_sql_parity():
+    """The generalized n-gram kernel must agree with its SQL CTE on
+    adversarial strings for every (k, clamp) the ops use."""
+    import duckdb as _duck
+
+    from raystorm import ngrams
+
+    texts = NASTY + _rand_strings()
+    con = _duck.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", list(enumerate(texts)))
+    for k in (2, 3, 8):
+        for clamp in (True, False):
+            rows, grams = ngrams.word_ngrams(pa.array(texts, pa.string()), k, clamp)
+            got = sorted(zip(rows.tolist(), grams.tolist()))
+            want = sorted(
+                tuple(r)
+                for r in con.execute(
+                    f"SELECT doc_id, gram FROM ({ngrams._ngrams_sql(k, clamp, 'docs')})"
+                ).fetchall()
+            )
+            assert got == want, (k, clamp)
+    con.close()
