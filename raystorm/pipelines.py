@@ -68,6 +68,7 @@ def registry() -> dict:
         "kmeans_cells": (similarity.kmeans_cells, similarity.kmeans_cells_sql()),
         # --- positional postings (AnchorTextIndexer path) ---
         "positional_postings": (positional.positional_postings, positional.positional_postings_sql()),
+        "phrase_search": (positional.phrase_search, positional.phrase_search_sql()),
         # --- graph rank (PageRank analog) ---
         "textrank": (textrank.textrank, textrank.textrank_sql()),
         "textrank_converged": (

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from . import corpus, normalize
 from .analysis import md5int60_np
@@ -81,14 +82,19 @@ def positional_postings(sf_dir: str):
     )
 
 
-def positional_postings_sql() -> str:
+def _kept_cte_sql() -> str:
+    """CTE chain ``transcripts, toks, kept`` producing the body-mode kept
+    tokens with their 0-based per-turn positions — the SQL twin of
+    ``normalize.tokenize_with_positions(texts, "body")``.  ``kept`` is
+    MATERIALIZED: phrase queries reference it L times (one per phrase
+    word) and DuckDB's default inlining would re-tokenize per reference.
+    """
     replaces, keep = normalize._MODE_RULES["body"]
     expr = "lower(text)"
     for pat, rep in replaces:
         expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
     keep_cond = normalize.tokens_keep_sql("term", "body")
-    return f"""
-WITH transcripts AS ({corpus.transcripts_sql()}),
+    return f"""transcripts AS ({corpus.transcripts_sql()}),
 toks AS (
   SELECT conv_id, turn_idx, u.term, u.ord
   FROM (SELECT conv_id, turn_idx, string_split(trim({expr}), ' ') AS parts
@@ -96,11 +102,16 @@ toks AS (
        LATERAL (SELECT unnest(t.parts) AS term,
                        unnest(generate_series(1, len(t.parts))) AS ord) u
 ),
-kept AS (
+kept AS MATERIALIZED (
   SELECT conv_id, turn_idx, term,
          row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ord) - 1 AS pos
   FROM toks WHERE {keep_cond}
-),
+)"""
+
+
+def positional_postings_sql() -> str:
+    return f"""
+WITH {_kept_cte_sql()},
 posting AS (
   SELECT term, conv_id, turn_idx, CAST(count(*) AS BIGINT) AS tf,
          string_agg(CAST(pos AS VARCHAR), ' ' ORDER BY pos) AS positions
@@ -113,3 +124,164 @@ SELECT term,
 FROM posting
 ORDER BY term, doc_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Phrase search — exact-adjacency queries in positional-index token space.
+#
+# The reference stores anchor positions precisely so multi-word queries can
+# demand adjacency (``AnchorTextIndexer.java:62-65`` position capture); here
+# the full pipeline: mine the corpus's top bigrams, then find every turn
+# containing each as a consecutive-token phrase with its occurrence count.
+#
+# Scale shape: pass 1 aggregates per-batch bigram partials (vocabulary-
+# bounded) through one groupby, then per-block partial top-k + a tiny
+# driver merge — never the full count table on the driver.  Pass 2 is
+# shuffle-free: the K phrases broadcast in the closure and every turn is
+# checked independently inside ``map_batches`` (vectorized shifted-equality,
+# no per-row Python).
+# ---------------------------------------------------------------------------
+
+#: number of mined phrases to search for
+N_PHRASES = 5
+
+
+def _top_bigrams(ds) -> list[str]:
+    """Top ``N_PHRASES`` body-token bigrams by occurrence count
+    (count desc, phrase asc) — partial counts per batch, one
+    vocabulary-bounded groupby, per-block top-k, driver merge of ≤k
+    rows per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, rows, _ = normalize.tokenize_with_positions(batch["text"], "body")
+        if len(toks) >= 2:
+            same = rows[:-1] == rows[1:]
+            if same.any():
+                grams = pc.binary_join_element_wise(
+                    pa.array(toks[:-1][same], pa.string()),
+                    pa.array(toks[1:][same], pa.string()),
+                    " ",
+                ).to_numpy(zero_copy_only=False)
+                uniq, cnt = np.unique(grams, return_counts=True)
+                return pa.table(
+                    {"phrase": pa.array(uniq, pa.string()),
+                     "n": pa.array(cnt, pa.int64())}
+                )
+        return pa.table({"phrase": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ph = batch["phrase"].to_numpy(zero_copy_only=False)
+        n = batch["sum(n)"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ph, -n))[:N_PHRASES]
+        return batch.take(pa.array(np.sort(order)))
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("phrase")
+        .sum("n")
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    order = np.lexsort((cand["phrase"].to_numpy(), -cand["sum(n)"].to_numpy()))
+    return cand["phrase"].to_numpy()[order[:N_PHRASES]].tolist()
+
+
+def phrase_search(sf_dir: str) -> pd.DataFrame:
+    """(phrase, conv_id, turn_idx, occurrences) for every turn containing
+    one of the corpus's top-``N_PHRASES`` bigrams as consecutive kept
+    body tokens.  Occurrence counting is positional (overlaps count)."""
+    ds = corpus.transcripts_from_documents(sf_dir)
+    phrases = _top_bigrams(ds)
+
+    def search(batch: pa.Table) -> pa.Table:
+        toks, rows, _ = normalize.tokenize_with_positions(batch["text"], "body")
+        conv = batch["conv_id"]
+        turn = batch["turn_idx"]
+        cols: dict[str, list] = {"phrase": [], "row": [], "occurrences": []}
+        for phrase in phrases:
+            words = phrase.split(" ")
+            L = len(words)
+            nwin = len(toks) - L + 1
+            if nwin <= 0:
+                continue
+            m = rows[:nwin] == rows[L - 1 :]
+            for j, wj in enumerate(words):
+                m &= toks[j : nwin + j] == wj
+            if not m.any():
+                continue
+            occ = np.bincount(rows[:nwin][m], minlength=len(conv))
+            nz = np.flatnonzero(occ)
+            cols["phrase"].append(np.repeat(phrase, len(nz)))
+            cols["row"].append(nz)
+            cols["occurrences"].append(occ[nz])
+        if not cols["row"]:
+            return pa.table(
+                {
+                    "phrase": pa.array([], pa.string()),
+                    "conv_id": pa.array([], conv.type),
+                    "turn_idx": pa.array([], pa.int32()),
+                    "occurrences": pa.array([], pa.int64()),
+                }
+            )
+        r = pa.array(np.concatenate(cols["row"]))
+        return pa.table(
+            {
+                "phrase": pa.array(np.concatenate(cols["phrase"]), pa.string()),
+                "conv_id": conv.take(r),
+                "turn_idx": turn.take(r).cast(pa.int32()),
+                "occurrences": pa.array(np.concatenate(cols["occurrences"]), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(search, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["phrase", "conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def phrase_search_sql() -> str:
+    return f"""
+WITH {_kept_cte_sql()},
+big AS MATERIALIZED (
+  SELECT k0.conv_id, k0.turn_idx, k0.term || ' ' || k1.term AS phrase
+  FROM kept k0
+  JOIN kept k1 ON k1.conv_id = k0.conv_id AND k1.turn_idx = k0.turn_idx
+              AND k1.pos = k0.pos + 1
+),
+top AS (
+  SELECT phrase FROM (SELECT phrase, count(*) AS c FROM big GROUP BY phrase)
+  ORDER BY c DESC, phrase LIMIT {N_PHRASES}
+)
+SELECT b.phrase, b.conv_id, CAST(b.turn_idx AS INTEGER) AS turn_idx,
+       CAST(count(*) AS BIGINT) AS occurrences
+FROM big b JOIN top t ON b.phrase = t.phrase
+GROUP BY b.phrase, b.conv_id, b.turn_idx
+ORDER BY b.phrase, b.conv_id, b.turn_idx
+"""
+
+
+def phrase_docs_from_postings(postings: pd.DataFrame, phrase: str) -> pd.DataFrame:
+    """Answer a phrase query from the ``positional_postings`` table itself
+    (intersect the words' posting lists per doc, check position
+    adjacency) — the index-side evaluation a serving layer would run.
+    Used by tests to pin index-vs-scan identity."""
+    words = phrase.split(" ")
+    per_word = []
+    for j, w in enumerate(words):
+        p = postings[postings["term"] == w]
+        per_word.append(
+            {
+                (c, t): np.asarray(ps.split(" "), dtype=np.int64) - j
+                for c, t, ps in zip(p["conv_id"], p["turn_idx"], p["positions"])
+            }
+        )
+    docs = set(per_word[0])
+    for d in per_word[1:]:
+        docs &= set(d)
+    rows = []
+    for doc in docs:
+        starts = per_word[0][doc]
+        for d in per_word[1:]:
+            starts = np.intersect1d(starts, d[doc], assume_unique=True)
+        if len(starts):
+            rows.append((phrase, doc[0], np.int32(doc[1]), np.int64(len(starts))))
+    out = pd.DataFrame(rows, columns=["phrase", "conv_id", "turn_idx", "occurrences"])
+    return out.sort_values(["phrase", "conv_id", "turn_idx"]).reset_index(drop=True)

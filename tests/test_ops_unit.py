@@ -250,3 +250,35 @@ def test_sampling_exact_k_and_strata(ray_session):
     per = st.groupby("event_type").size()
     assert (per == rel.STRATA_K).all()
     assert set(st.groupby("event_type")["rank"].max()) == {rel.STRATA_K}
+
+
+def test_phrase_search_index_vs_scan(ray_session):
+    """Answering the mined phrases from the positional-postings table
+    (posting intersection + position arithmetic) must be identical to
+    the shuffle-free document scan, for every phrase."""
+    from raystorm import positional
+
+    sf = "/root/testdata/sf0.001"
+    scan = positional.phrase_search(sf)
+    phrases = sorted(scan["phrase"].unique())
+    assert len(phrases) == positional.N_PHRASES
+    post = positional.positional_postings(sf)
+    for ph in phrases:
+        via_index = positional.phrase_docs_from_postings(post, ph)
+        via_scan = scan[scan["phrase"] == ph].reset_index(drop=True)
+        pd.testing.assert_frame_equal(via_index, via_scan, check_dtype=False)
+
+
+def test_phrase_search_overlapping_occurrences():
+    """Positional counting counts overlapping matches ('a a a' has two
+    'a a' starts) — the semantics the SQL position self-join encodes."""
+    import pyarrow as pa
+
+    from raystorm import normalize
+
+    toks, rows, _ = normalize.tokenize_with_positions(
+        pa.array(["aa aa aa bb", "aa bb"]), "body"
+    )
+    nwin = len(toks) - 1
+    m = (rows[:nwin] == rows[1:]) & (toks[:nwin] == "aa") & (toks[1:] == "aa")
+    assert np.bincount(rows[:nwin][m], minlength=2).tolist() == [2, 0]
