@@ -607,3 +607,278 @@ SELECT source,
        quantile_disc(n_chars, 0.99) AS p99
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# per-document TF-IDF keywords (the "what is this document about" signal
+# a curation pipeline attaches before sampling/mixing decisions)
+# ---------------------------------------------------------------------------
+
+#: keywords kept per document
+KEYWORDS_K = 5
+
+
+def keywords_tfidf(sf_dir: str):
+    """Top-``KEYWORDS_K`` TF-IDF keywords per document.
+
+    Output: ``(doc_id, rank, word, tf, tfidf)`` with
+    ``tfidf = tf * ln(N / df)`` rounded to 6 places, ranked per doc by
+    the 9-place-rounded score desc then word asc (the repo's standard
+    round-before-rank parity rule, cf. ``query.py``).
+
+    Scale shape: two shuffle-free streaming passes over ``documents``.
+    Pass 1 tokenizes and emits per-batch *partial* document frequencies
+    (vocabulary-sized per batch, not row-sized); one vocab-bounded
+    groupby sums them and the (word, df) table is broadcast once via
+    ``ray.put`` as sorted numpy arrays.  Pass 2 re-tokenizes, scores
+    each (doc, word) with a ``searchsorted`` df probe and keeps the
+    per-doc top-k inside the batch — valid because a document never
+    spans batches.  No corpus-sized driver state; the only shuffle is
+    the vocab-bounded df groupby.  Re-tokenizing beats materializing
+    the (doc, word, tf) table because top-k needs doc-local rows and
+    the token stream is cheaper to replay than to shuffle back
+    doc-keyed.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def _doc_word_tf(batch: pa.Table):
+        """(row-local doc index, word code, tf) triples + batch vocab."""
+        words, row = split_words_arrow(batch["text"])
+        enc = words.dictionary_encode()
+        vocab = np.asarray(enc.dictionary, dtype=object)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = vocab[codes] != ""  # SQL: WHERE word <> ''
+        row, codes = row[keep], codes[keep]
+        if not len(row):
+            return row, codes, np.empty(0, np.int64), vocab
+        key = row * len(vocab) + codes
+        uk, tf = np.unique(key, return_counts=True)
+        return uk // len(vocab), uk % len(vocab), tf, vocab
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _, codes, tf, vocab = _doc_word_tf(batch)
+        # distinct (doc, word) pairs per word = this batch's df contribution
+        if not len(codes):
+            return pa.table({"word": pa.array([], pa.string()),
+                             "df_part": pa.array([], pa.int64())})
+        df = np.bincount(codes, minlength=len(vocab))
+        nz = np.flatnonzero(df)
+        return pa.table({"word": pa.array(vocab[nz].astype(str)),
+                         "df_part": pa.array(df[nz], pa.int64())})
+
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    n_docs = rd.read_parquet(path, columns=["doc_id"]).count()
+    df_pd = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .to_pandas()
+    )
+    order = np.argsort(df_pd["word"].to_numpy())
+    df_ref = ray.put(
+        (df_pd["word"].to_numpy()[order].astype(str),
+         df_pd["df"].to_numpy()[order].astype(np.float64))
+    )
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        vocab_sorted, dfs = ray.get(df_ref)
+        drow, codes, tf, vocab = _doc_word_tf(batch)
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "word": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "tfidf": pa.array([], pa.float64()),
+        })
+        if not len(drow):
+            return empty
+        words = vocab[codes].astype(str)
+        df = dfs[np.searchsorted(vocab_sorted, words)]
+        score = tf.astype(np.float64) * np.log(np.float64(n_docs) / df)
+        r9 = round_half_up(score, 9)
+        order = np.lexsort((words, -r9, drow))
+        drow_s = drow[order]
+        first = np.r_[0, np.flatnonzero(drow_s[1:] != drow_s[:-1]) + 1]
+        starts = np.repeat(first, np.diff(np.r_[first, len(drow_s)]))
+        rank = np.arange(len(drow_s)) - starts + 1
+        keep = order[rank <= KEYWORDS_K]
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(did[drow[keep]], pa.int64()),
+            "rank": pa.array(rank[rank <= KEYWORDS_K], pa.int64()),
+            "word": pa.array(words[keep]),
+            "tf": pa.array(tf[keep], pa.int64()),
+            "tfidf": pa.array(round_half_up(score[keep], 6), pa.float64()),
+        })
+
+    return (
+        ds.map_batches(score_topk, batch_format="pyarrow")
+        .sort(["doc_id", "rank"])
+        .to_pandas()
+    )
+
+
+KEYWORDS_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT d.doc_id, w.word
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS parts FROM documents) d,
+       LATERAL (SELECT unnest(parts) AS word) w
+  WHERE w.word <> ''
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+n AS (SELECT count(*) AS n FROM documents),
+ranked AS (
+  SELECT t.doc_id, t.word, t.tf,
+         t.tf * ln(CAST(n.n AS DOUBLE) / f.df) AS score,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY round(t.tf * ln(CAST(n.n AS DOUBLE) / f.df), 9) DESC, t.word
+         ) AS rank
+  FROM tf t JOIN df f USING (word) CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, CAST(tf AS BIGINT) AS tf,
+       round(score, 6) AS tfidf
+FROM ranked WHERE rank <= {KEYWORDS_K} ORDER BY doc_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (GPT-style concat-and-split: documents concatenated in
+# doc_id order, cut into fixed SEQ_LEN-word training sequences)
+# ---------------------------------------------------------------------------
+
+#: words per packed training sequence
+SEQ_LEN = 256
+#: documents per prefix-sum bucket (bounds the per-group sort; the
+#: driver only ever sees one row per bucket)
+PACK_BUCKET = 1024
+
+
+def pack_sequences(sf_dir: str):
+    """Pack documents into fixed ``SEQ_LEN``-word sequences.
+
+    The standard LM pre-training layout: all documents are concatenated
+    in ``doc_id`` order and the stream is cut every ``SEQ_LEN`` words;
+    a document may span sequences and a sequence may span documents.
+    Output (one row per sequence): ``(seq_id, n_words, n_docs,
+    first_doc, last_doc)`` — the last sequence holds the remainder.
+
+    Scale shape: the global word-offset prefix sum is two-level. Per
+    batch, per-doc word counts are cheap Arrow kernels; a groupby on
+    ``doc_id // PACK_BUCKET`` sums each bucket (driver sees one row per
+    bucket — corpus-size / PACK_BUCKET rows), the exclusive prefix over
+    bucket totals is broadcast, and each bucket group (≤ PACK_BUCKET
+    docs) computes its exact within-bucket offsets locally, then
+    explodes doc → (seq, words-in-seq) contributions.  The final
+    groupby is sequence-keyed (total_words / SEQ_LEN rows).  No
+    corpus-sized driver state and no global sort.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        n = np.nan_to_num(
+            pc.list_value_length(lists).to_numpy(zero_copy_only=False), nan=0
+        ).astype(np.int64)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "bucket": pa.array(did // PACK_BUCKET, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+        })
+
+    d1 = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow"
+    )
+    bucket_pd = d1.groupby("bucket").sum("n").to_pandas()
+    bucket_pd = bucket_pd.sort_values("bucket").reset_index(drop=True)
+    totals = bucket_pd["sum(n)"].to_numpy(np.int64)
+    base = {
+        int(b): int(o)
+        for b, o in zip(bucket_pd["bucket"], np.r_[0, np.cumsum(totals)[:-1]])
+    }
+    base_ref = ray.put(base)
+
+    def explode(group: pa.Table) -> pa.Table:
+        base = ray.get(base_ref)
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(did, kind="stable")
+        did, n = did[order], n[order]
+        start = base[int(group["bucket"][0].as_py())] + np.r_[0, np.cumsum(n)[:-1]]
+        nz = n > 0
+        did, n, start = did[nz], n[nz], start[nz]
+        empty = pa.table({
+            "seq_id": pa.array([], pa.int64()),
+            "words": pa.array([], pa.int64()),
+            "one": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+        })
+        if not len(did):
+            return empty
+        s0, s1 = start // SEQ_LEN, (start + n - 1) // SEQ_LEN
+        reps = (s1 - s0 + 1).astype(np.int64)
+        r = np.repeat(np.arange(len(did)), reps)
+        offs = np.arange(len(r)) - np.repeat(np.r_[0, np.cumsum(reps)[:-1]], reps)
+        seq = s0[r] + offs
+        lo = np.maximum(start[r], seq * SEQ_LEN)
+        hi = np.minimum(start[r] + n[r], (seq + 1) * SEQ_LEN)
+        return pa.table({
+            "seq_id": pa.array(seq, pa.int64()),
+            "words": pa.array(hi - lo, pa.int64()),
+            "one": pa.array(np.ones(len(r), np.int64)),
+            "doc_id": pa.array(did[r], pa.int64()),
+        })
+
+    pdf = (
+        d1.groupby("bucket")
+        .map_groups(explode, batch_format="pyarrow")
+        .groupby("seq_id")
+        .aggregate(
+            Sum("words", alias_name="n_words"),
+            Sum("one", alias_name="n_docs"),
+            Min("doc_id", alias_name="first_doc"),
+            Max("doc_id", alias_name="last_doc"),
+        )
+        .to_pandas()
+    )
+    return pdf.sort_values("seq_id").reset_index(drop=True)
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         coalesce(len(string_split(lower(text), ' ')), 0) AS n
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+              AS BIGINT) AS start
+  FROM w
+),
+e AS (
+  SELECT doc_id, s.seq,
+         least(start + n, (s.seq + 1) * {SEQ_LEN})
+           - greatest(start, s.seq * {SEQ_LEN}) AS words
+  FROM o, LATERAL (SELECT unnest(generate_series(start // {SEQ_LEN},
+                                                 (start + n - 1) // {SEQ_LEN})) AS seq) s
+  WHERE n > 0
+)
+SELECT CAST(seq AS BIGINT) AS seq_id,
+       CAST(sum(words) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM e GROUP BY seq ORDER BY seq_id
+"""

@@ -47,6 +47,8 @@ def registry() -> dict:
         "corpus_quality": (analysis.corpus_quality, analysis.CORPUS_QUALITY_SQL),
         "chunk_docs": (analysis.chunk_docs, analysis.CHUNK_DOCS_SQL),
         "length_quantiles": (analysis.length_quantiles, analysis.LENGTH_QUANTILES_SQL),
+        "keywords_tfidf": (analysis.keywords_tfidf, analysis.KEYWORDS_TFIDF_SQL),
+        "pack_sequences": (analysis.pack_sequences, analysis.PACK_SEQUENCES_SQL),
         "mix_sources": (relational.mix_sources, relational.MIX_SOURCES_SQL),
         "curate": (curate.curate, curate.curate_sql()),
         # --- corpus n-gram family (decontamination / repetition / LM counts) ---

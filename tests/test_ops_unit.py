@@ -282,3 +282,39 @@ def test_phrase_search_overlapping_occurrences():
     nwin = len(toks) - 1
     m = (rows[:nwin] == rows[1:]) & (toks[:nwin] == "aa") & (toks[1:] == "aa")
     assert np.bincount(rows[:nwin][m], minlength=2).tolist() == [2, 0]
+
+
+def test_keywords_tfidf_invariants(ray_session):
+    """Per-doc rank is 1..K with no repeated words; tfidf is
+    non-increasing in rank (on the 9-place rounding the rank is
+    computed from, word-asc within exact ties)."""
+    from raystorm import analysis
+
+    out = analysis.keywords_tfidf("/root/testdata/sf0.001")
+    assert len(out) > 0
+    for _, g in out.groupby("doc_id"):
+        ranks = g["rank"].tolist()
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= analysis.KEYWORDS_K
+        assert g["word"].is_unique
+        r9 = analysis.round_half_up(g["tfidf"].to_numpy(), 6)
+        assert (np.diff(r9) <= 1e-12).all()
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Concat-and-split packing: every sequence but the last is exactly
+    SEQ_LEN words, seq_ids are contiguous from 0, and the packed word
+    total equals the corpus word total."""
+    import pyarrow.parquet as pq
+
+    from raystorm import analysis
+
+    sf = "/root/testdata/sf0.001"
+    out = analysis.pack_sequences(sf)
+    assert out["seq_id"].tolist() == list(range(len(out)))
+    assert (out["n_words"].iloc[:-1] == analysis.SEQ_LEN).all()
+    assert 0 < out["n_words"].iloc[-1] <= analysis.SEQ_LEN
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"]
+    total = sum(len(t.as_py().lower().split(" ")) for t in texts if t.is_valid)
+    assert int(out["n_words"].sum()) == total
+    assert (out["first_doc"] <= out["last_doc"]).all()
