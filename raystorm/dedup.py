@@ -1085,3 +1085,148 @@ JOIN embeddings b ON b.vec_id = p.vec_b
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), {ROUND}) >= {COSINE_T}
 ORDER BY vec_a, vec_b
 """
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over verified pair sets
+# (the "keep one document per duplicate cluster" step a dedup pipeline
+# ends with — pairs alone don't say which docs to drop)
+# ---------------------------------------------------------------------------
+
+#: label-propagation pass cap — a backstop, not the expected count:
+#: with per-pass driver pointer-jumping the pass count is
+#: O(log(longest chain)), and the loop exits on the first no-change pass
+CC_MAX_ITERS = 50
+
+
+def connected_components(edges, node_ids: np.ndarray) -> np.ndarray:
+    """Min-label connected components over an undirected edge Dataset.
+
+    ``edges`` is a Dataset with int64 ``doc_a``/``doc_b`` columns whose
+    values all appear in the sorted unique ``node_ids``; returns the
+    component label (= min node id in the component) per node, aligned
+    with ``node_ids``.
+
+    Scale shape — the textrank broadcast-vector pattern: driver state
+    is one int64 vector per *node* (nodes = docs that occur in a
+    near-dup pair, orders of magnitude fewer than corpus docs; for a
+    node table too big to broadcast the textrank_joined per-iteration
+    ``Dataset.join`` layout applies verbatim).  Each pass streams the
+    edge blocks once; every block emits only the (node index, proposed
+    label) pairs that *improve* on the broadcast labels, so the driver
+    pull shrinks every pass.  Between passes the driver pointer-jumps
+    (``L = L[L]`` until fixpoint), which makes long chains converge in
+    O(log n) passes instead of O(n).
+    """
+    import ray
+
+    node_ref = ray.put(node_ids)
+    labels = node_ids.copy()
+
+    def jump(lab: np.ndarray) -> np.ndarray:
+        while True:
+            nxt = lab[np.searchsorted(node_ids, lab)]
+            if np.array_equal(nxt, lab):
+                return lab
+            lab = nxt
+
+    for _ in range(CC_MAX_ITERS):
+        lab_ref = ray.put(labels)
+
+        def relax(batch: pa.Table) -> pa.Table:
+            nodes = _get_ref(node_ref)
+            lab = _get_ref(lab_ref)
+            ia = np.searchsorted(nodes, batch["doc_a"].to_numpy(zero_copy_only=False))
+            ib = np.searchsorted(nodes, batch["doc_b"].to_numpy(zero_copy_only=False))
+            prop = np.minimum(lab[ia], lab[ib])
+            # local fixpoint inside the block: chain hops cost nothing here
+            new = lab.copy()
+            for _ in range(len(prop)):
+                np.minimum.at(new, ia, prop)
+                np.minimum.at(new, ib, prop)
+                nxt = np.minimum(new[ia], new[ib])
+                if np.array_equal(nxt, prop):
+                    break
+                prop = nxt
+            changed = np.flatnonzero(new < lab)
+            return pa.table(
+                {
+                    "idx": pa.array(changed, pa.int64()),
+                    "lab": pa.array(new[changed], pa.int64()),
+                }
+            )
+
+        parts = edges.map_batches(relax, batch_format="pyarrow").to_pandas()
+        if parts.empty:
+            break
+        new = labels.copy()
+        np.minimum.at(new, parts["idx"].to_numpy(np.int64), parts["lab"].to_numpy(np.int64))
+        new = jump(new)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    # broadcast-cache hygiene: iteration refs are one-shot
+    _BROADCAST_CACHE.clear()
+    return labels
+
+
+def dup_clusters(sf_dir: str):
+    """Near-dup clusters over the verified MinHash pair set.
+
+    One row per document that participates in at least one verified
+    near-dup pair: ``(doc_id, cluster_id, cluster_size, keep)`` where
+    ``cluster_id`` is the smallest doc_id in the connected component of
+    the pair graph and ``keep`` marks the canonical (minimum) doc —
+    filtering the corpus on ``keep OR doc_id not in this table`` is the
+    actual dedup materialization.
+    """
+    import ray.data as rd
+
+    pairs = dedup_minhash(sf_dir)
+    if pairs.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": np.empty(0, np.int64),
+                "cluster_id": np.empty(0, np.int64),
+                "cluster_size": np.empty(0, np.int64),
+                "keep": np.empty(0, bool),
+            }
+        )
+    a = pairs["doc_a"].to_numpy(np.int64)
+    b = pairs["doc_b"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    edges = rd.from_pandas(pairs[["doc_a", "doc_b"]])
+    labels = connected_components(edges, nodes)
+    uniq, inv, counts = np.unique(labels, return_inverse=True, return_counts=True)
+    return pd.DataFrame(
+        {
+            "doc_id": nodes,
+            "cluster_id": labels,
+            "cluster_size": counts[inv].astype(np.int64),
+            "keep": nodes == labels,
+        }
+    )
+
+
+def dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({dedup_minhash_sql()}) q
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk (node, lab) AS (
+  SELECT a, a FROM edges GROUP BY a
+  UNION
+  SELECT e.a, w.lab FROM edges e JOIN walk w ON w.node = e.b
+),
+labs AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labs GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       l.doc_id = l.cluster_id AS keep
+FROM labs l JOIN sizes s USING (cluster_id)
+ORDER BY l.doc_id
+"""

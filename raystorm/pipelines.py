@@ -59,6 +59,7 @@ def registry() -> dict:
         "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
         "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.dedup_ngram_jaccard_sql()),
         "dedup_minhash": (dedup.dedup_minhash, dedup.dedup_minhash_sql()),
+        "dup_clusters": (dedup.dup_clusters, dedup.dup_clusters_sql()),
         "simhash_docs": (dedup.simhash_docs, dedup.simhash_docs_sql()),
         "dedup_simhash": (dedup.dedup_simhash, dedup.dedup_simhash_sql()),
         "dedup_embedding": (dedup.dedup_embedding, dedup.DEDUP_EMBEDDING_SQL),

@@ -318,3 +318,34 @@ def test_pack_sequences_invariants(ray_session):
     total = sum(len(t.as_py().lower().split(" ")) for t in texts if t.is_valid)
     assert int(out["n_words"].sum()) == total
     assert (out["first_doc"] <= out["last_doc"]).all()
+
+
+def test_connected_components_chain_and_triangle(ray_session):
+    """Min-label CC must close a long chain split across many blocks
+    (the pointer-jumping path) and keep disjoint components apart."""
+    import ray.data as rd
+
+    from raystorm import dedup
+
+    chain = [(i, i + 1) for i in range(0, 400)]
+    tri = [(1000, 1001), (1001, 1002), (1000, 1002)]
+    pairs = pd.DataFrame(chain + tri, columns=["doc_a", "doc_b"]).astype(np.int64)
+    nodes = np.unique(pairs[["doc_a", "doc_b"]].to_numpy())
+    labels = dedup.connected_components(rd.from_pandas(pairs).repartition(8), nodes)
+    assert (labels[nodes <= 400] == 0).all()
+    assert (labels[nodes >= 1000] == 1000).all()
+
+
+def test_dup_clusters_is_a_partition(ray_session):
+    """Every clustered doc carries its component's min id; exactly one
+    keep per cluster; sizes consistent."""
+    from raystorm import dedup
+
+    out = dedup.dup_clusters("/root/testdata/sf0.001")
+    if out.empty:
+        return
+    for cid, g in out.groupby("cluster_id"):
+        assert g["keep"].sum() == 1
+        assert g.loc[g["keep"], "doc_id"].iloc[0] == cid
+        assert (g["cluster_size"] == len(g)).all()
+        assert g["doc_id"].min() == cid
