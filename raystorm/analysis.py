@@ -882,3 +882,105 @@ SELECT CAST(seq AS BIGINT) AS seq_id,
        max(doc_id) AS last_doc
 FROM e GROUP BY seq ORDER BY seq_id
 """
+
+
+# ---------------------------------------------------------------------------
+# range partitioning with exact quantile bounds (the distributed-sort /
+# sorted-export primitive: pick P-1 split keys, then a streamed
+# assignment pass — how a 100 TB corpus gets globally ordered output
+# without an all-to-all sort)
+# ---------------------------------------------------------------------------
+
+#: number of range partitions
+RANGE_P = 8
+
+
+def _value_count_quantile(counts_pd, value_col: str, count_col: str, qs):
+    """Exact ``quantile_disc`` (rank = ceil(q*n), 1-based) from a
+    (value, count) table — shared by length_quantiles and
+    range_partition."""
+    counts_pd = counts_pd.sort_values(value_col)
+    c = counts_pd[count_col].to_numpy(np.int64).cumsum()
+    vals = counts_pd[value_col].to_numpy(np.int64)
+    return np.array(
+        [vals[np.searchsorted(c, int(np.ceil(q * c[-1])))] for q in qs], np.int64
+    )
+
+
+def range_partition(sf_dir: str):
+    """Assign every document to one of ``RANGE_P`` contiguous ``n_chars``
+    ranges and report per-partition stats.
+
+    Split bounds are the exact ``i/P`` discrete quantiles, computed from
+    per-batch value counts (domain-bounded, no sort — the
+    ``length_quantiles`` machinery); the P-1 bounds broadcast and the
+    assignment pass streams, emitting per-batch per-partition partials.
+    A row with key equal to a bound goes to the lower partition
+    (``count of bounds < key``).  Output: ``(part, n_rows, min_key,
+    max_key)`` — the manifest a range-partitioned sorted export would
+    write alongside its Parquet directories.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def vc(batch: pa.Table) -> pa.Table:
+        u, cnt = np.unique(
+            batch["n_chars"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"n_chars": pa.array(u, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    ds = rd.read_parquet(path, columns=["n_chars"])
+    counts_pd = (
+        ds.map_batches(vc, batch_format="pyarrow").groupby("n_chars").sum("cnt").to_pandas()
+    )
+    bounds = _value_count_quantile(
+        counts_pd.rename(columns={"sum(cnt)": "cnt"}), "n_chars", "cnt",
+        [i / RANGE_P for i in range(1, RANGE_P)],
+    )
+    bref = ray.put(bounds)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        x = batch["n_chars"].to_numpy(zero_copy_only=False)
+        part = np.searchsorted(b, x, side="left")  # == count of bounds < x
+        u, inv = np.unique(part, return_inverse=True)
+        xs = x[np.argsort(inv, kind="stable")]
+        starts = np.r_[0, np.cumsum(np.bincount(inv))[:-1]]
+        return pa.table({
+            "part": pa.array(u, pa.int64()),
+            "n_rows": pa.array(np.bincount(inv), pa.int64()),
+            "min_key": pa.array(np.minimum.reduceat(xs, starts), pa.int64()),
+            "max_key": pa.array(np.maximum.reduceat(xs, starts), pa.int64()),
+        })
+
+    pdf = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("part")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Min("min_key", alias_name="min_key"),
+            Max("max_key", alias_name="max_key"),
+        )
+        .to_pandas()
+    )
+    return pdf.sort_values("part").reset_index(drop=True)
+
+
+RANGE_PARTITION_SQL = f"""
+WITH b AS (
+  SELECT unnest([{", ".join(f"quantile_disc(n_chars, {i / RANGE_P!r})" for i in range(1, RANGE_P))}]) AS bound
+  FROM documents
+),
+parts AS (
+  SELECT d.n_chars,
+         (SELECT count(*) FROM b WHERE b.bound < d.n_chars) AS part
+  FROM documents d
+)
+SELECT CAST(part AS BIGINT) AS part, CAST(count(*) AS BIGINT) AS n_rows,
+       min(n_chars) AS min_key, max(n_chars) AS max_key
+FROM parts GROUP BY part ORDER BY part
+"""

@@ -349,3 +349,15 @@ def test_dup_clusters_is_a_partition(ray_session):
         assert g.loc[g["keep"], "doc_id"].iloc[0] == cid
         assert (g["cluster_size"] == len(g)).all()
         assert g["doc_id"].min() == cid
+
+
+def test_range_partition_contiguous_and_balanced(ray_session):
+    """Quantile-bounded range partitions: key ranges don't overlap, all
+    parts present, and sizes stay near n/P (exact-quantile bounds)."""
+    from raystorm import analysis
+
+    out = analysis.range_partition("/root/testdata/sf0.01")
+    assert out["part"].tolist() == list(range(analysis.RANGE_P))
+    assert (out["max_key"].to_numpy()[:-1] < out["min_key"].to_numpy()[1:]).all()
+    n = out["n_rows"].sum()
+    assert out["n_rows"].max() <= int(1.2 * n / analysis.RANGE_P) + 1
