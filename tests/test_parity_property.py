@@ -94,3 +94,50 @@ def test_word_ngrams_sql_parity():
             )
             assert got == want, (k, clamp)
     con.close()
+
+
+def _uf_labels(edges, nodes):
+    """Union-find reference for connected_components."""
+    parent = {int(n): int(n) for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-relabel: union-find roots aren't guaranteed minimal per set
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    lab = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            lab[n] = m
+    return lab
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Seeded random graphs (sparse, dense, chain-heavy) through the
+    distributed CC must match a sequential union-find exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raystorm import dedup
+
+    rng = np.random.default_rng(7)
+    for n_nodes, n_edges in ((20, 8), (50, 40), (60, 200), (200, 120)):
+        raw = rng.integers(0, n_nodes, size=(n_edges, 2))
+        edges = [(int(min(a, b)), int(max(a, b))) for a, b in raw if a != b]
+        if not edges:
+            continue
+        pairs = pd.DataFrame(edges, columns=["doc_a", "doc_b"]).astype(np.int64)
+        nodes = np.unique(pairs[["doc_a", "doc_b"]].to_numpy())
+        got = dedup.connected_components(rd.from_pandas(pairs).repartition(4), nodes)
+        want = _uf_labels(edges, nodes)
+        assert {int(x): int(l) for x, l in zip(nodes, got)} == want, (n_nodes, n_edges)
