@@ -34,10 +34,53 @@ def _index_for(sf_dir: str) -> str:
     return index_dir
 
 
-def _run_reference_queries(sf_dir: str, mode: str) -> pd.DataFrame:
+#: incremental-update split point: first UPDATE_BASE_FRACTION of the
+#: doc_id range builds the base index, the rest arrives as the delta
+UPDATE_BASE_FRACTION = 0.7
+
+
+def _updated_index_for(sf_dir: str) -> str:
+    """Base index over the first 70% of doc_ids + incremental update
+    with the remaining 30% (update.py).  The gates that read this index
+    reuse the *full-corpus* oracles — proving incremental == rebuild."""
+    from raystorm import update
+
     import ray.data as rd
 
-    index_dir = _index_for(sf_dir)
+    cfg = build.BuildConfig(num_partitions=16, split_target=2000)
+    max_doc = int(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).max("doc_id")
+    )
+    cutoff = int(UPDATE_BASE_FRACTION * (max_doc + 1))
+    base_in = f"{sf_dir}|docs<{cutoff}"
+    delta_in = f"{sf_dir}|docs>={cutoff}"
+    up_fp = update.update_fingerprint(cfg.fingerprint(base_in), delta_in, cfg)
+    key = hashlib.sha256(f"{sf_dir}|{up_fp}|incr".encode()).hexdigest()[:16]
+    index_dir = os.path.join("/tmp", "raystorm_index", key)
+    mpath = os.path.join(index_dir, "manifest.json")
+    if os.path.isfile(mpath):
+        import json
+
+        try:
+            if json.load(open(mpath)).get("build_fingerprint") == up_fp:
+                return index_dir
+        except (json.JSONDecodeError, OSError):
+            pass
+    base_ds = corpus.transcripts_from_documents(sf_dir, max_doc=cutoff)
+    build.build_index(base_ds, index_dir, input_fingerprint=base_in, cfg=cfg)
+    delta_ds = corpus.transcripts_from_documents(sf_dir, min_doc=cutoff)
+    update.update_index(delta_ds, index_dir, delta_fingerprint=delta_in)
+    return index_dir
+
+
+def _run_reference_queries(
+    sf_dir: str, mode: str, index_dir: str | None = None
+) -> pd.DataFrame:
+    import ray.data as rd
+
+    index_dir = index_dir or _index_for(sf_dir)
     qds = rd.from_arrow(query.queries_table())
     kwargs = {"index_dir": index_dir, "mode": mode}
     if mode == "faithful_boosted":
@@ -258,6 +301,33 @@ def _q_topk_bm25_sharded(sf_dir: str):
     return query.batch_evaluate_sharded(index_dir)
 
 
+def _q_topk_bm25_updated(sf_dir: str):
+    """BM25 top-k over the incrementally-updated index (base 70% +
+    delta 30% via update.update_index) — the oracle is the FULL-corpus
+    SQL, so a pass proves the generation append is query-identical to a
+    cold rebuild (stats merge, codec extension, appended partitions)."""
+    return _run_reference_queries(sf_dir, "bm25", index_dir=_updated_index_for(sf_dir))
+
+
+def _q_topk_bm25_updated_pruned(sf_dir: str):
+    """MaxScore/block-max pruned BM25 over the updated index: the
+    rescaled base-generation bounds (update._RescaleDict's sound
+    upper-bound factor) must keep pruning lossless vs the same
+    full-corpus oracle."""
+    return _run_reference_queries(
+        sf_dir, "bm25_pruned", index_dir=_updated_index_for(sf_dir)
+    )
+
+
+def _q_term_stats_updated(sf_dir: str):
+    """df/cf from the updated index's merged stats table — same oracle
+    as term_stats (full corpus): the integer-sum merge is exact."""
+    idx = query.SegmentIndex(_updated_index_for(sf_dir))
+    ts = idx.term_stats_table()
+    out = ts[ts.field == "text"][["term", "df", "cf"]]
+    return out.sort_values("term").reset_index(drop=True)
+
+
 def _q_topk_faithful(sf_dir: str):
     return _run_reference_queries(sf_dir, "faithful")
 
@@ -281,6 +351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25": _q_topk_bm25,
         "topk_bm25_pruned": _q_topk_bm25_pruned,
         "topk_bm25_sharded": _q_topk_bm25_sharded,
+        "topk_bm25_updated": _q_topk_bm25_updated,
+        "topk_bm25_updated_pruned": _q_topk_bm25_updated_pruned,
+        "term_stats_updated": _q_term_stats_updated,
         "topk_faithful": _q_topk_faithful,
         "topk_faithful_boosted": _q_topk_faithful_boosted,
     }
@@ -326,6 +399,13 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25": query.bm25_topk_sql(),
         "topk_bm25_pruned": query.bm25_topk_sql(),
         "topk_bm25_sharded": query.bm25_topk_sql(),
+        "topk_bm25_updated": query.bm25_topk_sql(),
+        "topk_bm25_updated_pruned": query.bm25_topk_sql(),
+        "term_stats_updated": (
+            f"WITH {query.corpus_ctes()} "
+            "SELECT t.term, CAST(count(*) AS BIGINT) AS df, CAST(sum(t.tf) AS BIGINT) AS cf "
+            "FROM tfs t GROUP BY t.term ORDER BY t.term"
+        ),
         "topk_faithful": query.faithful_topk_sql(),
         "topk_faithful_boosted": query.faithful_boosted_sql(),
         **{

@@ -330,13 +330,16 @@ class PartitionWriter:
     (dictionary-sized) from the broadcast ``Vocab``.
     """
 
-    def __init__(self, index_dir, vocab_ref, global_stats, cfg, build_fp):
+    def __init__(self, index_dir, vocab_ref, global_stats, cfg, build_fp, part_offset=0):
         self.__name__ = "PartitionWriter"  # map_groups wraps plain functions
         self.index_dir = index_dir
         self.vocab_ref = vocab_ref
         self.global_stats = global_stats  # {field: {"N":..., "avgdl":...}}
         self.cfg = cfg
         self.build_fp = build_fp
+        #: incremental updates append their partitions after the existing
+        #: ones: on-disk id = part_offset + gpart (update.py)
+        self.part_offset = part_offset
         self._vocab = None
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -345,7 +348,7 @@ class PartitionWriter:
             obj = self.vocab_ref
             self._vocab = _get_ref(obj) if not isinstance(obj, Vocab) else obj
         vocab = self._vocab
-        gpart = int(group["gpart"][0].as_py())
+        gpart = int(group["gpart"][0].as_py()) + self.part_offset
         tid = group["tid"].to_numpy(zero_copy_only=False).astype(np.int64)
         salt = group["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
         docid = group["docid"].to_numpy(zero_copy_only=False)

@@ -57,6 +57,37 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """Incrementally append a delta corpus to an existing index
+    (generation append — see update.py; run compact on cadence)."""
+    import ray.data as rd
+
+    from . import corpus, update
+
+    _ensure_ray()
+    if args.derive_from_documents:
+        ds = corpus.transcripts_from_documents(args.input)
+    else:
+        ds = rd.read_parquet(args.input)
+    m = update.update_index(
+        ds, args.index_dir, delta_fingerprint=args.input,
+        num_partitions=args.partitions,
+    )
+    print(
+        json.dumps(
+            {
+                "index_dir": args.index_dir,
+                "generations": m["generations"],
+                "n_turns": m["global_stats"]["text"]["N"],
+                "n_terms": m["n_terms"],
+                "delta_partitions": m["delta_partitions"],
+                "rescaled_parts": m["rescaled_parts"],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_query(args) -> int:
     from . import query
 
@@ -161,6 +192,20 @@ def main(argv=None) -> int:
         help="input is a documents table; derive transcript turns",
     )
     b.set_defaults(fn=cmd_build)
+
+    u = sub.add_parser(
+        "update", help="append a delta corpus to an existing index (incremental)"
+    )
+    u.add_argument("--input", required=True, help="parquet dir of NEW transcripts")
+    u.add_argument("--index-dir", required=True)
+    u.add_argument("--partitions", type=int, default=None,
+                   help="delta partition count (default: base config)")
+    u.add_argument(
+        "--derive-from-documents",
+        action="store_true",
+        help="input is a documents table; derive transcript turns",
+    )
+    u.set_defaults(fn=cmd_update)
 
     q = sub.add_parser("query", help="top-k query against a built index")
     q.add_argument("--index-dir", required=True)

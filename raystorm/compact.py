@@ -91,8 +91,12 @@ class _CompactWriter:
             self._meta = _get_ref(obj) if not isinstance(obj, tuple) else obj
         idf_map, global_stats, k1, b = self._meta
         cpart = int(group["cpart"].iloc[0])
-        # deterministic term order inside the compacted partition
-        group = group.sort_values(["field", "term", "salt"])
+        # deterministic term order inside the compacted partition; runs
+        # merge in docid order (first_docid, not salt: an incremental
+        # update's delta runs carry salts computed against their own
+        # split factors, but their docid ranges always sort after the
+        # base generation's — update.py's append-only codec contract)
+        group = group.sort_values(["field", "term", "first_docid"])
         blobs: list[bytes] = []
         dict_rows = {
             "field": [], "term": [], "salt": [], "df": [], "cf": [],

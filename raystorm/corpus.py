@@ -92,13 +92,29 @@ def _derive_turns(batch: pa.Table) -> pa.Table:
     )
 
 
-def transcripts_from_documents(sf_dir: str):
-    """Ray Dataset of transcript turns derived from ``documents.parquet``."""
+def transcripts_from_documents(
+    sf_dir: str, min_doc: int | None = None, max_doc: int | None = None
+):
+    """Ray Dataset of transcript turns derived from ``documents.parquet``.
+
+    ``min_doc``/``max_doc`` (inclusive/exclusive) push a doc_id range
+    filter into the parquet scan (row-group pruning) — used by the
+    incremental-update split (update.py) so the base/delta passes never
+    read the other half's rows.
+    """
+    import pyarrow.dataset as pads
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
+    expr = None
+    if min_doc is not None:
+        expr = pads.field("doc_id") >= min_doc
+    if max_doc is not None:
+        e2 = pads.field("doc_id") < max_doc
+        expr = e2 if expr is None else expr & e2
+    kwargs = {"columns": ["doc_id", "text"]}
+    if expr is not None:
+        kwargs["filter"] = expr
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), **kwargs)
     return ds.map_batches(_derive_turns, batch_format="pyarrow")
 
 

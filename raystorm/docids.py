@@ -46,6 +46,35 @@ class DocIdCodec:
         bases = np.concatenate(([0], np.cumsum(extents)[:-1]))
         return cls(conv_ids, bases, extents)
 
+    def extend(self, pdf) -> "DocIdCodec":
+        """New codec with ``pdf``'s (conv_id, max_turn) conversations
+        appended after the existing docid span.
+
+        Incremental-update contract (update.py): every new conv_id must
+        sort *after* all existing ones, so array order stays both
+        conv-sorted (encode's searchsorted) and base-sorted (decode's
+        searchsorted) and the extended codec is bit-identical to a full
+        rebuild over base+delta.  Time-ordered ids (crawl shards, log
+        segments) satisfy this naturally; others must remap upstream
+        (SCALE.md §incremental).
+        """
+        pdf = pdf.sort_values("conv_id").reset_index(drop=True)
+        new_ids = pdf["conv_id"].to_numpy(dtype=np.str_)
+        if len(new_ids) == 0:
+            return self
+        if len(self.conv_ids) and new_ids[0] <= self.conv_ids[-1]:
+            raise ValueError(
+                "delta conv_ids must all sort after existing ones "
+                f"(got {new_ids[0]!r} <= {self.conv_ids[-1]!r})"
+            )
+        extents = pdf["max_turn"].to_numpy(dtype=np.int64) + 1
+        bases = self.span + np.concatenate(([0], np.cumsum(extents)[:-1]))
+        return DocIdCodec(
+            np.concatenate([self.conv_ids, new_ids]),  # np promotes to max <U width
+            np.concatenate([self.bases, bases]),
+            np.concatenate([self.extents, extents]),
+        )
+
     def encode(self, conv_ids, turn_idxs) -> np.ndarray:
         if isinstance(conv_ids, (pa.Array, pa.ChunkedArray)):
             conv_ids = conv_ids.to_numpy(zero_copy_only=False)

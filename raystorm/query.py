@@ -143,8 +143,13 @@ class SegmentIndex:
                 rank = np.searchsorted(
                     vocab_np, rsub["term"].to_numpy(zero_copy_only=False)
                 )
+                # run order within a term = docid order (first_docid, not
+                # salt — delta-generation runs from update.py carry their
+                # own salt space but always cover later docids), so
+                # postings() concatenation yields globally sorted docids
                 salt = rsub["salt"].to_numpy()
-                ro = np.lexsort((salt, rank))
+                fdoc = rsub["first_docid"].to_numpy()
+                ro = np.lexsort((fdoc, rank))
                 fd.salt = salt[ro]
                 fd.part = rsub["part"].to_numpy()[ro]
                 fd.offset = rsub["offset"].to_numpy()[ro]
