@@ -75,6 +75,68 @@ def _updated_index_for(sf_dir: str) -> str:
     return index_dir
 
 
+#: deterministic tombstone set for the delete gates: doc_id % 7 == 3
+DELETE_MOD, DELETE_REST = 7, 3
+#: same predicate in SQL over the derived conv_id ('conv-' || 8 digits)
+DELETE_PRED_SQL = (
+    f"CAST(substring(conv_id, 6) AS BIGINT) % {DELETE_MOD} = {DELETE_REST}"
+)
+
+
+def _deleted_index_for(sf_dir: str) -> str:
+    """Copy of the standard index with every doc_id%7==3 conversation
+    tombstoned (deletes.delete_convs) — postings untouched, queries mask
+    at scoring time with full-corpus stats (Lucene delete semantics)."""
+    import json
+
+    from raystorm import deletes
+
+    base = _index_for(sf_dir)
+    base_fp = json.load(open(os.path.join(base, "manifest.json")))["build_fingerprint"]
+    key = hashlib.sha256(f"{base_fp}|del{DELETE_MOD}={DELETE_REST}".encode()).hexdigest()[:16]
+    index_dir = os.path.join("/tmp", "raystorm_index", key)
+    tag = os.path.join(index_dir, "_delete_tag.json")
+    if os.path.isfile(tag) and json.load(open(tag)).get("key") == key:
+        return index_dir
+    deletes.copy_index(base, index_dir)
+    from raystorm.docids import DocIdCodec
+    import pyarrow.parquet as pq
+
+    codec = DocIdCodec.from_table(
+        pq.read_table(os.path.join(index_dir, "convmap.parquet"))
+    )
+    victims = [
+        c for c in codec.conv_ids.tolist() if int(c[5:]) % DELETE_MOD == DELETE_REST
+    ]
+    deletes.delete_convs(index_dir, victims, delete_fingerprint=f"mod{DELETE_MOD}eq{DELETE_REST}")
+    with open(tag, "w") as fh:
+        json.dump({"key": key}, fh)
+    return index_dir
+
+
+def _vacuumed_index_for(sf_dir: str) -> str:
+    """The tombstoned index physically vacuumed (deletes.vacuum_index):
+    stats recomputed exactly, so gates compare against the
+    filtered-corpus oracle — vacuum == rebuild over survivors."""
+    import json
+
+    from raystorm import deletes
+
+    src = _deleted_index_for(sf_dir)
+    src_fp = json.load(open(os.path.join(src, "manifest.json")))["build_fingerprint"]
+    key = hashlib.sha256(f"{src_fp}|vacuum".encode()).hexdigest()[:16]
+    out_dir = os.path.join("/tmp", "raystorm_index", key)
+    mpath = os.path.join(out_dir, "manifest.json")
+    if os.path.isfile(mpath):
+        try:
+            if json.load(open(mpath)).get("vacuumed_from") == src:
+                return out_dir
+        except (json.JSONDecodeError, OSError):
+            pass
+    deletes.vacuum_index(src, out_dir)
+    return out_dir
+
+
 def _run_reference_queries(
     sf_dir: str, mode: str, index_dir: str | None = None
 ) -> pd.DataFrame:
@@ -328,6 +390,48 @@ def _q_term_stats_updated(sf_dir: str):
     return out.sort_values("term").reset_index(drop=True)
 
 
+def _q_topk_bm25_deleted(sf_dir: str):
+    """BM25 over the tombstoned index (doc_id%7==3 convs deleted but
+    not vacuumed): candidates mask, stats stay full-corpus — Lucene
+    delete semantics, oracle = full-stats SQL with the ranking filter."""
+    return _run_reference_queries(sf_dir, "bm25", index_dir=_deleted_index_for(sf_dir))
+
+
+def _q_topk_bm25_deleted_pruned(sf_dir: str):
+    """Pruned BM25 over the tombstoned index: masked docs must never
+    raise theta (the mask applies before accumulation), so pruning
+    stays lossless vs the same masked oracle."""
+    return _run_reference_queries(
+        sf_dir, "bm25_pruned", index_dir=_deleted_index_for(sf_dir)
+    )
+
+
+def _q_topk_faithful_deleted(sf_dir: str):
+    """Faithful (reference-formula) scoring over the tombstoned index:
+    df/N keep pre-delete values; only the candidate set shrinks."""
+    return _run_reference_queries(
+        sf_dir, "faithful", index_dir=_deleted_index_for(sf_dir)
+    )
+
+
+def _q_topk_bm25_vacuumed(sf_dir: str):
+    """BM25 after deletes.vacuum_index: postings physically dropped,
+    every statistic recomputed exactly — oracle is the SQL over the
+    corpus WITH the deleted conversations removed (rebuild semantics)."""
+    return _run_reference_queries(
+        sf_dir, "bm25", index_dir=_vacuumed_index_for(sf_dir)
+    )
+
+
+def _q_term_stats_vacuumed(sf_dir: str):
+    """df/cf from the vacuumed index vs the filtered-corpus SQL — pins
+    the per-run rescan + cf-sum/N-from-codec stats recompute exactly."""
+    idx = query.SegmentIndex(_vacuumed_index_for(sf_dir))
+    ts = idx.term_stats_table()
+    out = ts[ts.field == "text"][["term", "df", "cf"]]
+    return out.sort_values("term").reset_index(drop=True)
+
+
 def _q_topk_faithful(sf_dir: str):
     return _run_reference_queries(sf_dir, "faithful")
 
@@ -354,6 +458,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_updated": _q_topk_bm25_updated,
         "topk_bm25_updated_pruned": _q_topk_bm25_updated_pruned,
         "term_stats_updated": _q_term_stats_updated,
+        "topk_bm25_deleted": _q_topk_bm25_deleted,
+        "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
+        "topk_faithful_deleted": _q_topk_faithful_deleted,
+        "topk_bm25_vacuumed": _q_topk_bm25_vacuumed,
+        "term_stats_vacuumed": _q_term_stats_vacuumed,
         "topk_faithful": _q_topk_faithful,
         "topk_faithful_boosted": _q_topk_faithful_boosted,
     }
@@ -403,6 +512,15 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_updated_pruned": query.bm25_topk_sql(),
         "term_stats_updated": (
             f"WITH {query.corpus_ctes()} "
+            "SELECT t.term, CAST(count(*) AS BIGINT) AS df, CAST(sum(t.tf) AS BIGINT) AS cf "
+            "FROM tfs t GROUP BY t.term ORDER BY t.term"
+        ),
+        "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
+        "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
+        "topk_faithful_deleted": query.faithful_topk_sql(mask_pred=DELETE_PRED_SQL),
+        "topk_bm25_vacuumed": query.bm25_topk_sql(corpus_pred=DELETE_PRED_SQL),
+        "term_stats_vacuumed": (
+            f"WITH {query.corpus_ctes(DELETE_PRED_SQL)} "
             "SELECT t.term, CAST(count(*) AS BIGINT) AS df, CAST(sum(t.tf) AS BIGINT) AS cf "
             "FROM tfs t GROUP BY t.term ORDER BY t.term"
         ),

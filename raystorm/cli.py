@@ -88,6 +88,46 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone conversations (Lucene-style masked delete; run vacuum
+    on cadence to reclaim space and re-tighten stats)."""
+    from . import deletes
+
+    m = deletes.delete_convs(
+        args.index_dir, args.conv_ids, delete_fingerprint=",".join(args.conv_ids)
+    )
+    print(
+        json.dumps(
+            {
+                "index_dir": args.index_dir,
+                "n_deleted_convs": m["n_deleted_convs"],
+                "n_deleted_docids": m["n_deleted_docids"],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    """Physically drop tombstoned postings into a fresh index dir with
+    exactly recomputed stats (query-identical to a rebuild)."""
+    from . import deletes
+
+    _ensure_ray()
+    m = deletes.vacuum_index(args.index_dir, args.out_dir, args.partitions)
+    print(
+        json.dumps(
+            {
+                "out_dir": args.out_dir,
+                "vacuumed_docids": m.get("vacuumed_docids", 0),
+                "n_convs": m["n_convs"],
+                "n_terms": m["n_terms"],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_query(args) -> int:
     from . import query
 
@@ -206,6 +246,19 @@ def main(argv=None) -> int:
         help="input is a documents table; derive transcript turns",
     )
     u.set_defaults(fn=cmd_update)
+
+    d = sub.add_parser("delete", help="tombstone conversations in a built index")
+    d.add_argument("--index-dir", required=True)
+    d.add_argument("conv_ids", nargs="+", help="conversation ids to delete")
+    d.set_defaults(fn=cmd_delete)
+
+    v = sub.add_parser(
+        "vacuum", help="physically remove tombstoned docs (exact stats recompute)"
+    )
+    v.add_argument("--index-dir", required=True)
+    v.add_argument("--out-dir", required=True)
+    v.add_argument("--partitions", type=int, default=None)
+    v.set_defaults(fn=cmd_vacuum)
 
     q = sub.add_parser("query", help="top-k query against a built index")
     q.add_argument("--index-dir", required=True)

@@ -66,13 +66,16 @@ class _CompactWriter:
     """map_groups fn: one compacted partition's dictionary rows ->
     merged segment + dictionary + manifest."""
 
-    def __init__(self, src_dir, out_dir, meta_ref, num_partitions):
+    def __init__(self, src_dir, out_dir, meta_ref, num_partitions, tombstones_ref=None):
         self.__name__ = "CompactWriter"
         self.src_dir = src_dir
         self.out_dir = out_dir
         self.meta_ref = meta_ref  # (idf_map {(field,term): idf}, global_stats, k1, b)
         self.P = num_partitions
+        #: optional (starts, ends) docid ranges to drop (deletes.vacuum_index)
+        self.tombstones_ref = tombstones_ref
         self._meta = None
+        self._tombstones = None
         self._mmaps: dict[int, np.memmap] = {}
 
     def _src(self, p: int) -> np.memmap:
@@ -90,6 +93,9 @@ class _CompactWriter:
             obj = self.meta_ref
             self._meta = _get_ref(obj) if not isinstance(obj, tuple) else obj
         idf_map, global_stats, k1, b = self._meta
+        if self._tombstones is None and self.tombstones_ref is not None:
+            obj = self.tombstones_ref
+            self._tombstones = _get_ref(obj) if not isinstance(obj, tuple) else obj
         cpart = int(group["cpart"].iloc[0])
         # deterministic term order inside the compacted partition; runs
         # merge in docid order (first_docid, not salt: an incremental
@@ -114,6 +120,13 @@ class _CompactWriter:
             docids = np.concatenate([c[0] for c in chunks])
             tfs = np.concatenate([c[1] for c in chunks])
             dls = np.concatenate([c[2] for c in chunks])
+            if self._tombstones is not None:
+                from .deletes import deleted_docid_mask
+
+                keep = ~deleted_docid_mask(docids, *self._tombstones)
+                if not keep.any():
+                    continue  # term fully deleted: leaves the dictionary
+                docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
             gs = global_stats[field]
             idf = idf_map.get((field, term), 0.0)
             blob = segments.encode_run(docids, tfs, dls, idf, gs["avgdl"], k1, b)

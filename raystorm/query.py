@@ -94,6 +94,12 @@ class SegmentIndex:
         self.codec = DocIdCodec.from_table(
             pq.read_table(os.path.join(index_dir, "convmap.parquet"))
         )
+        # Lucene-style masked deletes (deletes.py): tombstoned docid
+        # ranges are dropped from every candidate set at scoring time
+        # while N/avgdl/df/idf keep their pre-delete values until vacuum
+        from .deletes import load_tombstones
+
+        self._ts_starts, self._ts_ends = load_tombstones(index_dir)
         ts = pq.read_table(os.path.join(index_dir, "terms_stats.parquet"))
         # gather all part dictionaries columnar (one Arrow concat; no
         # per-row Python) with a part-id column
@@ -256,6 +262,16 @@ class SegmentIndex:
         s, e = int(fd.run_start[r]), int(fd.run_start[r + 1])
         return float(fd.max_score[s:e].max()) if e > s else 0.0
 
+    def _drop_deleted(self, docids: np.ndarray, *cols):
+        """Filter tombstoned docids out of parallel arrays (no-op when
+        the index has no tombstones)."""
+        if not len(self._ts_starts) or not len(docids):
+            return (docids, *cols)
+        from .deletes import deleted_docid_mask
+
+        keep = ~deleted_docid_mask(docids, self._ts_starts, self._ts_ends)
+        return (docids[keep], *(c[keep] for c in cols))
+
     # ----- scoring -----
     def topk(self, query_text: str, k: int, mode: str = "bm25") -> pd.DataFrame:
         if mode == "bm25_pruned":
@@ -314,7 +330,8 @@ class SegmentIndex:
             )
             id_chunks.append(docids)
             sc_chunks.append(sc)
-        return _accumulate(id_chunks, sc_chunks)
+        ids, totals = _accumulate(id_chunks, sc_chunks)
+        return self._drop_deleted(ids, totals)
 
     #: safety margin for pruning bounds vs the RANK_ROUND tie boundary —
     #: a skipped doc must be provably below the k-th score even after
@@ -375,6 +392,11 @@ class SegmentIndex:
             docids = np.concatenate([c[0] for c in chunks])
             tfs = np.concatenate([c[1] for c in chunks])
             dls = np.concatenate([c[2] for c in chunks])
+            # mask deletes BEFORE accumulating: a tombstoned doc must
+            # never raise theta (that could prune a live document)
+            docids, tfs, dls = self._drop_deleted(docids, tfs, dls)
+            if not len(docids):
+                continue
             sc = segments.bm25_term_scores(tfs, dls, idf, gs["avgdl"], self.k1, self.b)
             if not len(acc_ids):
                 order = np.argsort(docids, kind="mergesort")
@@ -427,7 +449,10 @@ class SegmentIndex:
                 idf = np.log(N / (1.0 + df)) if N else 0.0
                 id_chunks.append(docids)
                 sc_chunks.append(np.full(len(docids), weight * idf))
-        return _accumulate(id_chunks, sc_chunks)
+        # df above is the full-corpus posting length (Lucene semantics:
+        # stats ignore tombstones until vacuum); only candidates drop
+        ids, totals = _accumulate(id_chunks, sc_chunks)
+        return self._drop_deleted(ids, totals)
 
 
 def _accumulate(id_chunks, sc_chunks):
@@ -658,10 +683,18 @@ def _qterms_values(queries=REFERENCE_QUERIES, dedup=True) -> str:
     return ", ".join(rows)
 
 
-def corpus_ctes() -> str:
-    """Shared CTE chain: transcripts -> body tokens -> tf/dl/df/stats."""
+def corpus_ctes(corpus_pred: str | None = None) -> str:
+    """Shared CTE chain: transcripts -> body tokens -> tf/dl/df/stats.
+
+    ``corpus_pred`` (SQL boolean over conv_id/turn_idx/text) removes
+    matching turns from the corpus itself — every downstream statistic
+    recomputes, mirroring a rebuild after ``deletes.vacuum_index``.
+    """
+    tsql = corpus.transcripts_sql()
+    if corpus_pred:
+        tsql = f"SELECT * FROM ({tsql}) WHERE NOT ({corpus_pred})"
     return f"""
-transcripts AS ({corpus.transcripts_sql()}),
+transcripts AS ({tsql}),
 tokens AS (
   SELECT conv_id, turn_idx, tok.term
   FROM transcripts, {normalize.tokens_sql('text', 'body')}
@@ -681,10 +714,23 @@ gstats AS (
 )"""
 
 
-def bm25_topk_sql(queries=REFERENCE_QUERIES, k1: float = 1.2, b: float = 0.75) -> str:
-    """Full oracle query for the BM25 reference-query evaluation."""
+def bm25_topk_sql(
+    queries=REFERENCE_QUERIES,
+    k1: float = 1.2,
+    b: float = 0.75,
+    mask_pred: str | None = None,
+    corpus_pred: str | None = None,
+) -> str:
+    """Full oracle query for the BM25 reference-query evaluation.
+
+    ``mask_pred`` (SQL boolean over t.conv_id) drops matching docs from
+    the *ranking only* — stats stay full-corpus, mirroring tombstoned
+    deletes before vacuum.  ``corpus_pred`` filters the corpus itself
+    (see :func:`corpus_ctes`) — the post-vacuum / rebuild semantics.
+    """
+    mask = f"WHERE NOT ({mask_pred.replace('conv_id', 't.conv_id')})" if mask_pred else ""
     return f"""
-WITH {corpus_ctes()},
+WITH {corpus_ctes(corpus_pred)},
 queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
 qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
 scores AS (
@@ -697,6 +743,7 @@ scores AS (
   JOIN dfs d ON d.term = q.term
   JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
   CROSS JOIN gstats g
+  {mask}
   GROUP BY q.query_id, t.conv_id, t.turn_idx
 ),
 ranked AS (
@@ -715,8 +762,14 @@ ORDER BY r.query_id, r.rank
 """
 
 
-def faithful_topk_sql(queries=REFERENCE_QUERIES) -> str:
-    """Oracle for the faithful (reference-formula) scoring mode."""
+def faithful_topk_sql(queries=REFERENCE_QUERIES, mask_pred: str | None = None) -> str:
+    """Oracle for the faithful (reference-formula) scoring mode.
+
+    ``mask_pred`` (SQL boolean over bare conv_id) = tombstone-masked
+    ranking: contribs (and their df/N stats) stay full-corpus; matching
+    docs drop from the final scores only.
+    """
+    mask = f"WHERE NOT ({mask_pred})" if mask_pred else ""
     return f"""
 WITH transcripts AS ({corpus.transcripts_sql()}),
 tokens_text AS (
@@ -749,7 +802,7 @@ contrib AS (
 ),
 scores AS (
   SELECT query_id, conv_id, turn_idx, sum(score) AS score
-  FROM contrib GROUP BY query_id, conv_id, turn_idx
+  FROM contrib {mask} GROUP BY query_id, conv_id, turn_idx
 ),
 ranked AS (
   SELECT query_id,
