@@ -432,6 +432,19 @@ def _q_term_stats_vacuumed(sf_dir: str):
     return out.sort_values("term").reset_index(drop=True)
 
 
+def _q_topk_bm25_conjunctive(sf_dir: str):
+    """Boolean AND retrieval: only docs containing every query term
+    score (rarest-first sorted intersection in query._score_bm25_conjunctive);
+    scores are the plain BM25 sums over the intersection."""
+    return _run_reference_queries(sf_dir, "bm25_and")
+
+
+def _q_topk_bm25f(sf_dir: str):
+    """BM25F weighted multi-field scoring (text ×1.0 + tool ×2.0, each
+    field with its own tokenizer mode/df/avgdl)."""
+    return _run_reference_queries(sf_dir, "bm25f")
+
+
 def _q_topk_faithful(sf_dir: str):
     return _run_reference_queries(sf_dir, "faithful")
 
@@ -458,6 +471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_updated": _q_topk_bm25_updated,
         "topk_bm25_updated_pruned": _q_topk_bm25_updated_pruned,
         "term_stats_updated": _q_term_stats_updated,
+        "topk_bm25_conjunctive": _q_topk_bm25_conjunctive,
+        "topk_bm25f": _q_topk_bm25f,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
         "topk_faithful_deleted": _q_topk_faithful_deleted,
@@ -515,6 +530,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.term, CAST(count(*) AS BIGINT) AS df, CAST(sum(t.tf) AS BIGINT) AS cf "
             "FROM tfs t GROUP BY t.term ORDER BY t.term"
         ),
+        "topk_bm25_conjunctive": query.bm25_topk_sql(conjunctive=True),
+        "topk_bm25f": query.bm25f_topk_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_faithful_deleted": query.faithful_topk_sql(mask_pred=DELETE_PRED_SQL),

@@ -278,6 +278,10 @@ class SegmentIndex:
             return self.topk_pruned(query_text, k)
         if mode == "bm25":
             docids, scores = self._score_bm25(query_text)
+        elif mode == "bm25_and":
+            docids, scores = self._score_bm25_conjunctive(query_text)
+        elif mode == "bm25f":
+            docids, scores = self._score_bm25f(query_text)
         elif mode == "faithful":
             docids, scores = self._score_faithful(query_text)
         else:
@@ -330,6 +334,86 @@ class SegmentIndex:
             )
             id_chunks.append(docids)
             sc_chunks.append(sc)
+        ids, totals = _accumulate(id_chunks, sc_chunks)
+        return self._drop_deleted(ids, totals)
+
+    def _score_bm25_conjunctive(self, query_text: str):
+        """AND semantics: only documents containing EVERY (distinct,
+        body-tokenized) query term score; scores are the same BM25 sums
+        as :meth:`_score_bm25` restricted to the intersection.
+
+        The reference ranker is purely disjunctive
+        (``SearchServer.java:123-151`` accumulates per-term hits); AND
+        is the standard boolean-retrieval complement.  Intersection
+        runs rarest-term-first over the sorted docid arrays
+        (``np.intersect1d`` on unique sorted inputs — the merge-based
+        equivalent of galloping intersection), so the working set never
+        exceeds the smallest posting list.
+        """
+        empty = np.empty(0, np.int64), np.empty(0, np.float64)
+        toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
+        terms = sorted(set(toks.tolist()))
+        if not terms:
+            return empty
+        gs = self.global_stats["text"]
+        fd = self._dict.get("text")
+        if fd is None:
+            return empty
+        posts = []
+        for t in terms:
+            post = self.postings(t, "text")
+            if post is None:
+                return empty  # a missing term empties the conjunction
+            posts.append((t, post))
+        # rarest first: every later intersection is against <= |smallest|
+        posts.sort(key=lambda tp: len(tp[1][0]))
+        inter = posts[0][1][0]
+        for _t, (docids, _tf, _dl) in posts[1:]:
+            inter = np.intersect1d(inter, docids, assume_unique=True)
+            if not len(inter):
+                return empty
+        scores = np.zeros(len(inter), np.float64)
+        for t, (docids, tfs, dls) in posts:
+            pos = np.searchsorted(docids, inter)
+            r = fd.rank_of(t)
+            scores += segments.bm25_term_scores(
+                tfs[pos], dls[pos], float(fd.idf[r]), gs["avgdl"], self.k1, self.b
+            )
+        return self._drop_deleted(inter, scores)
+
+    #: BM25F field weights (text is the body; tool hits count double —
+    #: the structured field is the stronger signal)
+    BM25F_WEIGHTS = (("text", 1.0), ("tool", 2.0))
+
+    def _score_bm25f(self, query_text: str):
+        """Weighted multi-field BM25 (BM25F, Robertson/Zaragoza 2004 in
+        its simple per-field-sum form): score(d) = Σ_f w_f · BM25_f(d),
+        each field scored with its own tokenizer mode, df, idf and
+        avgdl.  The reference's two parallel indexes + weighted add
+        (``SearchServer.java:123,140`` — 1.5·text + 1.0·tool on binary
+        hits) is the degenerate version; this is the tf-aware one.
+        """
+        id_chunks, sc_chunks = [], []
+        for field, weight in self.BM25F_WEIGHTS:
+            fd = self._dict.get(field)
+            if fd is None:
+                continue
+            mode = self.field_modes.get(field, "body")
+            toks, _ = normalize.tokenize_column(pa.array([query_text]), mode)
+            gs = self.global_stats[field]
+            for t in sorted(set(toks.tolist())):
+                r = fd.rank_of(t)
+                if r < 0:
+                    continue
+                post = self.postings(t, field)
+                if post is None:
+                    continue
+                docids, tfs, dls = post
+                sc = weight * segments.bm25_term_scores(
+                    tfs, dls, float(fd.idf[r]), gs["avgdl"], self.k1, self.b
+                )
+                id_chunks.append(docids)
+                sc_chunks.append(sc)
         ids, totals = _accumulate(id_chunks, sc_chunks)
         return self._drop_deleted(ids, totals)
 
@@ -720,6 +804,7 @@ def bm25_topk_sql(
     b: float = 0.75,
     mask_pred: str | None = None,
     corpus_pred: str | None = None,
+    conjunctive: bool = False,
 ) -> str:
     """Full oracle query for the BM25 reference-query evaluation.
 
@@ -727,8 +812,16 @@ def bm25_topk_sql(
     the *ranking only* — stats stay full-corpus, mirroring tombstoned
     deletes before vacuum.  ``corpus_pred`` filters the corpus itself
     (see :func:`corpus_ctes`) — the post-vacuum / rebuild semantics.
+    ``conjunctive`` keeps only documents matching EVERY query term
+    (the ``bm25_and`` scoring mode).
     """
     mask = f"WHERE NOT ({mask_pred.replace('conv_id', 't.conv_id')})" if mask_pred else ""
+    having = (
+        "HAVING count(DISTINCT t.term) = "
+        "(SELECT count(*) FROM qterms q2 WHERE q2.query_id = q.query_id)"
+        if conjunctive
+        else ""
+    )
     return f"""
 WITH {corpus_ctes(corpus_pred)},
 queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
@@ -745,6 +838,95 @@ scores AS (
   CROSS JOIN gstats g
   {mask}
   GROUP BY q.query_id, t.conv_id, t.turn_idx
+  {having}
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""
+
+
+def _qterms_mode_values(queries, mode: str) -> str | None:
+    """(query_id, term) VALUES with terms produced by the FIELD's own
+    tokenizer mode (BM25F tokenizes the query per field)."""
+    rows = []
+    for qid, text, _k in queries:
+        toks, _ = normalize.tokenize_column(pa.array([text]), mode)
+        for t in sorted(set(toks.tolist())):
+            rows.append(f"('{qid}', '{t}')")
+    return ", ".join(rows) if rows else None
+
+
+def bm25f_topk_sql(
+    queries=REFERENCE_QUERIES,
+    k1: float = 1.2,
+    b: float = 0.75,
+    weights=SegmentIndex.BM25F_WEIGHTS,
+) -> str:
+    """Oracle for the BM25F scoring mode: per-field BM25 chains (each
+    field's own tokenizer/df/avgdl; N = turn count for every field)
+    weighted and summed."""
+    field_cols = {"text": ("text", "body"), "tool": ("tool", "tool")}
+    ctes = [f"transcripts AS ({corpus.transcripts_sql()})",
+            "n AS (SELECT count(*) AS n FROM transcripts)"]
+    contribs = []
+    for field, weight in weights:
+        col, mode = field_cols[field]
+        f = field
+        ctes.append(
+            f"tokens_{f} AS (SELECT conv_id, turn_idx, tok.term FROM transcripts, "
+            f"{normalize.tokens_sql(col, mode)} "
+            f"WHERE {normalize.tokens_keep_sql('tok.term', mode)})"
+        )
+        ctes.append(
+            f"tfs_{f} AS (SELECT conv_id, turn_idx, term, CAST(count(*) AS BIGINT) AS tf "
+            f"FROM tokens_{f} GROUP BY conv_id, turn_idx, term)"
+        )
+        ctes.append(
+            f"dl_{f} AS (SELECT conv_id, turn_idx, count(*) AS dl "
+            f"FROM tokens_{f} GROUP BY conv_id, turn_idx)"
+        )
+        ctes.append(f"dfs_{f} AS (SELECT term, count(*) AS df FROM tfs_{f} GROUP BY term)")
+        ctes.append(
+            f"g_{f} AS (SELECT (SELECT count(*) FROM tokens_{f}) * 1.0 / "
+            f"(SELECT n FROM n) AS avgdl)"
+        )
+        vals = _qterms_mode_values(queries, mode)
+        if vals is None:
+            ctes.append(
+                f"qt_{f}(query_id, term) AS "
+                "(SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) WHERE FALSE)"
+            )
+        else:
+            ctes.append(f"qt_{f}(query_id, term) AS (VALUES {vals})")
+        contribs.append(f"""
+  SELECT q.query_id, t.conv_id, t.turn_idx,
+         {weight} * ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5))
+         * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) AS score
+  FROM qt_{f} q
+  JOIN tfs_{f} t ON t.term = q.term
+  JOIN dfs_{f} d ON d.term = q.term
+  JOIN dl_{f} dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN n CROSS JOIN g_{f} g""")
+    cte_sql = ",\n".join(ctes)
+    union = "\n  UNION ALL\n".join(contribs)
+    return f"""
+WITH {cte_sql},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+contrib AS ({union}),
+scores AS (
+  SELECT query_id, conv_id, turn_idx, sum(score) AS score
+  FROM contrib GROUP BY query_id, conv_id, turn_idx
 ),
 ranked AS (
   SELECT query_id,

@@ -141,3 +141,67 @@ def test_absent_term_returns_empty(index_dir):
     df = idx.topk("zzzabsent", 10, "bm25")
     assert len(df) == 0
     assert idx.postings("zzzabsent", "text") is None
+
+
+def test_conjunctive_mode_invariants(index_dir):
+    """AND-mode results contain every query term; scores equal the
+    disjunctive BM25 score of the same doc; at least one multi-term
+    query returns strictly fewer docs than OR mode."""
+    idx = query.SegmentIndex(index_dir)
+    some_shrunk = False
+    for _qid, text, _k in query.REFERENCE_QUERIES:
+        both = idx.topk(text, 10**9, "bm25")
+        conj = idx.topk(text, 10**9, "bm25_and")
+        terms = [t for t in set(text.split()) if idx.postings(t, "text")]
+        missing = len(terms) < len(set(text.split()))
+        if missing:
+            assert not len(conj)
+            continue
+        # every conjunctive hit must contain every term
+        for t in terms:
+            docids = idx.postings(t, "text")[0]
+            hit_ids = idx.codec.encode(
+                conj.conv_id.to_numpy(), conj.turn_idx.to_numpy()
+            )
+            assert np.isin(hit_ids, docids).all(), (text, t)
+        # scores match the disjunctive score of the same (conv, turn)
+        merged = conj.merge(
+            both, on=["conv_id", "turn_idx"], suffixes=("_and", "_or")
+        )
+        assert len(merged) == len(conj)
+        np.testing.assert_allclose(merged.score_and, merged.score_or, atol=2e-6)
+        if len(terms) > 1 and len(conj) < len(both):
+            some_shrunk = True
+    assert some_shrunk
+
+
+def test_bm25f_is_weighted_field_sum(index_dir):
+    """bm25f == text-BM25 + 2x the tool-field BM25 contribution
+    (recomputed here from raw postings)."""
+    from raystorm import normalize, segments
+    import pyarrow as pa
+
+    idx = query.SegmentIndex(index_dir)
+    for text in ("the", "hash join", "sort merge join"):
+        got = idx.topk(text, 10**9, "bm25f").set_index(["conv_id", "turn_idx"])
+        # recompute expected: per-field weighted accumulation
+        chunks = {}
+        for field, w in query.SegmentIndex.BM25F_WEIGHTS:
+            mode = idx.field_modes[field]
+            toks, _ = normalize.tokenize_column(pa.array([text]), mode)
+            gs = idx.global_stats[field]
+            for t in sorted(set(toks.tolist())):
+                info = idx.term_info(t, field)
+                post = idx.postings(t, field)
+                if post is None:
+                    continue
+                docids, tfs, dls = post
+                sc = w * segments.bm25_term_scores(
+                    tfs, dls, info[2], gs["avgdl"], idx.k1, idx.b
+                )
+                for d, s in zip(docids, sc):
+                    chunks[d] = chunks.get(d, 0.0) + s
+        assert len(got) == len(chunks)
+        conv, turn = idx.codec.decode(np.array(sorted(chunks), np.int64))
+        for d, c, tn in zip(sorted(chunks), conv, turn):
+            assert abs(got.loc[(c, tn)].score - chunks[d]) < 2e-6
