@@ -21,7 +21,7 @@ from typing import Any
 import pandas as pd
 import pyarrow as pa
 
-from raystorm import build, corpus, normalize, pipelines, query
+from raystorm import build, corpus, normalize, pipelines, query, snippets
 
 
 def _index_for(sf_dir: str) -> str:
@@ -445,6 +445,20 @@ def _q_topk_bm25f(sf_dir: str):
     return _run_reference_queries(sf_dir, "bm25f")
 
 
+def _q_search_snippets(sf_dir: str):
+    """Top-k + query-term-centered excerpts (snippets.py): candidate
+    (query, conv, turn) set broadcast, one filtered corpus scan, window
+    over the kept-token stream the index actually scored."""
+    return snippets.search_snippets(sf_dir, _index_for(sf_dir))
+
+
+def _q_spell_suggest(sf_dir: str):
+    """'Did you mean': nearest vocabulary term by (edit distance, df
+    desc, term) within distance 2, over the index dictionary."""
+    idx = query.SegmentIndex(_index_for(sf_dir))
+    return idx.suggest_terms(query.MISSPELLED_TERMS)
+
+
 def _q_topk_faithful(sf_dir: str):
     return _run_reference_queries(sf_dir, "faithful")
 
@@ -473,6 +487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_updated": _q_term_stats_updated,
         "topk_bm25_conjunctive": _q_topk_bm25_conjunctive,
         "topk_bm25f": _q_topk_bm25f,
+        "search_snippets": _q_search_snippets,
+        "spell_suggest": _q_spell_suggest,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
         "topk_faithful_deleted": _q_topk_faithful_deleted,
@@ -532,6 +548,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "topk_bm25_conjunctive": query.bm25_topk_sql(conjunctive=True),
         "topk_bm25f": query.bm25f_topk_sql(),
+        "search_snippets": snippets.snippets_sql(),
+        "spell_suggest": query.suggest_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_faithful_deleted": query.faithful_topk_sql(mask_pred=DELETE_PRED_SQL),

@@ -175,6 +175,17 @@ def doc_term_stats_coded(tokens: np.ndarray, row_idx: np.ndarray, n_rows: int):
     return rows, term_codes, uniq, counts.astype(np.int32), dl
 
 
+def norm_expr_sql(col: str, mode: str = "body") -> str:
+    """The normalization (lower + replace chain) as a bare SQL string
+    expression — shared by :func:`tokens_sql` and list-typed consumers
+    (e.g. snippets' ``list_filter`` over ``string_split``)."""
+    replaces, _ = _MODE_RULES[mode]
+    expr = f"lower({col})"
+    for pat, rep in replaces:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return expr
+
+
 def tokens_sql(col: str, mode: str = "body") -> str:
     """DuckDB expression chain equivalent to ``tokenize_column``.
 
@@ -182,10 +193,7 @@ def tokens_sql(col: str, mode: str = "body") -> str:
     ``FROM <tbl>, {tokens_sql('text')}`` and filter with
     ``WHERE {tokens_keep_sql('term', mode)}``.
     """
-    replaces, _ = _MODE_RULES[mode]
-    expr = f"lower({col})"
-    for pat, rep in replaces:
-        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    expr = norm_expr_sql(col, mode)
     return (
         f"LATERAL (SELECT unnest(string_split(trim({expr}), ' ')) AS term) tok"
     )

@@ -262,6 +262,40 @@ class SegmentIndex:
         s, e = int(fd.run_start[r]), int(fd.run_start[r + 1])
         return float(fd.max_score[s:e].max()) if e > s else 0.0
 
+    def suggest_terms(
+        self, terms, field: str = "text", max_dist: int = 2
+    ) -> pd.DataFrame:
+        """'Did you mean' spell suggestion: for each input term, the
+        vocabulary term with (edit distance asc, df desc, term asc) —
+        terms with no candidate within ``max_dist`` are omitted.
+
+        The scan is dictionary-sized with a length-difference prune; at
+        the 100M-term design point it becomes a length/prefix-bucketed
+        pass or BK-tree over the same sorted vocabulary (actor-local,
+        like every other dictionary structure here).  Oracle:
+        :func:`suggest_sql` (DuckDB ``levenshtein`` — unit-cost edit
+        distance, identical to :func:`_levenshtein`).
+        """
+        fd = self._dict.get(field)
+        if fd is None:
+            return pd.DataFrame({"term": [], "suggestion": [], "dist": [], "df": []})
+        vocab = fd.terms.to_pylist()
+        rows = []
+        for m in sorted(set(terms)):
+            best = None
+            for i, t in enumerate(vocab):
+                if abs(len(t) - len(m)) > max_dist:
+                    continue
+                d = _levenshtein(m, t)
+                if d > max_dist:
+                    continue
+                key = (d, -int(fd.df[i]), t)
+                if best is None or key < best[0]:
+                    best = (key, t, d, int(fd.df[i]))
+            if best is not None:
+                rows.append((m, best[1], best[2], best[3]))
+        return pd.DataFrame(rows, columns=["term", "suggestion", "dist", "df"])
+
     def _drop_deleted(self, docids: np.ndarray, *cols):
         """Filter tombstoned docids out of parallel arrays (no-op when
         the index has no tombstones)."""
@@ -537,6 +571,50 @@ class SegmentIndex:
         # stats ignore tombstones until vacuum); only candidates drop
         ids, totals = _accumulate(id_chunks, sc_chunks)
         return self._drop_deleted(ids, totals)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (insert/delete/substitute) — must match
+    DuckDB's ``levenshtein`` exactly for the suggest_sql oracle."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+#: fixture misspellings for the spell_suggest gate (one per distance
+#: class incl. a no-candidate probe that both sides must omit)
+MISSPELLED_TERMS = ("mergee", "custmer", "haash", "joinn", "zzzzzz")
+
+
+def suggest_sql(terms=MISSPELLED_TERMS, max_dist: int = 2) -> str:
+    """Oracle for :meth:`SegmentIndex.suggest_terms` over the text
+    field's corpus df table."""
+    vals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {corpus_ctes()},
+miss(term) AS (VALUES {vals}),
+cand AS (
+  SELECT m.term, d.term AS suggestion,
+         CAST(levenshtein(m.term, d.term) AS BIGINT) AS dist,
+         CAST(d.df AS BIGINT) AS df
+  FROM miss m CROSS JOIN dfs d
+  WHERE levenshtein(m.term, d.term) <= {max_dist}
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY term ORDER BY dist, df DESC, suggestion) AS rn
+  FROM cand
+)
+SELECT term, suggestion, dist, df FROM ranked WHERE rn = 1 ORDER BY term
+"""
 
 
 def _accumulate(id_chunks, sc_chunks):
