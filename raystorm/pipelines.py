@@ -17,6 +17,7 @@ from . import (
     positional,
     relational,
     similarity,
+    sketches,
     textrank,
 )
 
@@ -52,6 +53,9 @@ def registry() -> dict:
         "range_partition": (analysis.range_partition, analysis.RANGE_PARTITION_SQL),
         "mix_sources": (relational.mix_sources, relational.MIX_SOURCES_SQL),
         "curate": (curate.curate, curate.curate_sql()),
+        # --- sketches (deterministic KMV distinct counts) ---
+        "sketch_distinct_users": (sketches.sketch_distinct_users, sketches.SKETCH_DISTINCT_USERS_SQL),
+        "sketch_union_users": (sketches.sketch_union_users, sketches.SKETCH_UNION_USERS_SQL),
         # --- corpus n-gram family (decontamination / repetition / LM counts) ---
         "decontaminate": (ngrams.decontaminate, ngrams.decontaminate_sql()),
         "repetition_stats": (ngrams.repetition_stats, ngrams.repetition_stats_sql()),

@@ -1,0 +1,47 @@
+"""KMV sketch: exact fallback, lossless merge of truncated sketches,
+estimator accuracy, and registry-gate parity shapes."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raystorm import sketches
+from raystorm.analysis import md5int60
+
+
+def _hashes(values):
+    return np.unique(np.array([md5int60(str(v)) for v in set(values)], np.int64))
+
+
+def test_exact_when_under_k():
+    h = _hashes(range(10))
+    assert sketches.kmv_estimate(h, k=64) == 10.0
+
+
+def test_merge_of_truncated_equals_sketch_of_union():
+    a = _hashes(range(0, 500))
+    b = _hashes(range(300, 900))
+    k = 32
+    merged = sketches.merge_sketches(np.sort(a)[:k], np.sort(b)[:k], k=k)
+    direct = np.sort(_hashes(range(0, 900)))[:k]
+    np.testing.assert_array_equal(merged, direct)
+
+
+def test_estimator_accuracy():
+    # 10k distinct values, k=256 -> ~1/sqrt(k) ≈ 6% std; allow 25%
+    h = np.sort(_hashes(range(10_000)))[:256]
+    est = sketches.kmv_estimate(h, k=256)
+    assert abs(est - 10_000) / 10_000 < 0.25
+
+
+def test_registry_gates_shape(ray_session):
+    d = sketches.sketch_distinct_users("/root/testdata/sf0.001")
+    u = sketches.sketch_union_users("/root/testdata/sf0.001")
+    for df in (d, u):
+        assert list(df.columns) == ["source", "k", "estimate"]
+        assert len(df) == 1
+        assert df.estimate.iloc[0] > 0
+    # union of a superset column set can never estimate below the single
+    # source when both sketches saturate at the same k
+    assert u.estimate.iloc[0] >= d.estimate.iloc[0] * 0.5
