@@ -452,6 +452,19 @@ def _q_search_snippets(sf_dir: str):
     return snippets.search_snippets(sf_dir, _index_for(sf_dir))
 
 
+def _q_search_snippets_docstore(sf_dir: str):
+    """Snippets served from the index-local doc-store (docstore.py) —
+    per-candidate point lookups, no corpus scan; same oracle as
+    search_snippets proves docstore text == corpus text."""
+    from raystorm import docstore
+
+    index_dir = _index_for(sf_dir)
+    docstore.build_docstore(
+        corpus.transcripts_from_documents(sf_dir), index_dir, num_shards=8
+    )
+    return snippets.search_snippets_docstore(sf_dir, index_dir)
+
+
 def _q_spell_suggest(sf_dir: str):
     """'Did you mean': nearest vocabulary term by (edit distance, df
     desc, term) within distance 2, over the index dictionary."""
@@ -488,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_conjunctive": _q_topk_bm25_conjunctive,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
+        "search_snippets_docstore": _q_search_snippets_docstore,
         "spell_suggest": _q_spell_suggest,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
@@ -549,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_conjunctive": query.bm25_topk_sql(conjunctive=True),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),
+        "search_snippets_docstore": snippets.snippets_sql(),
         "spell_suggest": query.suggest_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

@@ -42,6 +42,10 @@ def cmd_build(args) -> int:
     else:
         ds = rd.read_parquet(args.input)
     manifest = build.build_index(ds, args.index_dir, input_fingerprint=args.input, cfg=cfg)
+    if args.docstore:
+        from . import docstore
+
+        docstore.build_docstore(ds, args.index_dir)
     print(
         json.dumps(
             {
@@ -226,6 +230,11 @@ def main(argv=None) -> int:
     b.add_argument("--index-dir", required=True)
     b.add_argument("--partitions", type=int, default=32)
     b.add_argument("--split-target", type=int, default=100_000)
+    b.add_argument(
+        "--docstore",
+        action="store_true",
+        help="also write the docid-sharded text store (snippet/title lookups)",
+    )
     b.add_argument(
         "--derive-from-documents",
         action="store_true",

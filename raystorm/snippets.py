@@ -35,6 +35,26 @@ from . import corpus, normalize, query
 WINDOW = 3
 
 
+def _window_snippets(texts, terms_per_row) -> list[str]:
+    """The snippet rule over parallel (text, query-terms) rows: tokenize
+    with positions, first match, ±WINDOW window.  Row loop is bounded by
+    the candidate count (k × #queries), never corpus size."""
+    toks, row_idx, _pos = normalize.tokenize_with_positions(
+        pa.array(list(texts), pa.string()), "body"
+    )
+    out = []
+    for i, terms in enumerate(terms_per_row):
+        row_toks = toks[row_idx == i]
+        match = np.isin(row_toks, terms)
+        if not match.any():
+            out.append("")
+            continue
+        p0 = int(np.argmax(match))
+        s = max(0, p0 - WINDOW)
+        out.append(" ".join(row_toks[s : p0 + WINDOW + 1].tolist()))
+    return out
+
+
 class _SnippetStage:
     """map_batches stage: transcript batch -> (query_id, conv_id,
     turn_idx, snippet) for candidate rows only.
@@ -66,21 +86,10 @@ class _SnippetStage:
                     "snippet": pa.array([], pa.string()),
                 }
             )
-        toks, row_idx, pos = normalize.tokenize_with_positions(
-            pa.array(hit["text"].tolist(), pa.string()), "body"
+        snippets = _window_snippets(
+            hit["text"].tolist(),
+            [qterms[q] for q in hit["query_id"]],
         )
-        snippets = []
-        for i in range(len(hit)):
-            sel = row_idx == i
-            row_toks = toks[sel]
-            terms = qterms[hit["query_id"].iloc[i]]
-            match = np.isin(row_toks, terms)
-            if not match.any():
-                snippets.append("")
-                continue
-            p0 = int(np.argmax(match))
-            s = max(0, p0 - WINDOW)
-            snippets.append(" ".join(row_toks[s : p0 + WINDOW + 1].tolist()))
         return pa.table(
             {
                 "query_id": pa.array(hit["query_id"].tolist(), pa.string()),
@@ -133,6 +142,50 @@ def search_snippets(
     )
     out = topk.merge(snips, on=["query_id", "conv_id", "turn_idx"], how="left")
     out["snippet"] = out["snippet"].fillna("")
+    return (
+        out[["query_id", "rank", "conv_id", "turn_idx", "snippet"]]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def search_snippets_docstore(
+    sf_dir: str,
+    index_dir: str,
+    queries=None,
+    mode: str = "bm25",
+) -> pd.DataFrame:
+    """Same result as :func:`search_snippets` but hit texts come from
+    the index-local doc-store (docstore.py point lookups — the
+    reference's per-candidate KVS read, ``SearchServer.java:196-205``)
+    instead of a corpus scan.  ``sf_dir`` is unused (kept for the gate
+    signature); the gate shares :func:`snippets_sql`'s oracle, proving
+    docstore lookups == corpus text."""
+    from .docstore import DocStore
+
+    queries = queries if queries is not None else query.REFERENCE_QUERIES
+    idx = query.SegmentIndex(index_dir)
+    store = DocStore(index_dir)
+    frames = []
+    for qid, text, k in queries:
+        df = idx.topk(text, int(k), mode)
+        if not len(df):
+            continue
+        docids = idx.codec.encode(
+            df["conv_id"].to_numpy(), df["turn_idx"].to_numpy()
+        )
+        toks, _ = normalize.tokenize_column(pa.array([text]), "body")
+        terms = np.unique(toks)
+        df.insert(0, "query_id", qid)
+        df["snippet"] = _window_snippets(
+            store.texts(docids), [terms] * len(df)
+        )
+        frames.append(df)
+    if not frames:
+        return pd.DataFrame(
+            {"query_id": [], "rank": [], "conv_id": [], "turn_idx": [], "snippet": []}
+        )
+    out = pd.concat(frames, ignore_index=True)
     return (
         out[["query_id", "rank", "conv_id", "turn_idx", "snippet"]]
         .sort_values(["query_id", "rank"])
