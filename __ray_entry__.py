@@ -452,17 +452,33 @@ def _q_search_snippets(sf_dir: str):
     return snippets.search_snippets(sf_dir, _index_for(sf_dir))
 
 
-def _q_search_snippets_docstore(sf_dir: str):
-    """Snippets served from the index-local doc-store (docstore.py) —
-    per-candidate point lookups, no corpus scan; same oracle as
-    search_snippets proves docstore text == corpus text."""
+def _docstore_index_for(sf_dir: str) -> str:
+    """The standard index with its doc-store companion built
+    (idempotent — docstore.build_docstore resumes on fingerprint)."""
     from raystorm import docstore
 
     index_dir = _index_for(sf_dir)
     docstore.build_docstore(
         corpus.transcripts_from_documents(sf_dir), index_dir, num_shards=8
     )
-    return snippets.search_snippets_docstore(sf_dir, index_dir)
+    return index_dir
+
+
+def _q_search_snippets_docstore(sf_dir: str):
+    """Snippets served from the index-local doc-store (docstore.py) —
+    per-candidate point lookups, no corpus scan; same oracle as
+    search_snippets proves docstore text == corpus text."""
+    return snippets.search_snippets_docstore(sf_dir, _docstore_index_for(sf_dir))
+
+
+def _q_topk_phrase(sf_dir: str):
+    """Exact-phrase retrieval: conjunctive candidates + doc-store
+    adjacency verification over the kept-token stream, BM25-ranked;
+    oracle = conjunctive SQL + space-guarded substring on the joined
+    token stream."""
+    return _run_reference_queries(
+        sf_dir, "phrase", index_dir=_docstore_index_for(sf_dir)
+    )
 
 
 def _q_spell_suggest(sf_dir: str):
@@ -502,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
         "search_snippets_docstore": _q_search_snippets_docstore,
+        "topk_phrase": _q_topk_phrase,
         "spell_suggest": _q_spell_suggest,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
@@ -564,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),
         "search_snippets_docstore": snippets.snippets_sql(),
+        "topk_phrase": query.phrase_topk_sql(),
         "spell_suggest": query.suggest_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

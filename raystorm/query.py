@@ -100,6 +100,7 @@ class SegmentIndex:
         from .deletes import load_tombstones
 
         self._ts_starts, self._ts_ends = load_tombstones(index_dir)
+        self._docstore = None  # lazy (phrase mode; needs build --docstore)
         ts = pq.read_table(os.path.join(index_dir, "terms_stats.parquet"))
         # gather all part dictionaries columnar (one Arrow concat; no
         # per-row Python) with a part-id column
@@ -262,6 +263,59 @@ class SegmentIndex:
         s, e = int(fd.run_start[r]), int(fd.run_start[r + 1])
         return float(fd.max_score[s:e].max()) if e > s else 0.0
 
+    def topk_phrase(self, query_text: str, k: int) -> pd.DataFrame:
+        """Exact-phrase top-k: documents whose kept-token stream
+        contains the query's tokenized terms ADJACENT and in order,
+        ranked by the BM25 sum of the phrase terms.
+
+        Candidates come from the conjunctive intersection (rarest term
+        bounds the work); adjacency is verified against the doc-store's
+        text (one point lookup per candidate — the reference's
+        per-candidate KVS read).  A single-term phrase degenerates to
+        plain term match.  Scale note: verification cost is the
+        conjunction's selectivity; engines serving high-frequency
+        phrases store positional postings instead (the repo's
+        positional.py layout) — this path is the doc-store-verified
+        variant, right when phrases contain at least one rare term.
+        Requires the index to have a doc-store (build --docstore).
+        """
+        from .docstore import DocStore
+
+        docids, scores = self._score_bm25_conjunctive(query_text)
+        if len(docids):
+            toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
+            phrase = " ".join(toks.tolist())  # document order, duplicates kept
+            if self._docstore is None:
+                self._docstore = DocStore(self.index_dir)
+            texts = self._docstore.texts(docids)
+            ntoks, row_idx = normalize.tokenize_column(
+                pa.array(texts.tolist(), pa.string()), "body"
+            )
+            keep = np.zeros(len(docids), bool)
+            needle = f" {phrase} "
+            # per-candidate adjacency check over the kept-token stream
+            # (candidate-bounded loop, same bound as the snippet stage)
+            bounds = np.searchsorted(row_idx, np.arange(len(docids) + 1))
+            for i in range(len(docids)):
+                hay = " " + " ".join(ntoks[bounds[i] : bounds[i + 1]].tolist()) + " "
+                keep[i] = needle in hay
+            docids, scores = docids[keep], scores[keep]
+        if len(docids) == 0:
+            return pd.DataFrame(
+                {"rank": np.empty(0, np.int32), "conv_id": [], "turn_idx": np.empty(0, np.int32), "score": []}
+            )
+        r = round_half_up(scores, RANK_ROUND)
+        order = np.lexsort((docids, -r))[:k]
+        conv, turn = self.codec.decode(docids[order])
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+                "conv_id": conv,
+                "turn_idx": turn,
+                "score": round_half_up(scores[order], SCORE_ROUND),
+            }
+        )
+
     def suggest_terms(
         self, terms, field: str = "text", max_dist: int = 2
     ) -> pd.DataFrame:
@@ -310,6 +364,8 @@ class SegmentIndex:
     def topk(self, query_text: str, k: int, mode: str = "bm25") -> pd.DataFrame:
         if mode == "bm25_pruned":
             return self.topk_pruned(query_text, k)
+        if mode == "phrase":
+            return self.topk_phrase(query_text, k)
         if mode == "bm25":
             docids, scores = self._score_bm25(query_text)
         elif mode == "bm25_and":
@@ -917,6 +973,67 @@ scores AS (
   {mask}
   GROUP BY q.query_id, t.conv_id, t.turn_idx
   {having}
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""
+
+
+def phrase_topk_sql(
+    queries=REFERENCE_QUERIES, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Oracle for the exact-phrase mode: the conjunctive BM25 scores
+    restricted to docs whose space-joined kept-token stream contains
+    the space-guarded tokenized phrase as a substring (== adjacency in
+    order over kept tokens — the engine's rule verbatim)."""
+    from . import normalize as _n
+
+    phr_rows = []
+    for qid, text, _k in queries:
+        toks, _ = _n.tokenize_column(pa.array([text]), "body")
+        phr_rows.append(f"('{qid}', '{' '.join(toks.tolist())}')")
+    keep = _n.tokens_keep_sql("t", "body")
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+qphrase(query_id, phrase) AS (VALUES {', '.join(phr_rows)}),
+streams AS (
+  SELECT conv_id, turn_idx,
+         array_to_string(list_filter(string_split(trim({_n.norm_expr_sql('text', 'body')}), ' '),
+                                     t -> {keep}), ' ') AS stream
+  FROM transcripts
+),
+scores0 AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+  HAVING count(DISTINCT t.term) = (SELECT count(*) FROM qterms q2 WHERE q2.query_id = q.query_id)
+),
+scores AS (
+  SELECT s.query_id, s.conv_id, s.turn_idx, s.score
+  FROM scores0 s
+  JOIN streams st ON st.conv_id = s.conv_id AND st.turn_idx = s.turn_idx
+  JOIN qphrase p ON p.query_id = s.query_id
+  WHERE strpos(' ' || st.stream || ' ', ' ' || p.phrase || ' ') > 0
 ),
 ranked AS (
   SELECT query_id,

@@ -58,3 +58,34 @@ def test_absent_docid_empty(store):
     # last docid exists; a fabricated hole returns ''
     hole = st.texts(np.array([10**15], np.int64))
     assert hole[0] == ""
+
+
+def test_phrase_mode_invariants(store):
+    """Phrase hits are conjunctive hits whose raw normalized token
+    stream really contains the phrase adjacently."""
+    import pyarrow as pa
+
+    from raystorm import normalize
+
+    d, _m = store
+    idx = query.SegmentIndex(d)
+    st = docstore.DocStore(d)
+    some_selective = False
+    for text in ("the", "hash join", "sort merge join", "the the"):
+        conj = idx.topk(text, 10**9, "bm25_and")
+        phr = idx.topk(text, 10**9, "phrase")
+        # subset of conjunctive, scores identical for surviving docs
+        merged = phr.merge(conj, on=["conv_id", "turn_idx"], suffixes=("_p", "_c"))
+        assert len(merged) == len(phr)
+        np.testing.assert_allclose(merged.score_p, merged.score_c, atol=2e-6)
+        if len(phr) < len(conj):
+            some_selective = True
+        # adjacency: re-check each hit against the docstore text
+        toks, _ = normalize.tokenize_column(pa.array([text]), "body")
+        needle = " " + " ".join(toks.tolist()) + " "
+        if len(phr):
+            docids = idx.codec.encode(phr.conv_id.to_numpy(), phr.turn_idx.to_numpy())
+            for t in st.texts(docids):
+                kt, _ = normalize.tokenize_column(pa.array([t]), "body")
+                assert needle in " " + " ".join(kt.tolist()) + " "
+    assert some_selective
