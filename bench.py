@@ -88,6 +88,27 @@ def run_suite(
         ).to_pandas()
         timings["query_batch_pruned"] = time.perf_counter() - t0
 
+        # doc-store build + phrase batch eval (conjunctive intersection
+        # + per-candidate docstore adjacency verify) + docstore snippets
+        from raystorm import docstore as _docstore
+        from raystorm import snippets as _snippets
+
+        t0 = time.perf_counter()
+        _docstore.build_docstore(ds, idx_sf, num_shards=max(8, num_cpus // 2))
+        timings["build_docstore"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        qds.map_batches(
+            query.QueryScorer,
+            fn_constructor_kwargs={"index_dir": idx_sf, "mode": "phrase"},
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=4,
+        ).to_pandas()
+        timings["query_batch_phrase"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _snippets.search_snippets_docstore(sf_dir, idx_sf)
+        timings["snippets_docstore"] = time.perf_counter() - t0
+
         # -- 3. per-query latency p50/p99 (warm index, serving path) ---------
         idx = query.SegmentIndex(idx_sf)
         qset = query.REFERENCE_QUERIES

@@ -117,6 +117,7 @@ BENCH_NAMES = (
     "curate",
     "decontaminate",
     "ngram_counts",
+    "sketch_distinct_users",
 )
 
 
