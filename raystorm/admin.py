@@ -91,3 +91,95 @@ def index_info(path: str) -> dict:
         "status": m.get("status"),
         "build_fingerprint": m.get("build_fingerprint"),
     }
+
+
+class _VerifyPart:
+    """map_batches stage: part ids -> per-part integrity findings.
+
+    Decodes every run and re-derives what the dictionary claims —
+    df == decoded posting count, cf == Σtf, offsets dense and in-bounds,
+    docids sorted within a run, run bytes fully covering postings.bin.
+    Read-only; one dictionary+blob read per part.
+    """
+
+    def __init__(self, index_dir):
+        self.index_dir = index_dir
+
+    def __call__(self, batch):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from . import segments
+
+        out_part, out_runs, out_errs = [], [], []
+        for p in batch["part"].to_pylist():
+            pdir = os.path.join(self.index_dir, "parts", f"part-{int(p):05d}")
+            errs: list[str] = []
+            try:
+                t = pq.read_table(pdir + "/terms.parquet")
+                blob = np.memmap(pdir + "/postings.bin", dtype=np.uint8, mode="r") if os.path.getsize(pdir + "/postings.bin") else np.empty(0, np.uint8)
+            except OSError as e:
+                out_part.append(int(p)); out_runs.append(0)
+                out_errs.append(f"unreadable: {e}")
+                continue
+            off = t["offset"].to_numpy()
+            nb = t["nbytes"].to_numpy()
+            order = np.argsort(off)
+            covered = 0
+            for i in order:
+                o, n = int(off[i]), int(nb[i])
+                if o != covered:
+                    errs.append(f"run {i}: offset gap at {o} (expected {covered})")
+                covered = o + n
+                if covered > len(blob):
+                    errs.append(f"run {i}: extends past postings.bin")
+                    break
+                try:
+                    docids, tfs, _dls = segments.decode_run(blob[o : o + n])
+                except Exception as e:  # corrupt varint stream
+                    errs.append(f"run {i}: decode failed: {e}")
+                    continue
+                if len(docids) != int(t["df"][i].as_py()):
+                    errs.append(f"run {i}: df {t['df'][i]} != decoded {len(docids)}")
+                if int(tfs.sum()) != int(t["cf"][i].as_py()):
+                    errs.append(f"run {i}: cf mismatch")
+                if len(docids) > 1 and not (np.diff(docids) > 0).all():
+                    errs.append(f"run {i}: docids not strictly sorted")
+            if covered != len(blob):
+                errs.append(f"trailing bytes: covered {covered} of {len(blob)}")
+            out_part.append(int(p))
+            out_runs.append(len(off))
+            out_errs.append("; ".join(errs[:5]))
+        return pa.table(
+            {
+                "part": pa.array(out_part, pa.int32()),
+                "runs": pa.array(out_runs, pa.int64()),
+                "errors": pa.array(out_errs, pa.string()),
+            }
+        )
+
+
+def verify_index(path: str) -> dict:
+    """Full read-only integrity scan (the fsck of the lifecycle): every
+    run in every partition decoded and checked against its dictionary
+    row, one Ray task batch per few parts.  Returns
+    ``{"ok": bool, "parts": N, "runs": N, "errors": {part: msg}}``.
+    """
+    import ray.data as rd
+
+    _require_index(path)
+    m = json.load(open(os.path.join(path, "manifest.json")))
+    parts = sorted(p["partition"] for p in m.get("partitions", []))
+    res = (
+        rd.from_items([{"part": p} for p in parts])
+        .map_batches(_VerifyPart(path), batch_format="pyarrow", batch_size=4)
+        .to_pandas()
+    )
+    errors = {int(r.part): r.errors for r in res.itertuples() if r.errors}
+    return {
+        "ok": not errors,
+        "parts": int(len(res)),
+        "runs": int(res["runs"].sum()),
+        "errors": errors,
+    }

@@ -138,10 +138,18 @@ def cmd_query(args) -> int:
     _ensure_ray()
     idx = query.SegmentIndex(args.index_dir)
     if args.mode == "faithful_boosted":
-        if not args.sf_dir:
-            print("--mode faithful_boosted requires --sf-dir (title map source)")
+        import os
+
+        if args.sf_dir:
+            titles = query.conv_titles(args.sf_dir)
+        elif os.path.isdir(os.path.join(args.index_dir, "docstore")):
+            titles = query.conv_titles_from_docstore(args.index_dir)
+        else:
+            print(
+                "--mode faithful_boosted needs --sf-dir or an index built "
+                "with --docstore (title source)"
+            )
             return 2
-        titles = query.conv_titles(args.sf_dir)
         df = query._topk_boosted(idx, args.query, args.k, titles)
     else:
         df = idx.topk(args.query, args.k, args.mode)
@@ -218,6 +226,11 @@ def cmd_admin(args) -> int:
         print(json.dumps({"live": args.dst, "rollback": backup}))
     elif args.op == "info":
         print(json.dumps(admin.index_info(args.src)))
+    elif args.op == "verify":
+        _ensure_ray()
+        report = admin.verify_index(args.src)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
     return 0
 
 
@@ -312,7 +325,7 @@ def main(argv=None) -> int:
     a = sub.add_parser(
         "admin", help="index lifecycle: rename/delete/swap/info"
     )
-    a.add_argument("op", choices=("rename", "delete", "swap", "info"))
+    a.add_argument("op", choices=("rename", "delete", "swap", "info", "verify"))
     a.add_argument("src", help="index dir (or swap candidate)")
     a.add_argument("dst", nargs="?", default=None, help="target dir (rename/swap)")
     a.set_defaults(fn=cmd_admin)

@@ -719,6 +719,21 @@ def conv_titles(sf_dir: str) -> dict:
     return dict(rows)
 
 
+def conv_titles_from_docstore(index_dir: str) -> dict:
+    """conv_id -> title from the index-local doc-store: a conversation's
+    title is its turn-0 text lowercased, and turn-0 docids are exactly
+    the codec bases — so the whole map is one batched point lookup, no
+    corpus/sf_dir access.  Equal to :func:`conv_titles` by construction
+    (turn 0 = the document's first TURN_WORDS words; pytest-pinned)."""
+    from .docstore import DocStore
+
+    codec = DocIdCodec.from_table(
+        pq.read_table(os.path.join(index_dir, "convmap.parquet"))
+    )
+    texts = DocStore(index_dir).texts(codec.bases)
+    return {c: t.lower() for c, t in zip(codec.conv_ids.tolist(), texts)}
+
+
 def _topk_boosted(index: "SegmentIndex", query_text: str, k: int, titles: dict) -> pd.DataFrame:
     docids, scores = index._score_faithful(query_text)
     if len(docids) == 0:

@@ -28,10 +28,19 @@ class IndexServer:
     """One serving replica: index (+ optional title map) loaded once."""
 
     def __init__(self, index_dir: str, sf_dir: str | None = None):
-        from .query import SegmentIndex, conv_titles
+        import os
+
+        from .query import SegmentIndex, conv_titles, conv_titles_from_docstore
 
         self.index = SegmentIndex(index_dir)
-        self.titles = conv_titles(sf_dir) if sf_dir else None
+        if sf_dir:
+            self.titles = conv_titles(sf_dir)
+        elif os.path.isdir(os.path.join(index_dir, "docstore")):
+            # self-contained serving: titles from the index-local
+            # doc-store (turn-0 point lookups), no corpus access
+            self.titles = conv_titles_from_docstore(index_dir)
+        else:
+            self.titles = None
 
     def topk(self, query_text: str, k: int = 10, mode: str = "bm25") -> pd.DataFrame:
         if mode == "faithful_boosted":
