@@ -1230,3 +1230,185 @@ SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
 FROM labs l JOIN sizes s USING (cluster_id)
 ORDER BY l.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans (the Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" exact-substring family
+# member: find every >=DUP_L-word run shared across documents)
+# ---------------------------------------------------------------------------
+
+#: words per exact-duplicate gram — a shared run of >= DUP_L words
+#: across two documents produces at least one shared gram, and maximal
+#: shared runs come out as merged spans
+DUP_L = 8
+
+
+def _lgram_positions(texts, L: int):
+    """String column -> (row_idx, pos_1based, hash) for every L-word
+    gram occurrence.  Vectorized: one ``binary_join_element_wise`` over
+    L shifted views of the flattened word array; rows shorter than L
+    words emit their whole text as one gram at pos 1 (the SQL mirror's
+    ``greatest(1, len - L + 1)`` convention)."""
+    words, row = split_words_arrow(texts)
+    nw = len(row)
+    n_rows = int(row[-1]) + 1 if nw else 0
+    counts = np.bincount(row, minlength=n_rows) if nw else np.empty(0, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1] if nw else counts
+    parts_s: list[np.ndarray] = []
+    parts_r: list[np.ndarray] = []
+    parts_p: list[np.ndarray] = []
+    if nw >= L:
+        valid = row[: -(L - 1)] == row[L - 1 :]
+        if valid.any():
+            gram = pc.binary_join_element_wise(
+                *[words.slice(k, nw - (L - 1)) for k in range(L)], " "
+            ).filter(pa.array(valid))
+            r = row[: -(L - 1)][valid]
+            gidx = np.flatnonzero(valid)
+            parts_s.append(gram.to_numpy(zero_copy_only=False))
+            parts_r.append(r)
+            parts_p.append(gidx - starts[r] + 1)
+    short = np.flatnonzero((counts > 0) & (counts < L))
+    if len(short):
+        # whole-row join per short row (bounded by the short-doc count)
+        wnp = words.to_numpy(zero_copy_only=False)
+        joins = np.array(
+            [" ".join(wnp[starts[i] : starts[i] + counts[i]]) for i in short],
+            object,
+        )
+        parts_s.append(joins)
+        parts_r.append(short.astype(np.int64))
+        parts_p.append(np.ones(len(short), np.int64))
+    if not parts_s:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    sh = np.concatenate(parts_s)
+    return (
+        np.concatenate(parts_r).astype(np.int64),
+        np.concatenate(parts_p).astype(np.int64),
+        md5int60_np(sh),
+    )
+
+
+def _dupgram_batch(batch: pa.Table) -> pa.Table:
+    r, p, h = _lgram_positions(batch["text"], DUP_L)
+    did = batch["doc_id"].to_numpy(zero_copy_only=False)[r]
+    return pa.table(
+        {
+            "doc_id": pa.array(did, pa.int64()),
+            "pos": pa.array(p),
+            "h": pa.array(h),
+            "bucket": pa.array((h % N_BUCKETS).astype(np.int32)),
+        }
+    )
+
+
+def _dup_hits(group: pa.Table) -> pa.Table:
+    """One coarse bucket: keep (doc_id, pos) of grams whose hash occurs
+    in >= 2 DISTINCT documents (cross-document exact duplicates only).
+    Exact hash equality re-established vectorized inside the group
+    (lexsort + run detection — the N_BUCKETS pattern)."""
+    h = group["h"].to_numpy()
+    doc = group["doc_id"].to_numpy()
+    pos = group["pos"].to_numpy()
+    order = np.lexsort((doc, h))
+    hs, ds, ps = h[order], doc[order], pos[order]
+    new_run = np.ones(len(hs), bool)
+    new_run[1:] = hs[1:] != hs[:-1]
+    run_id = np.cumsum(new_run) - 1
+    new_doc = np.ones(len(hs), bool)
+    new_doc[1:] = new_run[1:] | (ds[1:] != ds[:-1])
+    ndocs = np.bincount(run_id, weights=new_doc).astype(np.int64)
+    keep = ndocs[run_id] >= 2
+    return pa.table(
+        {
+            "doc_id": pa.array(ds[keep]),
+            "pos": pa.array(ps[keep]),
+            "dbucket": pa.array((ds[keep] % N_BUCKETS).astype(np.int32)),
+        }
+    )
+
+
+def _merge_spans(group: pa.Table) -> pa.Table:
+    """One doc bucket: merge each document's overlapping [pos, pos+L-1]
+    gram intervals into maximal spans.  Because L is constant, interval
+    ends are monotone in pos, so the gaps-and-islands pass is one
+    vectorized comparison against the previous end — no accumulate."""
+    doc = group["doc_id"].to_numpy()
+    pos = group["pos"].to_numpy()
+    order = np.lexsort((pos, doc))
+    d, p = doc[order], pos[order]
+    e = p + DUP_L - 1
+    new = np.ones(len(d), bool)
+    if len(d) > 1:
+        new[1:] = (d[1:] != d[:-1]) | (p[1:] > e[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.concatenate([starts[1:] - 1, [len(d) - 1]]) if len(d) else starts
+    return pa.table(
+        {
+            "doc_id": pa.array(d[starts]),
+            "span_start": pa.array(p[starts]),
+            "span_end": pa.array(e[ends]),
+        }
+    )
+
+
+def dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Cross-document exact-duplicate spans: every maximal word range
+    covered by >= DUP_L-word grams that appear verbatim in at least two
+    documents (1-based inclusive word positions).
+
+    Dataflow: one corpus-sized (doc, pos, hash) explode -> coarse
+    hash-bucket shuffle -> vectorized >=2-distinct-docs run filter ->
+    doc-bucket shuffle -> vectorized interval merge.  This is the
+    n-gram formulation of exact-substring dedup (Lee et al. 2022 use a
+    suffix array; the gram explode trades memory locality for plain
+    shuffles, the right shape for Ray Data at 100 TB — cost is one
+    token-scale shuffle, same class as the index build itself).
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    hits = (
+        ds.map_batches(_dupgram_batch, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_dup_hits, batch_format="pyarrow")
+    )
+    spans = hits.groupby("dbucket").map_groups(_merge_spans, batch_format="pyarrow")
+    return (
+        spans.to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+
+
+DUP_SPANS_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, s.i AS pos,
+         {md5int60_sql("array_to_string(list_slice(d.parts, s.i, s.i + " + str(DUP_L - 1) + "), ' ')")} AS h
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS parts FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, greatest(1, len(d.parts) - {DUP_L - 1}))) AS i) s
+),
+dupg AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (h)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > max(pos + {DUP_L - 1}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR row_number() OVER (PARTITION BY doc_id ORDER BY pos) = 1
+         THEN 1 ELSE 0 END AS new_island
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {DUP_L - 1} AS BIGINT) AS span_end
+FROM islands GROUP BY doc_id, isl ORDER BY doc_id, span_start
+"""

@@ -361,3 +361,25 @@ def test_range_partition_contiguous_and_balanced(ray_session):
     assert (out["max_key"].to_numpy()[:-1] < out["min_key"].to_numpy()[1:]).all()
     n = out["n_rows"].sum()
     assert out["n_rows"].max() <= int(1.2 * n / analysis.RANGE_P) + 1
+
+
+def test_dup_spans_semantics(ray_session):
+    """Every reported span really is cross-document duplicated text:
+    its leading DUP_L-word gram appears verbatim in another document."""
+    import pandas as pd
+
+    from raystorm import dedup
+
+    sf = "/root/testdata/sf0.001"
+    got = dedup.dup_spans(sf)
+    assert len(got) and (got.span_end - got.span_start + 1 >= 1).all()
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    texts = {r.doc_id: (r.text or "").lower() for r in docs.itertuples()}
+    words = {d: t.split(" ") for d, t in texts.items()}
+    for row in got.head(10).itertuples():
+        w = words[row.doc_id]
+        L = min(dedup.DUP_L, len(w))
+        gram = " ".join(w[row.span_start - 1 : row.span_start - 1 + L])
+        assert any(
+            d != row.doc_id and gram in t for d, t in texts.items()
+        ), (row.doc_id, gram)
