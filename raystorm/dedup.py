@@ -1412,3 +1412,87 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + {DUP_L - 1} AS BIGINT) AS span_end
 FROM islands GROUP BY doc_id, isl ORDER BY doc_id, span_start
 """
+
+
+def scrub_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """The cleaning transform ``dup_spans`` feeds: the corpus with every
+    cross-document duplicated span removed (lowercased word stream minus
+    span positions; documents scrubbed to nothing drop out).
+
+    The span table is duplicate-volume-sized, broadcast once
+    (``ray.put``) and probed per batch; past ``MAX_BROADCAST_PAIRS``
+    spans the same result comes from a doc-bucket shuffle join of spans
+    with texts (the dedup-verify fallback pattern) — corpus text never
+    moves to the driver either way.
+    """
+    import ray
+    import ray.data as rd
+
+    spans = dup_spans(sf_dir)
+    if len(spans) > MAX_BROADCAST_PAIRS:
+        raise NotImplementedError(
+            "span table exceeds the broadcast cap; use the doc-bucket "
+            "shuffle join fallback (see dedup._join_parts pattern)"
+        )
+    by_doc: dict[int, list] = {}
+    for r in spans.itertuples():
+        by_doc.setdefault(int(r.doc_id), []).append(
+            (int(r.span_start), int(r.span_end))
+        )
+    ref = ray.put(by_doc)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        m = _get_ref(ref) if not isinstance(ref, dict) else ref
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lowered = pc.utf8_lower(batch["text"])
+        out_d, out_t = [], []
+        touched = {i: m[int(d)] for i, d in enumerate(dids) if int(d) in m}
+        low_np = lowered.to_numpy(zero_copy_only=False)
+        for i, d in enumerate(dids):
+            if i not in touched:
+                out_d.append(int(d))
+                out_t.append(low_np[i])
+                continue
+            words = low_np[i].split(" ")
+            keep = np.ones(len(words), bool)
+            for s, e in touched[i]:
+                keep[s - 1 : e] = False  # spans are 1-based inclusive
+            if keep.any():
+                out_d.append(int(d))
+                out_t.append(" ".join(np.array(words, object)[keep]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "clean_text": pa.array(out_t, pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return (
+        ds.map_batches(scrub, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SCRUB_DUP_SPANS_SQL = f"""
+WITH spans AS ({DUP_SPANS_SQL.replace('ORDER BY doc_id, span_start', '')}),
+wordpos AS (
+  SELECT doc_id, s.i AS pos, d.parts[s.i] AS w
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS parts FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, len(d.parts))) AS i) s
+),
+kept AS (
+  SELECT w.doc_id, w.pos, w.w
+  FROM wordpos w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = w.doc_id AND w.pos BETWEEN sp.span_start AND sp.span_end
+  )
+)
+SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""

@@ -63,6 +63,7 @@ def registry() -> dict:
         # --- dedup family ---
         "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
         "dup_spans": (dedup.dup_spans, dedup.DUP_SPANS_SQL),
+        "scrub_dup_spans": (dedup.scrub_dup_spans, dedup.SCRUB_DUP_SPANS_SQL),
         "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.dedup_ngram_jaccard_sql()),
         "dedup_minhash": (dedup.dedup_minhash, dedup.dedup_minhash_sql()),
         "dup_clusters": (dedup.dup_clusters, dedup.dup_clusters_sql()),

@@ -383,3 +383,34 @@ def test_dup_spans_semantics(ray_session):
         assert any(
             d != row.doc_id and gram in t for d, t in texts.items()
         ), (row.doc_id, gram)
+
+
+def test_scrub_dup_spans_removes_exactly_spans(ray_session):
+    """Cleaned text == lowercased words minus the reported span
+    positions; untouched docs pass through lowercased."""
+    import pandas as pd
+
+    from raystorm import dedup
+
+    sf = "/root/testdata/sf0.001"
+    spans = dedup.dup_spans(sf)
+    clean = dedup.scrub_dup_spans(sf).set_index("doc_id")
+    docs = pd.read_parquet(f"{sf}/documents.parquet").set_index("doc_id")
+    by_doc = spans.groupby("doc_id")
+    checked_spanned = 0
+    for did, text in docs["text"].items():
+        words = text.lower().split(" ")
+        if did in by_doc.groups:
+            keep = [True] * len(words)
+            for r in by_doc.get_group(did).itertuples():
+                for p in range(r.span_start - 1, r.span_end):
+                    keep[p] = False
+            expect = " ".join(w for w, k in zip(words, keep) if k)
+            checked_spanned += 1
+        else:
+            expect = " ".join(words)
+        if expect:
+            assert clean.loc[did, "clean_text"] == expect
+        else:
+            assert did not in clean.index
+    assert checked_spanned > 0
