@@ -120,6 +120,7 @@ BENCH_NAMES = (
     "decontaminate",
     "ngram_counts",
     "sketch_distinct_users",
+    "dup_spans",
 )
 
 
