@@ -984,3 +984,120 @@ SELECT CAST(part AS BIGINT) AS part, CAST(count(*) AS BIGINT) AS n_rows,
        min(n_chars) AS min_key, max(n_chars) AS max_key
 FROM parts GROUP BY part ORDER BY part
 """
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality score (the CCNet-style perplexity filter with the
+# corpus itself as the language model)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(sf_dir: str):
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the shape of the CCNet/KenLM perplexity
+    quality filter (docs far below the corpus mean are boilerplate or
+    noise; far above are repetitive).
+
+    Output: ``(doc_id, n_words, logprob)`` with
+    ``logprob = round(avg over word occurrences of ln(cf_w / total), 6)``;
+    zero-word docs drop (the SQL join semantics).
+
+    Scale shape: pass 1 emits per-batch partial word counts
+    (vocabulary-sized per batch) -> one vocab-bounded groupby; the
+    (word, logprob) table broadcasts once as sorted numpy arrays; pass 2
+    re-tokenizes and reduces per doc with ``bincount`` — no shuffle
+    beyond the vocab groupby, no corpus-sized driver state.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def cf_partial(batch: pa.Table) -> pa.Table:
+        words, _row = split_words_arrow(batch["text"])
+        enc = words.dictionary_encode()
+        vocab = np.asarray(enc.dictionary, dtype=object)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = vocab[codes] != ""
+        codes = codes[keep]
+        if not len(codes):
+            return pa.table(
+                {"word": pa.array([], pa.string()), "cf_part": pa.array([], pa.int64())}
+            )
+        cf = np.bincount(codes, minlength=len(vocab))
+        nz = np.flatnonzero(cf)
+        return pa.table(
+            {"word": pa.array(vocab[nz].astype(str)),
+             "cf_part": pa.array(cf[nz], pa.int64())}
+        )
+
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    cf_pd = (
+        ds.map_batches(cf_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cf_part", alias_name="cf"))
+        .to_pandas()
+    )
+    total = float(cf_pd["cf"].sum())
+    order = np.argsort(cf_pd["word"].to_numpy())
+    # ln(cf * 1.0 / total): divide-then-log, the SQL mirror's exact op order
+    lp_ref = ray.put(
+        (
+            cf_pd["word"].to_numpy()[order].astype(str),
+            np.log(cf_pd["cf"].to_numpy()[order].astype(np.float64) / total),
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_sorted, lps = ray.get(lp_ref)
+        words, row = split_words_arrow(batch["text"])
+        wnp = words.to_numpy(zero_copy_only=False)
+        keep = wnp != ""
+        wnp, row = wnp[keep], row[keep]
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "logprob": pa.array([], pa.float64()),
+            }
+        )
+        if not len(row):
+            return empty
+        lp = lps[np.searchsorted(vocab_sorted, wnp.astype(str))]
+        n_rows = int(row[-1]) + 1
+        sums = np.bincount(row, weights=lp, minlength=n_rows)
+        counts = np.bincount(row, minlength=n_rows)
+        nz = np.flatnonzero(counts)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[nz], pa.int64()),
+                "n_words": pa.array(counts[nz], pa.int64()),
+                "logprob": pa.array(
+                    round_half_up(sums[nz] / counts[nz], 6), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+cf AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+tot AS (SELECT count(*) AS t FROM words)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       round(avg(ln(c * 1.0 / t)), 6) AS logprob
+FROM words JOIN cf USING (w) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+"""

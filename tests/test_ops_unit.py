@@ -414,3 +414,28 @@ def test_scrub_dup_spans_removes_exactly_spans(ray_session):
         else:
             assert did not in clean.index
     assert checked_spanned > 0
+
+
+def test_unigram_logprob_hand_computed(ray_session):
+    """Pin the LM-score math against a from-scratch Counter recompute."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from raystorm import analysis
+    from raystorm.analysis import round_half_up
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    got = analysis.unigram_logprob(sf).set_index("doc_id")
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    cf = Counter()
+    for t in docs.text:
+        cf.update(w for w in (t or "").lower().split(" ") if w)
+    total = sum(cf.values())
+    for row in docs.head(5).itertuples():
+        ws = [w for w in row.text.lower().split(" ") if w]
+        lp = sum(math.log(cf[w] * 1.0 / total) for w in ws) / len(ws)
+        assert got.loc[row.doc_id, "n_words"] == len(ws)
+        assert abs(got.loc[row.doc_id, "logprob"] - lp) < 1e-5
