@@ -481,6 +481,28 @@ def _q_topk_phrase(sf_dir: str):
     )
 
 
+def _q_topk_phrase_positional(sf_dir: str):
+    """Exact-phrase top-k via the on-disk positional index (per-term
+    position-list intersection; no candidate text read) — same oracle
+    as topk_phrase: three independent implementations must agree."""
+    from raystorm import positional
+
+    index_dir = _index_for(sf_dir)
+    positional.build_positional_index(sf_dir, index_dir, num_parts=8)
+    idx = query.SegmentIndex(index_dir)
+    pidx = positional.PositionalIndex(index_dir)
+    frames = []
+    for qid, text, k in query.REFERENCE_QUERIES:
+        df = positional.topk_phrase_positional(idx, pidx, text, int(k))
+        df.insert(0, "query_id", qid)
+        frames.append(df)
+    return (
+        pd.concat(frames, ignore_index=True)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_spell_suggest(sf_dir: str):
     """'Did you mean': nearest vocabulary term by (edit distance, df
     desc, term) within distance 2, over the index dictionary."""
@@ -519,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": _q_search_snippets,
         "search_snippets_docstore": _q_search_snippets_docstore,
         "topk_phrase": _q_topk_phrase,
+        "topk_phrase_positional": _q_topk_phrase_positional,
         "spell_suggest": _q_spell_suggest,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
@@ -582,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         "search_snippets": snippets.snippets_sql(),
         "search_snippets_docstore": snippets.snippets_sql(),
         "topk_phrase": query.phrase_topk_sql(),
+        "topk_phrase_positional": query.phrase_topk_sql(),
         "spell_suggest": query.suggest_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

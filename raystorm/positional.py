@@ -285,3 +285,212 @@ def phrase_docs_from_postings(postings: pd.DataFrame, phrase: str) -> pd.DataFra
             rows.append((phrase, doc[0], np.int32(doc[1]), np.int64(len(starts))))
     out = pd.DataFrame(rows, columns=["phrase", "conv_id", "turn_idx", "occurrences"])
     return out.sort_values(["phrase", "conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# on-disk positional index + positional phrase top-k (the scale path the
+# docstore-verified phrase mode documents: per-term position lists, no
+# per-candidate text read)
+# ---------------------------------------------------------------------------
+
+#: positions are per-turn kept-token offsets (turns are short); this
+#: packs (docid, pos) into one int64 key for vectorized intersection
+POS_SHIFT = 20
+
+
+def build_positional_index(sf_dir: str, index_dir: str, num_parts: int = 8) -> dict:
+    """Write term-hash-partitioned, (term, docid, pos)-sorted Parquet
+    position lists next to a BUILT index (docids from its codec).
+
+    Layout: ``positional/part-NNNNN.parquet`` with rows sorted by
+    (term, docid, pos) — a term's rows live in one part and prune to a
+    few row groups via Parquet column stats.  Idempotent per index
+    fingerprint; atomic per-part replace (the docstore pattern).
+    """
+    import hashlib
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from . import build as _build
+    from .docids import DocIdCodec
+
+    manifest = json.load(open(os.path.join(index_dir, "manifest.json")))
+    fp = hashlib.sha256(
+        f"positional|{manifest['build_fingerprint']}|{num_parts}".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join(index_dir, "positional")
+    mpath = os.path.join(out_dir, "_manifest.json")
+    if os.path.isfile(mpath):
+        try:
+            m = json.load(open(mpath))
+            if m.get("fingerprint") == fp and m.get("status") == "complete":
+                return m
+        except (json.JSONDecodeError, OSError):
+            pass
+    os.makedirs(out_dir, exist_ok=True)
+    codec_ref = ray.put(
+        DocIdCodec.from_table(
+            pq.read_table(os.path.join(index_dir, "convmap.parquet"))
+        )
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        c = _build._get_ref(codec_ref)
+        toks, rows, pos = normalize.tokenize_with_positions(batch["text"], "body")
+        r = pa.array(rows)
+        docid = c.encode(
+            batch["conv_id"].take(r),
+            batch["turn_idx"].take(r).to_numpy(zero_copy_only=False),
+        )
+        ppart = (md5int60_np(toks) % num_parts).astype(np.int32) if len(toks) else np.empty(0, np.int32)
+        return pa.table(
+            {
+                "term": pa.array(toks, pa.string()),
+                "docid": pa.array(docid),
+                "pos": pa.array(pos, pa.int64()),
+                "ppart": pa.array(ppart),
+            }
+        )
+
+    class Writer:
+        __name__ = "PositionalPartWriter"
+
+        def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+            p = int(group["ppart"].iloc[0])
+            path = os.path.join(out_dir, f"part-{p:05d}.parquet")
+            if os.path.isfile(path):
+                meta = pq.read_schema(path).metadata or {}
+                if meta.get(b"raystorm.positional_fp") == fp.encode():
+                    return pd.DataFrame([{"ppart": p, "rows": len(group), "resumed": True}])
+            g = group.sort_values(["term", "docid", "pos"])
+            t = pa.table(
+                {
+                    "term": pa.array(g["term"].tolist(), pa.string()),
+                    "docid": pa.array(g["docid"].to_numpy(np.int64)),
+                    "pos": pa.array(g["pos"].to_numpy(np.int64)),
+                }
+            ).replace_schema_metadata({b"raystorm.positional_fp": fp.encode()})
+            tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+            pq.write_table(t, tmp, row_group_size=64 * 1024)
+            os.replace(tmp, path)
+            return pd.DataFrame([{"ppart": p, "rows": len(group), "resumed": False}])
+
+    ds = corpus.transcripts_from_documents(sf_dir)
+    stats = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(Writer(), batch_format="pandas")
+        .to_pandas()
+    )
+    m = {
+        "fingerprint": fp,
+        "num_parts": num_parts,
+        "rows": int(stats["rows"].sum()),
+        "status": "complete",
+    }
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(m, fh, indent=1)
+    os.replace(tmp, mpath)
+    return m
+
+
+class PositionalIndex:
+    """Reader: term -> (docids, positions), loaded from the term's hash
+    part with a Parquet predicate (row-group stats prune within the
+    sorted part).  Per-term results cache per instance."""
+
+    def __init__(self, index_dir: str):
+        import json
+        import os
+
+        self.dir = os.path.join(index_dir, "positional")
+        m = json.load(open(os.path.join(self.dir, "_manifest.json")))
+        if m.get("status") != "complete":
+            raise ValueError(f"incomplete positional index under {index_dir}")
+        self.num_parts = m["num_parts"]
+        self._cache: dict[str, tuple] = {}
+
+    def positions(self, term: str):
+        import os
+
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        if term in self._cache:
+            return self._cache[term]
+        from .analysis import md5int60
+
+        p = md5int60(term) % self.num_parts
+        path = os.path.join(self.dir, f"part-{p:05d}.parquet")
+        if not os.path.isfile(path):
+            self._cache[term] = None
+            return None
+        t = pq.read_table(path, filters=pads.field("term") == term)
+        if not len(t):
+            self._cache[term] = None
+            return None
+        out = (t["docid"].to_numpy(), t["pos"].to_numpy())
+        self._cache[term] = out
+        return out
+
+
+def topk_phrase_positional(index, pos_index: PositionalIndex, query_text: str, k: int):
+    """Exact-phrase top-k via position-list intersection — the
+    high-frequency-phrase serving path (`query.topk_phrase` reads
+    candidate TEXTS; here no text is touched): phrase present in doc d
+    iff some start s has (d, s + i) in term_i's position list for every
+    i.  Keys pack as docid << POS_SHIFT | (pos - i) and intersect
+    rarest-term-first; scores/ranking identical to the other phrase
+    paths (same oracle)."""
+    from .analysis import round_half_up
+    from .query import RANK_ROUND, SCORE_ROUND
+
+    empty = pd.DataFrame(
+        {
+            "rank": np.empty(0, np.int32),
+            "conv_id": [],
+            "turn_idx": np.empty(0, np.int32),
+            "score": [],
+        }
+    )
+    docids, scores = index._score_bm25_conjunctive(query_text)
+    if not len(docids):
+        return empty
+    toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
+    terms = toks.tolist()  # document order, duplicates kept
+    keysets = []
+    for i, t in enumerate(terms):
+        pl = pos_index.positions(t)
+        if pl is None:
+            return empty
+        d, p = pl
+        ok = p >= i
+        keysets.append(((d[ok] << POS_SHIFT) | (p[ok] - i), len(d)))
+    keysets.sort(key=lambda kp: kp[1])
+    inter = np.unique(keysets[0][0])
+    for keys, _n in keysets[1:]:
+        inter = np.intersect1d(inter, keys)
+        if not len(inter):
+            return empty
+    phrase_docs = np.unique(inter >> POS_SHIFT)
+    keep = np.isin(docids, phrase_docs, assume_unique=True)
+    docids, scores = docids[keep], scores[keep]
+    if not len(docids):
+        return empty
+    r = round_half_up(scores, RANK_ROUND)
+    order = np.lexsort((docids, -r))[:k]
+    conv, turn = index.codec.decode(docids[order])
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+            "conv_id": conv,
+            "turn_idx": turn,
+            "score": round_half_up(scores[order], SCORE_ROUND),
+        }
+    )

@@ -89,3 +89,20 @@ def test_phrase_mode_invariants(store):
                 kt, _ = normalize.tokenize_column(pa.array([t]), "body")
                 assert needle in " " + " ".join(kt.tolist()) + " "
     assert some_selective
+
+
+def test_positional_phrase_equals_docstore_phrase(store):
+    """The position-list intersection path must return exactly what the
+    docstore-verified path returns, for every reference query."""
+    import pandas as pd
+
+    from raystorm import positional
+
+    d, _m = store
+    positional.build_positional_index(SF, d, num_parts=4)
+    idx = query.SegmentIndex(d)
+    pidx = positional.PositionalIndex(d)
+    for _qid, text, k in query.REFERENCE_QUERIES:
+        a = idx.topk(text, int(k), "phrase").reset_index(drop=True)
+        b = positional.topk_phrase_positional(idx, pidx, text, int(k)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
