@@ -149,6 +149,15 @@ class DocStore:
         m = json.load(open(os.path.join(self.dir, "_manifest.json")))
         if m.get("status") != "complete":
             raise ValueError(f"incomplete docstore under {index_dir}")
+        # staleness guard: an update/vacuum changes the index fingerprint,
+        # and a stale docstore would silently miss the new docids
+        idx_m = json.load(open(os.path.join(index_dir, "manifest.json")))
+        want = _fingerprint(idx_m["build_fingerprint"], m["num_shards"])
+        if m["fingerprint"] != want:
+            raise ValueError(
+                f"stale docstore under {index_dir} (index changed since it "
+                "was built) — re-run build_docstore"
+            )
         self.num_shards = m["num_shards"]
         self.span = m["span"]
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}

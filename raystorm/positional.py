@@ -406,6 +406,7 @@ class PositionalIndex:
     sorted part).  Per-term results cache per instance."""
 
     def __init__(self, index_dir: str):
+        import hashlib
         import json
         import os
 
@@ -413,6 +414,17 @@ class PositionalIndex:
         m = json.load(open(os.path.join(self.dir, "_manifest.json")))
         if m.get("status") != "complete":
             raise ValueError(f"incomplete positional index under {index_dir}")
+        # staleness guard (the docstore rule): stale positional lists
+        # would silently drop post-update docids from phrase results
+        idx_m = json.load(open(os.path.join(index_dir, "manifest.json")))
+        want = hashlib.sha256(
+            f"positional|{idx_m['build_fingerprint']}|{m['num_parts']}".encode()
+        ).hexdigest()[:16]
+        if m["fingerprint"] != want:
+            raise ValueError(
+                f"stale positional index under {index_dir} — re-run "
+                "build_positional_index"
+            )
         self.num_parts = m["num_parts"]
         self._cache: dict[str, tuple] = {}
 

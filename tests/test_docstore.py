@@ -106,3 +106,22 @@ def test_positional_phrase_equals_docstore_phrase(store):
         a = idx.topk(text, int(k), "phrase").reset_index(drop=True)
         b = positional.topk_phrase_positional(idx, pidx, text, int(k)).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_companions_flag_staleness(store, tmp_path):
+    """After a delete (fingerprint change) the doc-store and positional
+    readers refuse to serve stale docids."""
+    import shutil
+
+    from raystorm import deletes, positional
+
+    d, _m = store
+    positional.build_positional_index(SF, d, num_parts=4)
+    stale = str(tmp_path / "stale_idx")
+    shutil.copytree(d, stale)
+    victims = [query.SegmentIndex(stale).codec.conv_ids[0]]
+    deletes.delete_convs(stale, victims, delete_fingerprint="stale-test")
+    with pytest.raises(ValueError, match="stale"):
+        docstore.DocStore(stale)
+    with pytest.raises(ValueError, match="stale"):
+        positional.PositionalIndex(stale)
