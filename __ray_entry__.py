@@ -21,7 +21,7 @@ from typing import Any
 import pandas as pd
 import pyarrow as pa
 
-from raystorm import build, corpus, normalize, pipelines, query, snippets
+from raystorm import build, corpus, normalize, pipelines, positional, query, snippets
 
 
 def _index_for(sf_dir: str) -> str:
@@ -485,8 +485,6 @@ def _q_topk_phrase_positional(sf_dir: str):
     """Exact-phrase top-k via the on-disk positional index (per-term
     position-list intersection; no candidate text read) — same oracle
     as topk_phrase: three independent implementations must agree."""
-    from raystorm import positional
-
     index_dir = _index_for(sf_dir)
     positional.build_positional_index(sf_dir, index_dir, num_parts=8)
     idx = query.SegmentIndex(index_dir)
@@ -494,6 +492,26 @@ def _q_topk_phrase_positional(sf_dir: str):
     frames = []
     for qid, text, k in query.REFERENCE_QUERIES:
         df = positional.topk_phrase_positional(idx, pidx, text, int(k))
+        df.insert(0, "query_id", qid)
+        frames.append(df)
+    return (
+        pd.concat(frames, ignore_index=True)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_topk_bm25_prox(sf_dir: str):
+    """Proximity-boosted BM25: disjunctive BM25 plus a
+    PROX_W/(1+mindist) bonus per consecutive query-term pair, min
+    |Δpos| from the on-disk positional index."""
+    index_dir = _index_for(sf_dir)
+    positional.build_positional_index(sf_dir, index_dir, num_parts=8)
+    idx = query.SegmentIndex(index_dir)
+    pidx = positional.PositionalIndex(index_dir)
+    frames = []
+    for qid, text, k in query.REFERENCE_QUERIES:
+        df = positional.topk_bm25_prox(idx, pidx, text, int(k))
         df.insert(0, "query_id", qid)
         frames.append(df)
     return (
@@ -542,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets_docstore": _q_search_snippets_docstore,
         "topk_phrase": _q_topk_phrase,
         "topk_phrase_positional": _q_topk_phrase_positional,
+        "topk_bm25_prox": _q_topk_bm25_prox,
         "spell_suggest": _q_spell_suggest,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
@@ -606,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         "search_snippets_docstore": snippets.snippets_sql(),
         "topk_phrase": query.phrase_topk_sql(),
         "topk_phrase_positional": query.phrase_topk_sql(),
+        "topk_bm25_prox": positional.bm25_prox_topk_sql(),
         "spell_suggest": query.suggest_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

@@ -506,3 +506,186 @@ def topk_phrase_positional(index, pos_index: PositionalIndex, query_text: str, k
             "score": round_half_up(scores[order], SCORE_ROUND),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# proximity-boosted ranking: BM25 + positional nearness bonuses
+# ---------------------------------------------------------------------------
+
+#: weight of each consecutive-query-term-pair proximity bonus:
+#: bonus = PROX_W / (1 + min |pos_a - pos_b|) per doc containing both
+PROX_W = 2.0
+
+
+def _pair_min_dists(pos_index: PositionalIndex, ta: str, tb: str):
+    """(docids, mindist) for documents containing both terms: the
+    minimum |pos_a - pos_b| per doc (same-position self-pairs excluded
+    for ta == tb).  Vectorized nearest-neighbor probe: both lists pack
+    as (docid << POS_SHIFT | pos) sorted keys; for every a-occurrence
+    the closest b-occurrence is one of the two insertion neighbors."""
+    pa_ = pos_index.positions(ta)
+    pb = pos_index.positions(tb)
+    if pa_ is None or pb is None:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    da, ppa = pa_
+    db, ppb = pb
+    ka = np.sort((da << POS_SHIFT) | ppa)
+    kb = np.sort((db << POS_SHIFT) | ppb)
+    same = ta == tb
+    best = np.full(len(ka), np.int64(1) << 40, np.int64)
+    ins = np.searchsorted(kb, ka)
+    for off in (-1, 0, 1) if same else (-1, 0):
+        # neighbor kb[ins+off] (off 0 is the >= neighbor; for a==b the
+        # exact self-match at off 0 must be skipped, its real neighbors
+        # sit at -1/+1)
+        j = ins + (0 if off == -1 else off)
+        if off == -1:
+            j = ins - 1
+        valid = (j >= 0) & (j < len(kb))
+        jj = np.clip(j, 0, max(len(kb) - 1, 0))
+        cand = kb[jj]
+        same_doc = (cand >> POS_SHIFT) == (ka >> POS_SHIFT)
+        if same:
+            not_self = cand != ka
+        else:
+            not_self = np.ones(len(ka), bool)
+        ok = valid & same_doc & not_self
+        dist = np.abs((cand & ((1 << POS_SHIFT) - 1)) - (ka & ((1 << POS_SHIFT) - 1)))
+        best = np.where(ok & (dist < best), dist, best)
+    doc_of_a = ka >> POS_SHIFT
+    has = best < (np.int64(1) << 40)
+    if not has.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    d, bd = doc_of_a[has], best[has]
+    order = np.argsort(d, kind="mergesort")
+    d, bd = d[order], bd[order]
+    first = np.r_[True, d[1:] != d[:-1]]
+    mins = np.minimum.reduceat(bd, np.flatnonzero(first))
+    return d[first], mins
+
+
+def topk_bm25_prox(index, pos_index: PositionalIndex, query_text: str, k: int):
+    """BM25 + proximity: disjunctive BM25 scores plus, for every
+    CONSECUTIVE pair of (tokenized, in-order) query terms, a bonus of
+    ``PROX_W / (1 + mindist)`` on docs containing both.  The classic
+    term-nearness rerank the reference's binary-hit ranker cannot
+    express; oracle = the BM25 SQL + per-pair min-distance CTEs over
+    the kept-token positions."""
+    from .analysis import round_half_up
+    from .query import RANK_ROUND, SCORE_ROUND
+
+    docids, scores = index._score_bm25(query_text)
+    empty = pd.DataFrame(
+        {
+            "rank": np.empty(0, np.int32),
+            "conv_id": [],
+            "turn_idx": np.empty(0, np.int32),
+            "score": [],
+        }
+    )
+    if not len(docids):
+        return empty
+    toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
+    terms = toks.tolist()
+    scores = scores.copy()
+    for ta, tb in zip(terms, terms[1:]):
+        d, md = _pair_min_dists(pos_index, ta, tb)
+        if not len(d):
+            continue
+        pos = np.searchsorted(docids, d)
+        # every proximity doc contains both terms, so it scored in BM25
+        scores[pos] += PROX_W / (1.0 + md)
+    r = round_half_up(scores, RANK_ROUND)
+    order = np.lexsort((docids, -r))[:k]
+    conv, turn = index.codec.decode(docids[order])
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+            "conv_id": conv,
+            "turn_idx": turn,
+            "score": round_half_up(scores[order], SCORE_ROUND),
+        }
+    )
+
+
+def bm25_prox_topk_sql(queries=None, k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle: BM25 scores + per-consecutive-pair min-|Δpos| bonuses
+    over the kept-token positions (self-joins exclude the same
+    occurrence for repeated-term pairs)."""
+    from . import query as _q
+
+    queries = queries if queries is not None else _q.REFERENCE_QUERIES
+    pair_rows = []
+    for qid, text, _k in queries:
+        toks, _ = normalize.tokenize_column(pa.array([text]), "body")
+        ts = toks.tolist()
+        for i, (ta, tb) in enumerate(zip(ts, ts[1:])):
+            pair_rows.append(f"('{qid}', {i}, '{ta}', '{tb}')")
+    pairs_cte = (
+        f"qpairs(query_id, pair_i, ta, tb) AS (VALUES {', '.join(pair_rows)})"
+        if pair_rows
+        else "qpairs(query_id, pair_i, ta, tb) AS (SELECT CAST(NULL AS VARCHAR), "
+        "CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) WHERE FALSE)"
+    )
+    return f"""
+WITH {_q.corpus_ctes()},
+{_kept_cte_sql().split('transcripts AS', 1)[0]}kept AS MATERIALIZED (
+  SELECT t2.conv_id, t2.turn_idx, u.term,
+         row_number() OVER (PARTITION BY t2.conv_id, t2.turn_idx ORDER BY u.ord) - 1 AS pos
+  FROM (SELECT conv_id, turn_idx,
+               string_split(trim({normalize.norm_expr_sql('text', 'body')}), ' ') AS parts
+        FROM transcripts) t2,
+       LATERAL (SELECT unnest(t2.parts) AS term,
+                       unnest(generate_series(1, len(t2.parts))) AS ord) u
+  WHERE {normalize.tokens_keep_sql('u.term', 'body')}
+),
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_q._queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_q._qterms_values(queries, dedup=True)}),
+{pairs_cte},
+scores0 AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+pairdist AS (
+  SELECT p.query_id, p.pair_i, a.conv_id, a.turn_idx,
+         min(abs(a.pos - b.pos)) AS mindist
+  FROM qpairs p
+  JOIN kept a ON a.term = p.ta
+  JOIN kept b ON b.term = p.tb AND b.conv_id = a.conv_id
+              AND b.turn_idx = a.turn_idx AND (p.ta <> p.tb OR a.pos <> b.pos)
+  GROUP BY p.query_id, p.pair_i, a.conv_id, a.turn_idx
+),
+bonus AS (
+  SELECT query_id, conv_id, turn_idx,
+         sum({PROX_W} / (1.0 + mindist)) AS bonus
+  FROM pairdist GROUP BY query_id, conv_id, turn_idx
+),
+scores AS (
+  SELECT s.query_id, s.conv_id, s.turn_idx,
+         s.score + coalesce(b.bonus, 0.0) AS score
+  FROM scores0 s
+  LEFT JOIN bonus b ON b.query_id = s.query_id
+                   AND b.conv_id = s.conv_id AND b.turn_idx = s.turn_idx
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {_q.RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {_q.SCORE_ROUND}) AS score
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""

@@ -125,3 +125,42 @@ def test_companions_flag_staleness(store, tmp_path):
         docstore.DocStore(stale)
     with pytest.raises(ValueError, match="stale"):
         positional.PositionalIndex(stale)
+
+
+def test_bm25_prox_bonus_math(store):
+    """Proximity mode == plain BM25 + hand-computed pair bonuses."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from raystorm import normalize, positional
+
+    d, _m = store
+    positional.build_positional_index(SF, d, num_parts=4)
+    idx = query.SegmentIndex(d)
+    pidx = positional.PositionalIndex(d)
+    for text in ("hash join", "the the", "sort merge join"):
+        base = idx.topk(text, 10**9, "bm25")
+        got = positional.topk_bm25_prox(idx, pidx, text, 10**9)
+        assert len(got) == len(base)
+        # recompute bonuses from raw tokenized positions per doc
+        toks, _ = normalize.tokenize_column(pa.array([text]), "body")
+        terms = toks.tolist()
+        base_ids = idx.codec.encode(base.conv_id.to_numpy(), base.turn_idx.to_numpy())
+        base_by_id = dict(zip(base_ids, base.score))
+        got_ids = idx.codec.encode(got.conv_id.to_numpy(), got.turn_idx.to_numpy())
+        for did, sc in list(zip(got_ids, got.score))[:50]:
+            bonus = 0.0
+            for ta, tb in zip(terms, terms[1:]):
+                da, pa_ = pidx.positions(ta) or (np.empty(0, np.int64),) * 2
+                db, pb = pidx.positions(tb) or (np.empty(0, np.int64),) * 2
+                qa = pa_[da == did]
+                qb = pb[db == did]
+                dists = [
+                    abs(int(x) - int(y))
+                    for x in qa
+                    for y in qb
+                    if not (ta == tb and int(x) == int(y))
+                ]
+                if dists:
+                    bonus += positional.PROX_W / (1.0 + min(dists))
+            assert abs(sc - (base_by_id[did] + bonus)) < 2e-5, (text, did)
