@@ -137,6 +137,51 @@ def _vacuumed_index_for(sf_dir: str) -> str:
     return out_dir
 
 
+def _updated_docstore_index_for(sf_dir: str) -> str:
+    """Full incremental serving flow in one cached dir: base index +
+    base doc-store, then update_index + update_docstore with the 30%
+    delta — the snippets gate over it reuses the FULL-corpus oracle,
+    proving the doc-store generation append tracks the index update."""
+    import json
+
+    from raystorm import docstore, update
+
+    import ray.data as rd
+
+    cfg = build.BuildConfig(num_partitions=16, split_target=2000)
+    max_doc = int(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).max("doc_id")
+    )
+    cutoff = int(UPDATE_BASE_FRACTION * (max_doc + 1))
+    base_in = f"{sf_dir}|docs<{cutoff}"
+    delta_in = f"{sf_dir}|docs>={cutoff}"
+    up_fp = update.update_fingerprint(cfg.fingerprint(base_in), delta_in, cfg)
+    key = hashlib.sha256(f"{sf_dir}|{up_fp}|incr+ds".encode()).hexdigest()[:16]
+    index_dir = os.path.join("/tmp", "raystorm_index", key)
+    mpath = os.path.join(index_dir, "manifest.json")
+    dpath = os.path.join(index_dir, "docstore", "_manifest.json")
+    if os.path.isfile(mpath) and os.path.isfile(dpath):
+        try:
+            im = json.load(open(mpath))
+            dm = json.load(open(dpath))
+            if (
+                im.get("build_fingerprint") == up_fp
+                and dm.get("index_fingerprint") == up_fp
+            ):
+                return index_dir
+        except (json.JSONDecodeError, OSError):
+            pass
+    base_ds = corpus.transcripts_from_documents(sf_dir, max_doc=cutoff)
+    build.build_index(base_ds, index_dir, input_fingerprint=base_in, cfg=cfg)
+    docstore.build_docstore(base_ds, index_dir, num_shards=8)
+    delta_ds = corpus.transcripts_from_documents(sf_dir, min_doc=cutoff)
+    update.update_index(delta_ds, index_dir, delta_fingerprint=delta_in)
+    docstore.update_docstore(delta_ds, index_dir)
+    return index_dir
+
+
 def _run_reference_queries(
     sf_dir: str, mode: str, index_dir: str | None = None
 ) -> pd.DataFrame:
@@ -471,6 +516,15 @@ def _q_search_snippets_docstore(sf_dir: str):
     return snippets.search_snippets_docstore(sf_dir, _docstore_index_for(sf_dir))
 
 
+def _q_search_snippets_updated(sf_dir: str):
+    """Snippets over the incrementally-updated index served from the
+    generation-appended doc-store — full-corpus oracle: incremental
+    index + incremental doc-store == cold rebuild of both."""
+    return snippets.search_snippets_docstore(
+        sf_dir, _updated_docstore_index_for(sf_dir)
+    )
+
+
 def _q_topk_phrase(sf_dir: str):
     """Exact-phrase retrieval: conjunctive candidates + doc-store
     adjacency verification over the kept-token stream, BM25-ranked;
@@ -558,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
         "search_snippets_docstore": _q_search_snippets_docstore,
+        "search_snippets_updated": _q_search_snippets_updated,
         "topk_phrase": _q_topk_phrase,
         "topk_phrase_positional": _q_topk_phrase_positional,
         "topk_bm25_prox": _q_topk_bm25_prox,
@@ -623,6 +678,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),
         "search_snippets_docstore": snippets.snippets_sql(),
+        "search_snippets_updated": snippets.snippets_sql(),
         "topk_phrase": query.phrase_topk_sql(),
         "topk_phrase_positional": query.phrase_topk_sql(),
         "topk_bm25_prox": positional.bm25_prox_topk_sql(),

@@ -148,6 +148,23 @@ def delete_convs(index_dir: str, conv_ids, delete_fingerprint: str = "") -> dict
     with open(tmpm, "w") as fh:
         json.dump(new_manifest, fh, indent=1, default=str)
     os.replace(tmpm, gpath)
+    # restamp serving companions: tombstones change no stored text or
+    # position (queries mask before any companion read), so a current
+    # companion stays valid across a delete — bump its stamp to the new
+    # fingerprint instead of forcing a rebuild
+    for sub in ("docstore", "positional"):
+        cpath = os.path.join(index_dir, sub, "_manifest.json")
+        if os.path.isfile(cpath):
+            try:
+                cm = json.load(open(cpath))
+            except (json.JSONDecodeError, OSError):
+                continue
+            if cm.get("index_fingerprint") == manifest["build_fingerprint"]:
+                cm["index_fingerprint"] = new_manifest["build_fingerprint"]
+                ctmp = cpath + ".tmp"
+                with open(ctmp, "w") as fh:
+                    json.dump(cm, fh, indent=1)
+                os.replace(ctmp, cpath)
     return new_manifest
 
 

@@ -85,7 +85,11 @@ def build_docstore(ds, index_dir: str, num_shards: int = 16) -> dict:
     if os.path.isfile(mpath):
         try:
             m = json.load(open(mpath))
-            if m.get("fingerprint") == fp and m.get("status") == "complete":
+            if (
+                m.get("fingerprint") == fp
+                and m.get("index_fingerprint") == manifest["build_fingerprint"]
+                and m.get("status") == "complete"
+            ):
                 return m
         except (json.JSONDecodeError, OSError):
             pass
@@ -122,18 +126,112 @@ def build_docstore(ds, index_dir: str, num_shards: int = 16) -> dict:
     ]
     m = {
         "fingerprint": fp,
+        "index_fingerprint": manifest["build_fingerprint"],
         "num_shards": num_shards,
         "span": span,
         "bounds": bounds,
+        "generations": 1,
         "rows": int(stats["rows"].sum()),
         "shards_written": sorted(int(s) for s in stats["shard"]),
         "status": "complete",
     }
+    _write_manifest(m, mpath)
+    return m
+
+
+def _write_manifest(m: dict, mpath: str) -> None:
     tmp = mpath + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(m, fh, indent=1)
     os.replace(tmp, mpath)
-    return m
+
+
+def update_docstore(ds_delta, index_dir: str) -> dict:
+    """Generation append for the doc-store: after ``update.update_index``
+    added a delta corpus, write the delta texts as NEW shards covering
+    the appended docid range ([old span, new span)) and restamp the
+    manifest to the updated index fingerprint — nothing in the base
+    shards is re-read or rewritten (the update.py cost model).
+
+    ``ds_delta`` must be the same delta transcripts Dataset the index
+    update consumed.  Idempotent: a docstore already stamped with the
+    live index fingerprint returns immediately.
+    """
+    import math
+
+    import ray
+    import ray.data as rd
+
+    idx_m = json.load(open(os.path.join(index_dir, "manifest.json")))
+    idx_fp = idx_m["build_fingerprint"]
+    out_dir = os.path.join(index_dir, DIRNAME)
+    mpath = os.path.join(out_dir, "_manifest.json")
+    m = json.load(open(mpath))
+    if m.get("index_fingerprint") == idx_fp:
+        return m
+    old_hi = int(m["bounds"][-1][1])
+    new_span = int(idx_m["docid_span"])
+    if new_span <= old_hi:
+        raise ValueError(
+            "docstore cannot incrementally follow this index change "
+            "(no appended docid range — e.g. a vacuum); rebuild with "
+            "build_docstore"
+        )
+    avg = max(1, old_hi // len(m["bounds"]))
+    n_new = max(1, math.ceil((new_span - old_hi) / avg))
+    delta_span = new_span - old_hi
+    new_bounds = [
+        [old_hi + j * delta_span // n_new, old_hi + (j + 1) * delta_span // n_new]
+        for j in range(n_new)
+    ]
+    base_shards = len(m["bounds"])
+    los = np.array([b[0] for b in new_bounds], np.int64)
+    gen_fp = _fingerprint(idx_fp, base_shards + n_new)
+    codec = DocIdCodec.from_table(
+        pq.read_table(os.path.join(index_dir, "convmap.parquet"))
+    )
+    codec_ref = ray.put(codec)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = build._get_ref(codec_ref)
+        docid = c.encode(
+            batch["conv_id"], batch["turn_idx"].to_numpy(zero_copy_only=False)
+        )
+        if len(docid) and docid.min() < old_hi:
+            raise ValueError(
+                "delta rows fall inside the base docid span — "
+                "update_docstore must receive ONLY the delta corpus"
+            )
+        shard = base_shards + (np.searchsorted(los, docid, side="right") - 1)
+        return pa.table(
+            {
+                "docid": pa.array(docid),
+                "shard": pa.array(shard.astype(np.int32)),
+                "text": batch["text"],
+            }
+        )
+
+    writer = _ShardWriter(out_dir, gen_fp)
+    stats = (
+        ds_delta.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(writer, batch_format="pandas")
+        .to_pandas()
+    )
+    m2 = dict(m)
+    m2.update(
+        {
+            "index_fingerprint": idx_fp,
+            "bounds": m["bounds"] + new_bounds,
+            "num_shards": base_shards + n_new,
+            "span": new_span,
+            "generations": m.get("generations", 1) + 1,
+            "rows": int(m["rows"]) + int(stats["rows"].sum()),
+            "status": "complete",
+        }
+    )
+    _write_manifest(m2, mpath)
+    return m2
 
 
 class DocStore:
@@ -150,15 +248,17 @@ class DocStore:
         if m.get("status") != "complete":
             raise ValueError(f"incomplete docstore under {index_dir}")
         # staleness guard: an update/vacuum changes the index fingerprint,
-        # and a stale docstore would silently miss the new docids
+        # and a stale docstore would silently miss the new docids.
+        # deletes restamp (tombstones don't change text content) and
+        # update_docstore appends + restamps; anything else rebuilds.
         idx_m = json.load(open(os.path.join(index_dir, "manifest.json")))
-        want = _fingerprint(idx_m["build_fingerprint"], m["num_shards"])
-        if m["fingerprint"] != want:
+        if m.get("index_fingerprint") != idx_m["build_fingerprint"]:
             raise ValueError(
                 f"stale docstore under {index_dir} (index changed since it "
-                "was built) — re-run build_docstore"
+                "was built) — run update_docstore or build_docstore"
             )
         self.num_shards = m["num_shards"]
+        self._lo = np.array([b[0] for b in m["bounds"]], np.int64)
         self.span = m["span"]
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -178,7 +278,11 @@ class DocStore:
     def texts(self, docids: np.ndarray) -> np.ndarray:
         docids = np.asarray(docids, np.int64)
         out = np.full(len(docids), "", object)
-        shards = np.clip(docids * self.num_shards // max(self.span, 1), 0, self.num_shards - 1)
+        shards = np.clip(
+            np.searchsorted(self._lo, docids, side="right") - 1,
+            0,
+            self.num_shards - 1,
+        )
         for s in np.unique(shards):
             sel = shards == s
             sd, st = self._shard(int(s))

@@ -328,7 +328,11 @@ def build_positional_index(sf_dir: str, index_dir: str, num_parts: int = 8) -> d
     if os.path.isfile(mpath):
         try:
             m = json.load(open(mpath))
-            if m.get("fingerprint") == fp and m.get("status") == "complete":
+            if (
+                m.get("fingerprint") == fp
+                and m.get("index_fingerprint") == manifest["build_fingerprint"]
+                and m.get("status") == "complete"
+            ):
                 return m
         except (json.JSONDecodeError, OSError):
             pass
@@ -389,6 +393,7 @@ def build_positional_index(sf_dir: str, index_dir: str, num_parts: int = 8) -> d
     )
     m = {
         "fingerprint": fp,
+        "index_fingerprint": manifest["build_fingerprint"],
         "num_parts": num_parts,
         "rows": int(stats["rows"].sum()),
         "status": "complete",
@@ -406,7 +411,6 @@ class PositionalIndex:
     sorted part).  Per-term results cache per instance."""
 
     def __init__(self, index_dir: str):
-        import hashlib
         import json
         import os
 
@@ -415,12 +419,11 @@ class PositionalIndex:
         if m.get("status") != "complete":
             raise ValueError(f"incomplete positional index under {index_dir}")
         # staleness guard (the docstore rule): stale positional lists
-        # would silently drop post-update docids from phrase results
+        # would silently drop post-update docids from phrase results.
+        # deletes restamp (positions of survivors are unchanged and
+        # masked candidates can only shrink); updates rebuild.
         idx_m = json.load(open(os.path.join(index_dir, "manifest.json")))
-        want = hashlib.sha256(
-            f"positional|{idx_m['build_fingerprint']}|{m['num_parts']}".encode()
-        ).hexdigest()[:16]
-        if m["fingerprint"] != want:
+        if m.get("index_fingerprint") != idx_m["build_fingerprint"]:
             raise ValueError(
                 f"stale positional index under {index_dir} — re-run "
                 "build_positional_index"

@@ -108,23 +108,32 @@ def test_positional_phrase_equals_docstore_phrase(store):
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
-def test_companions_flag_staleness(store, tmp_path):
-    """After a delete (fingerprint change) the doc-store and positional
-    readers refuse to serve stale docids."""
+def test_companions_staleness_and_delete_restamp(store, tmp_path):
+    """Deletes restamp the companions (tombstones change no stored
+    text/position), so they keep serving; any OTHER fingerprint change
+    is refused as stale."""
     import shutil
 
     from raystorm import deletes, positional
 
     d, _m = store
     positional.build_positional_index(SF, d, num_parts=4)
-    stale = str(tmp_path / "stale_idx")
-    shutil.copytree(d, stale)
-    victims = [query.SegmentIndex(stale).codec.conv_ids[0]]
-    deletes.delete_convs(stale, victims, delete_fingerprint="stale-test")
+    idx2 = str(tmp_path / "restamp_idx")
+    shutil.copytree(d, idx2)
+    victims = [query.SegmentIndex(idx2).codec.conv_ids[0]]
+    deletes.delete_convs(idx2, victims, delete_fingerprint="stale-test")
+    # restamped: both companions still open and serve
+    assert docstore.DocStore(idx2).texts(np.array([0], np.int64)) is not None
+    assert positional.PositionalIndex(idx2).num_parts == 4
+    # an unexplained index change IS stale
+    mpath = os.path.join(idx2, "manifest.json")
+    m = json.load(open(mpath))
+    m["build_fingerprint"] = "deadbeefdeadbeef"
+    json.dump(m, open(mpath, "w"))
     with pytest.raises(ValueError, match="stale"):
-        docstore.DocStore(stale)
+        docstore.DocStore(idx2)
     with pytest.raises(ValueError, match="stale"):
-        positional.PositionalIndex(stale)
+        positional.PositionalIndex(idx2)
 
 
 def test_bm25_prox_bonus_math(store):

@@ -169,3 +169,36 @@ def test_rescale_skips_stamped_parts(trio, ray_session):
         .to_pandas()
     )
     assert out["skipped"].all()
+
+
+def test_update_docstore_generation_append(ray_session, tmp_path_factory):
+    """Incremental doc-store tracks an incremental index update: texts
+    of base and delta docids both resolve; base shards untouched."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raystorm import build, corpus, docstore, query, update
+
+    SF = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("upds"))
+    cfg = build.BuildConfig(num_partitions=4, split_target=500)
+    base = corpus.transcripts_from_documents(SF, max_doc=350)
+    build.build_index(base, d, input_fingerprint="upds-base", cfg=cfg)
+    m0 = docstore.build_docstore(base, d, num_shards=4)
+    delta = corpus.transcripts_from_documents(SF, min_doc=350)
+    update.update_index(delta, d, delta_fingerprint="upds-delta")
+    m1 = docstore.update_docstore(delta, d)
+    assert m1["generations"] == 2 and m1["num_shards"] > m0["num_shards"]
+    # replay is a no-op
+    assert docstore.update_docstore(delta, d)["rows"] == m1["rows"]
+    idx = query.SegmentIndex(d)
+    st = docstore.DocStore(d)
+    pdf = (
+        corpus.transcripts_from_documents(SF)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    sample = pdf.iloc[np.r_[0, np.arange(53, len(pdf), 53), len(pdf) - 1]]
+    docids = idx.codec.encode(sample.conv_id.to_numpy(), sample.turn_idx.to_numpy())
+    np.testing.assert_array_equal(st.texts(docids), sample.text.to_numpy(object))
