@@ -162,13 +162,16 @@ def _updated_docstore_index_for(sf_dir: str) -> str:
     index_dir = os.path.join("/tmp", "raystorm_index", key)
     mpath = os.path.join(index_dir, "manifest.json")
     dpath = os.path.join(index_dir, "docstore", "_manifest.json")
-    if os.path.isfile(mpath) and os.path.isfile(dpath):
+    ppath = os.path.join(index_dir, "positional", "_manifest.json")
+    if os.path.isfile(mpath) and os.path.isfile(dpath) and os.path.isfile(ppath):
         try:
             im = json.load(open(mpath))
             dm = json.load(open(dpath))
+            pm = json.load(open(ppath))
             if (
                 im.get("build_fingerprint") == up_fp
                 and dm.get("index_fingerprint") == up_fp
+                and pm.get("index_fingerprint") == up_fp
             ):
                 return index_dir
         except (json.JSONDecodeError, OSError):
@@ -176,9 +179,11 @@ def _updated_docstore_index_for(sf_dir: str) -> str:
     base_ds = corpus.transcripts_from_documents(sf_dir, max_doc=cutoff)
     build.build_index(base_ds, index_dir, input_fingerprint=base_in, cfg=cfg)
     docstore.build_docstore(base_ds, index_dir, num_shards=8)
+    positional.build_positional_index(base_ds, index_dir, num_parts=8)
     delta_ds = corpus.transcripts_from_documents(sf_dir, min_doc=cutoff)
     update.update_index(delta_ds, index_dir, delta_fingerprint=delta_in)
     docstore.update_docstore(delta_ds, index_dir)
+    positional.update_positional_index(delta_ds, index_dir)
     return index_dir
 
 
@@ -555,6 +560,25 @@ def _q_topk_phrase_positional(sf_dir: str):
     )
 
 
+def _q_topk_phrase_updated(sf_dir: str):
+    """Exact-phrase retrieval over the incrementally-updated index with
+    the generation-appended positional lists — full-corpus phrase
+    oracle: incremental index + incremental positional == cold rebuild."""
+    index_dir = _updated_docstore_index_for(sf_dir)
+    idx = query.SegmentIndex(index_dir)
+    pidx = positional.PositionalIndex(index_dir)
+    frames = []
+    for qid, text, k in query.REFERENCE_QUERIES:
+        df = positional.topk_phrase_positional(idx, pidx, text, int(k))
+        df.insert(0, "query_id", qid)
+        frames.append(df)
+    return (
+        pd.concat(frames, ignore_index=True)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_topk_bm25_prox(sf_dir: str):
     """Proximity-boosted BM25: disjunctive BM25 plus a
     PROX_W/(1+mindist) bonus per consecutive query-term pair, min
@@ -615,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets_updated": _q_search_snippets_updated,
         "topk_phrase": _q_topk_phrase,
         "topk_phrase_positional": _q_topk_phrase_positional,
+        "topk_phrase_updated": _q_topk_phrase_updated,
         "topk_bm25_prox": _q_topk_bm25_prox,
         "spell_suggest": _q_spell_suggest,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
@@ -681,6 +706,7 @@ def oracle_sql() -> dict[str, str]:
         "search_snippets_updated": snippets.snippets_sql(),
         "topk_phrase": query.phrase_topk_sql(),
         "topk_phrase_positional": query.phrase_topk_sql(),
+        "topk_phrase_updated": query.phrase_topk_sql(),
         "topk_bm25_prox": positional.bm25_prox_topk_sql(),
         "spell_suggest": query.suggest_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

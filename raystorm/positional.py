@@ -298,9 +298,13 @@ def phrase_docs_from_postings(postings: pd.DataFrame, phrase: str) -> pd.DataFra
 POS_SHIFT = 20
 
 
-def build_positional_index(sf_dir: str, index_dir: str, num_parts: int = 8) -> dict:
+def build_positional_index(source, index_dir: str, num_parts: int = 8) -> dict:
     """Write term-hash-partitioned, (term, docid, pos)-sorted Parquet
     position lists next to a BUILT index (docids from its codec).
+
+    ``source`` is an sf_dir path (full documents-derived corpus) or a
+    transcripts Dataset covering exactly the index's conversations
+    (the incremental flow builds the base generation from the base ds).
 
     Layout: ``positional/part-NNNNN.parquet`` with rows sorted by
     (term, docid, pos) — a term's rows live in one part and prune to a
@@ -384,7 +388,11 @@ def build_positional_index(sf_dir: str, index_dir: str, num_parts: int = 8) -> d
             os.replace(tmp, path)
             return pd.DataFrame([{"ppart": p, "rows": len(group), "resumed": False}])
 
-    ds = corpus.transcripts_from_documents(sf_dir)
+    ds = (
+        corpus.transcripts_from_documents(source)
+        if isinstance(source, str)
+        else source
+    )
     stats = (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("ppart")
@@ -395,6 +403,8 @@ def build_positional_index(sf_dir: str, index_dir: str, num_parts: int = 8) -> d
         "fingerprint": fp,
         "index_fingerprint": manifest["build_fingerprint"],
         "num_parts": num_parts,
+        "span": int(manifest["docid_span"]),
+        "generations": 1,
         "rows": int(stats["rows"].sum()),
         "status": "complete",
     }
@@ -432,6 +442,7 @@ class PositionalIndex:
         self._cache: dict[str, tuple] = {}
 
     def positions(self, term: str):
+        import glob
         import os
 
         import pyarrow.dataset as pads
@@ -442,15 +453,25 @@ class PositionalIndex:
         from .analysis import md5int60
 
         p = md5int60(term) % self.num_parts
-        path = os.path.join(self.dir, f"part-{p:05d}.parquet")
-        if not os.path.isfile(path):
+        # base file + generation files from incremental updates, in
+        # generation order (delta docids always sort after the base's)
+        paths = [os.path.join(self.dir, f"part-{p:05d}.parquet")] + sorted(
+            glob.glob(os.path.join(self.dir, f"part-{p:05d}.gen*.parquet"))
+        )
+        chunks = []
+        for path in paths:
+            if not os.path.isfile(path):
+                continue
+            t = pq.read_table(path, filters=pads.field("term") == term)
+            if len(t):
+                chunks.append((t["docid"].to_numpy(), t["pos"].to_numpy()))
+        if not chunks:
             self._cache[term] = None
             return None
-        t = pq.read_table(path, filters=pads.field("term") == term)
-        if not len(t):
-            self._cache[term] = None
-            return None
-        out = (t["docid"].to_numpy(), t["pos"].to_numpy())
+        out = (
+            np.concatenate([c[0] for c in chunks]),
+            np.concatenate([c[1] for c in chunks]),
+        )
         self._cache[term] = out
         return out
 
@@ -692,3 +713,114 @@ FROM ranked r JOIN queries q ON q.query_id = r.query_id
 WHERE r.rank <= q.qk
 ORDER BY r.query_id, r.rank
 """
+
+
+def update_positional_index(sf_dir_delta_ds, index_dir: str) -> dict:
+    """Generation append for the positional index: after
+    ``update.update_index``, write the delta corpus's (term, docid, pos)
+    rows as per-part GENERATION files (``part-NNNNN.genGGG.parquet``) and
+    restamp to the updated index fingerprint — base part files are never
+    re-read or rewritten.  ``PositionalIndex.positions`` concatenates a
+    part's base + generation files, so queries see one logical list.
+
+    First argument is the delta transcripts Dataset (the same one the
+    index update consumed).  Idempotent when already stamped current.
+    """
+    import hashlib
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from . import build as _build
+    from .docids import DocIdCodec
+
+    ds_delta = sf_dir_delta_ds
+    idx_m = json.load(open(os.path.join(index_dir, "manifest.json")))
+    idx_fp = idx_m["build_fingerprint"]
+    out_dir = os.path.join(index_dir, "positional")
+    mpath = os.path.join(out_dir, "_manifest.json")
+    m = json.load(open(mpath))
+    if m.get("index_fingerprint") == idx_fp:
+        return m
+    num_parts = m["num_parts"]
+    gen = m.get("generations", 1) + 1
+    old_span = int(m.get("span", 0))
+    gen_fp = hashlib.sha256(
+        f"positional|{idx_fp}|{num_parts}|gen{gen}".encode()
+    ).hexdigest()[:16]
+    codec_ref = ray.put(
+        DocIdCodec.from_table(
+            pq.read_table(os.path.join(index_dir, "convmap.parquet"))
+        )
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        c = _build._get_ref(codec_ref)
+        toks, rows, pos = normalize.tokenize_with_positions(batch["text"], "body")
+        r = pa.array(rows)
+        docid = c.encode(
+            batch["conv_id"].take(r),
+            batch["turn_idx"].take(r).to_numpy(zero_copy_only=False),
+        )
+        if len(docid) and old_span and docid.min() < old_span:
+            raise ValueError(
+                "delta rows fall inside the base docid span — "
+                "update_positional_index must receive ONLY the delta corpus"
+            )
+        ppart = (md5int60_np(toks) % num_parts).astype(np.int32) if len(toks) else np.empty(0, np.int32)
+        return pa.table(
+            {
+                "term": pa.array(toks, pa.string()),
+                "docid": pa.array(docid),
+                "pos": pa.array(pos, pa.int64()),
+                "ppart": pa.array(ppart),
+            }
+        )
+
+    class GenWriter:
+        __name__ = "PositionalGenWriter"
+
+        def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+            p = int(group["ppart"].iloc[0])
+            path = os.path.join(out_dir, f"part-{p:05d}.gen{gen:03d}.parquet")
+            if os.path.isfile(path):
+                meta = pq.read_schema(path).metadata or {}
+                if meta.get(b"raystorm.positional_fp") == gen_fp.encode():
+                    return pd.DataFrame([{"ppart": p, "rows": len(group), "resumed": True}])
+            g = group.sort_values(["term", "docid", "pos"])
+            t = pa.table(
+                {
+                    "term": pa.array(g["term"].tolist(), pa.string()),
+                    "docid": pa.array(g["docid"].to_numpy(np.int64)),
+                    "pos": pa.array(g["pos"].to_numpy(np.int64)),
+                }
+            ).replace_schema_metadata({b"raystorm.positional_fp": gen_fp.encode()})
+            tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+            pq.write_table(t, tmp, row_group_size=64 * 1024)
+            os.replace(tmp, path)
+            return pd.DataFrame([{"ppart": p, "rows": len(group), "resumed": False}])
+
+    stats = (
+        ds_delta.map_batches(explode, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(GenWriter(), batch_format="pandas")
+        .to_pandas()
+    )
+    m2 = dict(m)
+    m2.update(
+        {
+            "index_fingerprint": idx_fp,
+            "span": int(idx_m["docid_span"]),
+            "generations": gen,
+            "rows": int(m["rows"]) + int(stats["rows"].sum()),
+            "status": "complete",
+        }
+    )
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(m2, fh, indent=1)
+    os.replace(tmp, mpath)
+    return m2

@@ -202,3 +202,44 @@ def test_update_docstore_generation_append(ray_session, tmp_path_factory):
     sample = pdf.iloc[np.r_[0, np.arange(53, len(pdf), 53), len(pdf) - 1]]
     docids = idx.codec.encode(sample.conv_id.to_numpy(), sample.turn_idx.to_numpy())
     np.testing.assert_array_equal(st.texts(docids), sample.text.to_numpy(object))
+
+
+def test_update_positional_generation_append(ray_session, tmp_path_factory):
+    """Positional generation files: updated positional == a positional
+    index built cold over base+delta, term by term."""
+    import numpy as np
+
+    from raystorm import build, corpus, positional, query, update
+
+    SF = "/root/testdata/sf0.001"
+    cfg = build.BuildConfig(num_partitions=4, split_target=500)
+    d = str(tmp_path_factory.mktemp("uppos"))
+    base = corpus.transcripts_from_documents(SF, max_doc=350)
+    build.build_index(base, d, input_fingerprint="uppos-base", cfg=cfg)
+    positional.build_positional_index(base, d, num_parts=4)
+    delta = corpus.transcripts_from_documents(SF, min_doc=350)
+    update.update_index(delta, d, delta_fingerprint="uppos-delta")
+    m = positional.update_positional_index(delta, d)
+    assert m["generations"] == 2
+    # replay no-op
+    assert positional.update_positional_index(delta, d)["rows"] == m["rows"]
+
+    cold = str(tmp_path_factory.mktemp("uppos_cold"))
+    build.build_index(
+        corpus.transcripts_from_documents(SF), cold,
+        input_fingerprint="uppos-cold", cfg=cfg,
+    )
+    positional.build_positional_index(SF, cold, num_parts=4)
+    a = positional.PositionalIndex(d)
+    b = positional.PositionalIndex(cold)
+    idx = query.SegmentIndex(d)
+    for t in sorted(idx.terms("text")):
+        pa_ = a.positions(t)
+        pb = b.positions(t)
+        assert (pa_ is None) == (pb is None)
+        if pa_ is None:
+            continue
+        # same multiset of (docid, pos) pairs (docids match: append-only codec)
+        ka = np.sort((pa_[0] << 20) | pa_[1])
+        kb = np.sort((pb[0] << 20) | pb[1])
+        np.testing.assert_array_equal(ka, kb), t
