@@ -168,7 +168,12 @@ def verify_index(path: str) -> dict:
     """
     import ray.data as rd
 
+    from . import update as _update
+
     _require_index(path)
+    # an interrupted update commit is repairable state, not corruption:
+    # finish the flip before scanning
+    _update.rollforward_pending(path)
     m = json.load(open(os.path.join(path, "manifest.json")))
     parts = sorted(p["partition"] for p in m.get("partitions", []))
     res = (

@@ -298,6 +298,17 @@ def phrase_docs_from_postings(postings: pd.DataFrame, phrase: str) -> pd.DataFra
 POS_SHIFT = 20
 
 
+def _check_pos_fits(pos) -> None:
+    """Packed (docid, pos) keys reserve POS_SHIFT bits for the position;
+    a turn with >= 2^POS_SHIFT kept tokens would silently corrupt phrase
+    intersection and proximity distances — fail at build time instead."""
+    if len(pos) and int(np.max(pos)) >= (1 << POS_SHIFT):
+        raise ValueError(
+            f"turn with >= 2^{POS_SHIFT} kept tokens exceeds the packed "
+            "position width — raise POS_SHIFT or split oversized turns"
+        )
+
+
 def build_positional_index(source, index_dir: str, num_parts: int = 8) -> dict:
     """Write term-hash-partitioned, (term, docid, pos)-sorted Parquet
     position lists next to a BUILT index (docids from its codec).
@@ -355,6 +366,7 @@ def build_positional_index(source, index_dir: str, num_parts: int = 8) -> dict:
             batch["conv_id"].take(r),
             batch["turn_idx"].take(r).to_numpy(zero_copy_only=False),
         )
+        _check_pos_fits(pos)
         ppart = (md5int60_np(toks) % num_parts).astype(np.int32) if len(toks) else np.empty(0, np.int32)
         return pa.table(
             {
@@ -617,8 +629,14 @@ def topk_bm25_prox(index, pos_index: PositionalIndex, query_text: str, k: int):
         if not len(d):
             continue
         pos = np.searchsorted(docids, d)
-        # every proximity doc contains both terms, so it scored in BM25
-        scores[pos] += PROX_W / (1.0 + md)
+        # positional lists retain tombstoned docs (delete_convs keeps the
+        # companion serving), while the BM25 candidate set is tombstone-
+        # masked — keep only pair docs actually present among candidates,
+        # else a deleted doc's bonus would credit the wrong live doc (or
+        # index out of bounds at pos == len(docids))
+        valid = pos < len(docids)
+        valid &= docids[np.minimum(pos, len(docids) - 1)] == d
+        scores[pos[valid]] += PROX_W / (1.0 + md[valid])
     r = round_half_up(scores, RANK_ROUND)
     order = np.lexsort((docids, -r))[:k]
     conv, turn = index.codec.decode(docids[order])
@@ -770,6 +788,7 @@ def update_positional_index(sf_dir_delta_ds, index_dir: str) -> dict:
                 "delta rows fall inside the base docid span — "
                 "update_positional_index must receive ONLY the delta corpus"
             )
+        _check_pos_fits(pos)
         ppart = (md5int60_np(toks) % num_parts).astype(np.int32) if len(toks) else np.empty(0, np.int32)
         return pa.table(
             {

@@ -37,11 +37,14 @@ there is no incremental path.  Here an update is a *generation append*
    written by ``build.PartitionWriter`` as new partitions *appended
    after* the existing ones.  Resumable exactly like a cold build:
    delta partitions carry the update fingerprint.
-6. **commit** — convmap/terms_stats/manifest are replaced atomically
-   (tmp + ``os.replace``) only after every partition landed; a crash
-   anywhere earlier leaves the old metadata untouched and the rerun
+6. **commit** — convmap/terms_stats/manifest are first staged under
+   fingerprint-suffixed names, an intent journal (``_pending_commit``)
+   is recorded, then the three live files are flipped (manifest last).
+   A crash before the journal leaves old metadata untouched (the rerun
    recomputes the same fingerprint, skips finished delta partitions and
-   already-rescaled dictionaries.
+   already-rescaled dictionaries); a crash mid-flip is rolled *forward*
+   by ``rollforward_pending`` on the next entry — the trio can never be
+   observed mutually inconsistent by a resuming update.
 
 At 100 TB the delta pass touches only delta-sized data plus one
 dictionary-sized task per base partition; nothing re-reads the base
@@ -99,6 +102,33 @@ def _atomic_write_json(obj: dict, path: str) -> None:
     with open(tmp, "w") as fh:
         json.dump(obj, fh, indent=1, default=str)
     os.replace(tmp, path)
+
+
+#: commit journal: records that staged convmap/terms_stats/manifest are
+#: ready to flip — presence means "roll the flip forward", never back
+PENDING_COMMIT = "_pending_commit.json"
+_COMMIT_FILES = ("convmap.parquet", "terms_stats.parquet", "manifest.json")
+
+
+def rollforward_pending(index_dir: str) -> bool:
+    """Finish a metadata commit interrupted between file replaces.
+
+    The commit is three ``os.replace`` calls (convmap, terms_stats,
+    manifest) — not atomic as a trio.  Every staged file is written
+    first and a journal recorded, so a crash mid-flip leaves either the
+    staged file (not yet flipped) or the live file already current;
+    replaying the replaces is idempotent.  Called on update entry (and
+    by fsck); returns True if a pending commit was completed."""
+    jpath = os.path.join(index_dir, PENDING_COMMIT)
+    if not os.path.isfile(jpath):
+        return False
+    sfx = json.load(open(jpath))["suffix"]
+    for name in _COMMIT_FILES:
+        staged = os.path.join(index_dir, f"{name}.staged-{sfx}")
+        if os.path.isfile(staged):
+            os.replace(staged, os.path.join(index_dir, name))
+    os.remove(jpath)
+    return True
 
 
 def _merge_term_stats(
@@ -207,6 +237,7 @@ def update_index(
     import ray.data as rd
 
     gpath = os.path.join(index_dir, "manifest.json")
+    rollforward_pending(index_dir)  # finish any interrupted commit first
     manifest = json.load(open(gpath))
     if manifest.get("status") != "complete":
         raise ValueError(f"cannot update an incomplete index: {index_dir}")
@@ -320,16 +351,22 @@ def update_index(
         writer, batch_format="pyarrow"
     ).to_pandas()
 
-    # ---- 6. atomic metadata commit (old files untouched until here)
+    # ---- 6. journaled metadata commit (old files untouched until the
+    # flip).  Stage all three files under fingerprint-suffixed names,
+    # record the intent journal, then flip — a crash between the three
+    # os.replace calls is rolled forward by the next run instead of
+    # leaving a mutually inconsistent trio (extended convmap + old
+    # manifest made DocIdCodec.extend fail on re-entry).
     _atomic_write_table(
-        new_codec.to_table(), os.path.join(index_dir, "convmap.parquet")
+        new_codec.to_table(),
+        os.path.join(index_dir, f"convmap.parquet.staged-{up_fp}"),
     )
     _atomic_write_table(
         pa.Table.from_pandas(
             merged_ts.sort_values(["field", "term"]).reset_index(drop=True),
             preserve_index=False,
         ),
-        os.path.join(index_dir, "terms_stats.parquet"),
+        os.path.join(index_dir, f"terms_stats.parquet.staged-{up_fp}"),
     )
     delta_done = sorted(build.completed_partitions(index_dir, up_fp))
     part_manifests = []
@@ -354,5 +391,11 @@ def update_index(
             "status": "complete",
         }
     )
-    _atomic_write_json(new_manifest, gpath)
+    _atomic_write_json(
+        new_manifest, os.path.join(index_dir, f"manifest.json.staged-{up_fp}")
+    )
+    _atomic_write_json(
+        {"suffix": up_fp}, os.path.join(index_dir, PENDING_COMMIT)
+    )
+    rollforward_pending(index_dir)
     return new_manifest

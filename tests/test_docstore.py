@@ -136,6 +136,40 @@ def test_companions_staleness_and_delete_restamp(store, tmp_path):
         positional.PositionalIndex(idx2)
 
 
+def test_prox_after_delete_ignores_tombstoned_pairs(store, tmp_path):
+    """Positional lists keep tombstoned docs (delete restamps the
+    companion), but the BM25 candidate set is masked — proximity bonuses
+    for deleted docs must be dropped, not credited to the wrong live doc
+    (or raise IndexError past the end of the candidate array).  Pin:
+    prox over the tombstoned index == pristine prox filtered to
+    survivors, re-ranked (per-doc scores are delete-invariant)."""
+    import shutil
+
+    import pandas as pd
+
+    from raystorm import deletes, positional
+
+    d, _m = store
+    positional.build_positional_index(SF, d, num_parts=4)
+    idx = query.SegmentIndex(d)
+    pidx = positional.PositionalIndex(d)
+    text = "hash join"
+    full = positional.topk_bm25_prox(idx, pidx, text, 10**9)
+    assert len(full) > 3
+    victims = sorted(set(full.conv_id.tolist()[::2]))
+    d2 = str(tmp_path / "prox_del")
+    shutil.copytree(d, d2)
+    deletes.delete_convs(d2, victims, delete_fingerprint="prox-del-test")
+    got = positional.topk_bm25_prox(
+        query.SegmentIndex(d2), positional.PositionalIndex(d2), text, 10**9
+    )
+    expect = full[~full.conv_id.isin(set(victims))].reset_index(drop=True)
+    expect["rank"] = np.arange(1, len(expect) + 1, dtype=np.int32)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), expect, check_dtype=False
+    )
+
+
 def test_bm25_prox_bonus_math(store):
     """Proximity mode == plain BM25 + hand-computed pair bonuses."""
     import pandas as pd

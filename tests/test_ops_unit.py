@@ -439,3 +439,17 @@ def test_unigram_logprob_hand_computed(ray_session):
         lp = sum(math.log(cf[w] * 1.0 / total) for w in ws) / len(ws)
         assert got.loc[row.doc_id, "n_words"] == len(ws)
         assert abs(got.loc[row.doc_id, "logprob"] - lp) < 1e-5
+
+
+def test_positional_pos_width_guard():
+    """Packed (docid, pos) keys reserve POS_SHIFT bits — an oversized
+    turn must fail loudly at build time, not corrupt phrase keys."""
+    import numpy as np
+    import pytest
+
+    from raystorm import positional
+
+    positional._check_pos_fits(np.array([], np.int64))
+    positional._check_pos_fits(np.array([0, (1 << positional.POS_SHIFT) - 1]))
+    with pytest.raises(ValueError, match="kept tokens"):
+        positional._check_pos_fits(np.array([3, 1 << positional.POS_SHIFT]))

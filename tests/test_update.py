@@ -171,6 +171,49 @@ def test_rescale_skips_stamped_parts(trio, ray_session):
     assert out["skipped"].all()
 
 
+def test_commit_crash_rolls_forward(ray_session, tmp_path_factory, monkeypatch):
+    """A crash between the three commit os.replace calls (convmap flipped,
+    terms_stats/manifest not) must roll FORWARD on re-entry — the old
+    behavior raised 'delta conv_ids must sort after existing' instead of
+    resuming."""
+    SF0 = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("crash_upd"))
+    cfg = build.BuildConfig(num_partitions=4, split_target=500)
+    base = corpus.transcripts_from_documents(SF0, max_doc=350)
+    build.build_index(base, d, input_fingerprint="crash-base", cfg=cfg)
+    delta = corpus.transcripts_from_documents(SF0, min_doc=350)
+
+    real = update.rollforward_pending
+
+    def crashing(index_dir):
+        jpath = os.path.join(index_dir, update.PENDING_COMMIT)
+        if not os.path.isfile(jpath):
+            return real(index_dir)  # the entry call: nothing pending yet
+        # the commit-flip call: replace ONLY the convmap, then "crash"
+        sfx = json.load(open(jpath))["suffix"]
+        os.replace(
+            os.path.join(index_dir, f"convmap.parquet.staged-{sfx}"),
+            os.path.join(index_dir, "convmap.parquet"),
+        )
+        raise RuntimeError("simulated crash mid-commit")
+
+    monkeypatch.setattr(update, "rollforward_pending", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        update.update_index(delta, d, delta_fingerprint="crash-delta")
+    monkeypatch.undo()
+    # live trio is now mutually inconsistent (extended convmap + old
+    # manifest/terms_stats) with the journal present — re-entry must
+    # finish the flip and return the committed manifest
+    m = update.update_index(delta, d, delta_fingerprint="crash-delta")
+    assert m["status"] == "complete" and m["generations"] == 2
+    assert not os.path.isfile(os.path.join(d, update.PENDING_COMMIT))
+    idx = query.SegmentIndex(d)
+    assert idx.codec.span == m["docid_span"]
+    # the index answers over base+delta (cold-rebuild identity is pinned
+    # by the trio tests above; here just prove the resumed index serves)
+    assert len(idx.topk("the", 10, "bm25")) > 0
+
+
 def test_update_docstore_generation_append(ray_session, tmp_path_factory):
     """Incremental doc-store tracks an incremental index update: texts
     of base and delta docids both resolve; base shards untouched."""
