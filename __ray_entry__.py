@@ -612,8 +612,13 @@ def _q_topk_faithful(sf_dir: str):
 
 def _q_topk_faithful_boosted(sf_dir: str):
     """Full SearchServer pipeline: faithful scores + conversation prior
-    x5000 + top-60 + turn-0-title exact/prefix boosts + re-sort top-50."""
-    return _run_reference_queries(sf_dir, "faithful_boosted")
+    x5000 + top-60 + turn-0-title exact/prefix boosts + re-sort top-50.
+    Runs over the doc-store-equipped index so the gate exercises the
+    serving-scale title path: LazyTitles point lookups per candidate,
+    no conversation-count-sized map in the scorer actors."""
+    return _run_reference_queries(
+        sf_dir, "faithful_boosted", index_dir=_updated_docstore_index_for(sf_dir)
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -140,10 +140,10 @@ def cmd_query(args) -> int:
     if args.mode == "faithful_boosted":
         import os
 
-        if args.sf_dir:
+        if os.path.isdir(os.path.join(args.index_dir, "docstore")):
+            titles = query.LazyTitles(args.index_dir)
+        elif args.sf_dir:
             titles = query.conv_titles(args.sf_dir)
-        elif os.path.isdir(os.path.join(args.index_dir, "docstore")):
-            titles = query.conv_titles_from_docstore(args.index_dir)
         else:
             print(
                 "--mode faithful_boosted needs --sf-dir or an index built "

@@ -734,7 +734,31 @@ def conv_titles_from_docstore(index_dir: str) -> dict:
     return {c: t.lower() for c, t in zip(codec.conv_ids.tolist(), texts)}
 
 
-def _topk_boosted(index: "SegmentIndex", query_text: str, k: int, titles: dict) -> pd.DataFrame:
+class LazyTitles:
+    """Per-candidate title resolution from the index-local doc-store —
+    the reference's own shape (it fetches each candidate's pt-crawl row
+    post-ranking, ``SearchServer.java:196-205``), and the serving-scale
+    path: a boosted scorer holds only a :class:`docstore.DocStore`
+    handle (shard manifests), never a conversation-count-sized map.
+    Titles for the <=CAND_K candidates of one query are resolved by
+    batched point lookups (turn-0 docid == the conversation's codec
+    base).  Equal to :func:`conv_titles` values by construction."""
+
+    def __init__(self, index_dir: str):
+        from .docstore import DocStore
+
+        self.store = DocStore(index_dir)
+
+    def titles_for(self, index: "SegmentIndex", conv_ids) -> list:
+        codec = index.codec
+        pos = np.searchsorted(codec.conv_ids, np.asarray(conv_ids))
+        texts = self.store.texts(codec.bases[pos])
+        return [t.lower() for t in texts]
+
+
+def _topk_boosted(
+    index: "SegmentIndex", query_text: str, k: int, titles: "dict | LazyTitles"
+) -> pd.DataFrame:
     docids, scores = index._score_faithful(query_text)
     if len(docids) == 0:
         return pd.DataFrame(
@@ -748,12 +772,17 @@ def _topk_boosted(index: "SegmentIndex", query_text: str, k: int, titles: dict) 
     r = round_half_up(scores, RANK_ROUND)
     order = np.lexsort((docids, -r))[:CAND_K]
     cand_ids, cand_scores = docids[order], scores[order]
-    # phase 2: title boosts on candidates
+    # phase 2: title boosts on candidates (titles resolved for the
+    # <=CAND_K candidates only when a LazyTitles resolver is passed)
     conv, turn = index.codec.decode(cand_ids)
     q = " ".join(query_text.lower().split())
+    cand_titles = (
+        titles.titles_for(index, conv)
+        if hasattr(titles, "titles_for")
+        else [titles.get(c, "") for c in conv]
+    )
     boost = np.zeros(len(cand_ids))
-    for i, c in enumerate(conv):
-        title = titles.get(c, "")
+    for i, title in enumerate(cand_titles):
         if title == q:
             boost[i] = EXACT_BOOST
         elif q and title.startswith(q):
@@ -839,9 +868,20 @@ class QueryScorer:
     def __init__(self, index_dir: str, mode: str = "bm25", sf_dir: str | None = None):
         self.index = SegmentIndex(index_dir)
         self.mode = mode
-        # boosted mode holds the conv-level title map (small side),
-        # loaded once per actor — the pt-crawl-lookup analog
-        self.titles = conv_titles(sf_dir) if mode == "faithful_boosted" else None
+        # boosted mode resolves titles lazily per candidate when the
+        # index carries a doc-store (the scale path: no conv-count-sized
+        # map per actor); the sf_dir corpus map is the fallback for
+        # docstore-less indexes only
+        self.titles = None
+        if mode == "faithful_boosted":
+            if os.path.isdir(os.path.join(index_dir, "docstore")):
+                self.titles = LazyTitles(index_dir)
+            elif sf_dir:
+                self.titles = conv_titles(sf_dir)
+            else:
+                raise ValueError(
+                    "faithful_boosted needs an index doc-store or sf_dir"
+                )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []

@@ -30,15 +30,16 @@ class IndexServer:
     def __init__(self, index_dir: str, sf_dir: str | None = None):
         import os
 
-        from .query import SegmentIndex, conv_titles, conv_titles_from_docstore
+        from .query import LazyTitles, SegmentIndex, conv_titles
 
         self.index = SegmentIndex(index_dir)
-        if sf_dir:
+        if os.path.isdir(os.path.join(index_dir, "docstore")):
+            # self-contained serving: titles resolved per candidate from
+            # the index-local doc-store (<=CAND_K point lookups per
+            # query) — no conversation-count-sized map in the replica
+            self.titles = LazyTitles(index_dir)
+        elif sf_dir:
             self.titles = conv_titles(sf_dir)
-        elif os.path.isdir(os.path.join(index_dir, "docstore")):
-            # self-contained serving: titles from the index-local
-            # doc-store (turn-0 point lookups), no corpus access
-            self.titles = conv_titles_from_docstore(index_dir)
         else:
             self.titles = None
 

@@ -51,3 +51,20 @@ def test_titles_from_docstore_match_sf(idx):
     a = query.conv_titles(SF)
     b = query.conv_titles_from_docstore(idx)
     assert a == b
+
+
+def test_boosted_lazy_titles_equal_dict(idx):
+    """LazyTitles (per-candidate doc-store point lookups — the serving
+    path) must rank identically to the corpus-wide title dict, while
+    holding no conversation-count-sized state."""
+    import pandas as pd
+
+    i = query.SegmentIndex(idx)
+    lazy = query.LazyTitles(idx)
+    full = query.conv_titles(SF)
+    for _qid, text, _k in query.REFERENCE_QUERIES:
+        a = query._topk_boosted(i, text, 50, full)
+        b = query._topk_boosted(i, text, 50, lazy)
+        pd.testing.assert_frame_equal(a, b)
+    # the resolver's only state is the doc-store handle (shard manifest)
+    assert set(vars(lazy)) == {"store"}
