@@ -45,6 +45,24 @@ def md5int60_sql(expr: str) -> str:
     return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
 
 
+def join_fanout(cpus: int | None = None) -> int:
+    """Shuffle-join partition count for ``Dataset.join``.
+
+    Each join partition is a 1-CPU aggregator actor and Ray requires ALL
+    of them to schedule before blocks flow, so the fan-out must leave
+    CPUs for the producer stages (8 partitions on a 4-CPU session
+    deadlocks — the round-2 lesson).  Half the cluster's CPUs scales the
+    exchange with cluster width (a former hard cap of 8 would have
+    funneled corpus-scale joins through 8 actors on a 256-node cluster)
+    while the other half keeps feeding the join.  ``cpus`` overrides the
+    cluster probe (tests pin the formula without a 32-CPU session)."""
+    if cpus is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(cpus // 2, cpus - 4))
+
+
 def split_words_arrow(texts) -> tuple[pa.Array, np.ndarray]:
     """Lowercase + single-space split of a string column, vectorized.
 

@@ -264,15 +264,13 @@ ORDER BY a.doc_id
 
 
 def _join_parts() -> int:
-    """Shuffle-join fan-out for the verify joins: each join partition is
-    a 1-CPU aggregator actor that must ALL schedule before blocks flow,
-    so the fan-out must stay below the cluster CPU count (8 partitions
-    on a 4-CPU test session deadlocks).  Scales with cluster width —
-    the joins are plain hash exchanges with no driver state."""
-    import ray
+    """Shuffle-join fan-out for the verify joins — the shared
+    cluster-width rule (:func:`analysis.join_fanout`): cpus//2 scaled
+    with the cluster, floored at 2 so low-CPU test sessions keep the
+    producers fed (the aggregator-deadlock guard)."""
+    from .analysis import join_fanout
 
-    n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, min(8, n // 2))
+    return join_fanout()
 
 
 def _add_bucket(batch: pa.Table) -> pa.Table:

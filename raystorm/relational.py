@@ -29,7 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .analysis import round_half_up
+from .analysis import join_fanout, round_half_up
 
 _BROADCAST_CACHE: dict = {}
 
@@ -172,7 +172,7 @@ def revenue_by_priority(sf_dir: str):
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=join_fanout(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

@@ -246,7 +246,9 @@ def textrank_joined(sf_dir: str, iters: int = ITERS) -> pd.DataFrame:
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    n_join = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    from .analysis import join_fanout
+
+    n_join = join_fanout()
     edges, node_arr, deg_vec = _graph(sf_dir)
     n_nodes = len(node_arr)
     nodes_tbl = pa.table({"node": pa.array(node_arr, pa.string())})

@@ -453,3 +453,18 @@ def test_positional_pos_width_guard():
     positional._check_pos_fits(np.array([0, (1 << positional.POS_SHIFT) - 1]))
     with pytest.raises(ValueError, match="kept tokens"):
         positional._check_pos_fits(np.array([3, 1 << positional.POS_SHIFT]))
+
+
+def test_join_fanout_scales_with_cluster(ray_session):
+    """The shuffle-join fan-out must scale with cluster CPUs (no hard
+    cap of 8 — on a 256-node cluster that funnels corpus-scale joins
+    through 8 single-CPU aggregators) while keeping the low-CPU
+    deadlock floor."""
+    from raystorm.analysis import join_fanout
+
+    assert join_fanout(4) == 2          # test sessions: floor, no deadlock
+    assert join_fanout(8) == 4
+    assert join_fanout(32) == 16        # >= cpus//2 on a 32-CPU box
+    assert join_fanout(8192) == 4096    # 256 nodes x 32 cpus: scales
+    # live session (4 CPUs in conftest) uses the same rule
+    assert join_fanout() == 2
