@@ -324,29 +324,35 @@ IVF_STRIDE = 100
 N_PROBE = 2
 
 
-def _load_centroids(sf_dir: str):
-    """Streamed codebook load: a modulo predicate can't push down into
-    parquet row groups, so the table is read batch-by-batch
-    (``ParquetFile.iter_batches``) keeping only the 1/IVF_STRIDE
-    centroid rows — driver memory stays codebook-sized."""
-    import pyarrow.parquet as pq
+def _load_centroids(sf_dir: str, stride: int = IVF_STRIDE):
+    """Distributed codebook load: a modulo predicate can't push down
+    into parquet row-group stats, so a ``map_batches`` filter drops
+    non-centroid rows inside the read tasks and only the codebook
+    itself crosses to the driver (the earlier driver-side full-table
+    ``iter_batches`` stream pulled every embedding byte through one
+    process).  Codebook size is corpus/stride: at scale pass a
+    corpus-scaled ``stride`` — or replace the data-derived codebook
+    with :func:`kmeans_cells`' fixed-k one — to keep it bounded; the
+    sf-scale gates pin stride == IVF_STRIDE to mirror the SQL oracle."""
+    import ray.data as rd
 
-    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
-    ids_l, mats = [], []
-    for b in pf.iter_batches(columns=["vec_id", "embedding"], batch_size=8192):
-        ids = b.column(0).to_numpy()
-        sel = ids % IVF_STRIDE == 0
-        if not sel.any():
-            continue
-        ids_l.append(ids[sel])
-        mats.append(
-            np.vstack(b.column(1).to_numpy(zero_copy_only=False)[sel]).astype(
-                np.float64
-            )
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        return b.filter(pa.array(ids % stride == 0))
+
+    pdf = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
         )
-    cids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cids = pdf["vec_id"].to_numpy(np.int64)
     cmat = (
-        np.vstack(mats) if mats else np.empty((0, DIM))
+        np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        if len(pdf)
+        else np.empty((0, DIM))
     )
     cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
     order = np.argsort(cids)
