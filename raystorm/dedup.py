@@ -1168,6 +1168,120 @@ def connected_components(edges, node_ids: np.ndarray) -> np.ndarray:
     return labels
 
 
+#: broadcast budget for connected_components driver label vectors —
+#: one int64 per node; past this the joined (all-Dataset) path runs.
+#: 5e7 nodes = 400 MB of labels per task via ray.put; a dup-heavy
+#: corpus where nodes ≈ docs blows that long before the algorithm does.
+CC_BROADCAST_MAX_NODES = 50_000_000
+
+
+def connected_components_joined(edges, max_iters: int = CC_MAX_ITERS):
+    """Min-label connected components with NO driver label vector — the
+    escape hatch for node sets too big to broadcast (the
+    ``textrank_joined`` layout applied to label propagation).
+
+    ``edges`` is a Dataset with int64 ``doc_a``/``doc_b`` columns;
+    returns a Dataset ``(node, lab)`` with one row per distinct node,
+    ``lab`` = min node id in its component.  Per iteration: symmetric
+    edges ⋈ labels deliver each node's label to its neighbors
+    (per-block min-combined before the groupby), a left-outer join
+    folds the proposals in, and one label⋈label self-join pointer-jumps
+    (``lab <- lab[lab]``) so chains converge in O(log n) passes like
+    the broadcast path.  Stops when no proposal improves any label —
+    at that fixpoint every edge joins equal labels, so each component
+    carries exactly its min id.  Identity with
+    :func:`connected_components` is pytest-pinned.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from .analysis import join_fanout
+
+    nf = join_fanout()
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].combine_chunks()
+        bb = b["doc_b"].combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, bb]),
+                "dst": pa.concat_arrays([bb, a]),
+            }
+        )
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.unique(b["src"])})
+
+    labels = (
+        sym_edges.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("node", alias_name="lab"))
+        .materialize()
+    )
+
+    def prop_partial(b: pa.Table) -> pa.Table:
+        # per-block min per dst before the wide groupby (combiner)
+        return b.select(["dst", "lab"]).group_by("dst").aggregate([("lab", "min")])
+
+    def fold(b: pa.Table) -> pa.Table:
+        lab = b["lab"].to_numpy(zero_copy_only=False)
+        plab_raw = b["plab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        plab = np.where(np.isnan(plab_raw), np.iinfo(np.int64).max, plab_raw).astype(
+            np.int64
+        )
+        new = np.minimum(lab, plab)
+        return pa.table(
+            {
+                "node": b["node"],
+                "lab": pa.array(new, pa.int64()),
+                "chg": pa.array((new < lab).astype(np.int64)),
+            }
+        )
+
+    for _ in range(max_iters):
+        prop = (
+            sym_edges.join(
+                labels, join_type="inner", num_partitions=nf,
+                on=("src",), right_on=("node",),
+            )
+            .map_batches(prop_partial, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Min("lab_min", alias_name="plab"))
+        )
+        upd = (
+            labels.join(
+                prop, join_type="left_outer", num_partitions=nf,
+                on=("node",), right_on=("dst",),
+            )
+            .map_batches(fold, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = int(upd.sum("chg") or 0)
+        labels = upd.drop_columns(["chg"])
+        if changed == 0:
+            break
+        # pointer jump: lab <- lab[lab] (labels contain every node, and
+        # every lab value is a node id, so the inner join is total)
+        jtable = labels.map_batches(
+            lambda b: b.rename_columns(["jnode", "jlab"]), batch_format="pyarrow"
+        )
+        labels = (
+            labels.join(
+                jtable, join_type="inner", num_partitions=nf,
+                on=("lab",), right_on=("jnode",),
+            )
+            .map_batches(
+                lambda b: pa.table({"node": b["node"], "lab": b["jlab"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return labels
+
+
 def dup_clusters(sf_dir: str):
     """Near-dup clusters over the verified MinHash pair set.
 
@@ -1194,7 +1308,18 @@ def dup_clusters(sf_dir: str):
     b = pairs["doc_b"].to_numpy(np.int64)
     nodes = np.unique(np.concatenate([a, b]))
     edges = rd.from_pandas(pairs[["doc_a", "doc_b"]])
-    labels = connected_components(edges, nodes)
+    if len(nodes) <= CC_BROADCAST_MAX_NODES:
+        labels = connected_components(edges, nodes)
+    else:
+        # dup-heavy corpus: nodes ≈ docs — all-Dataset label propagation,
+        # no node-count-sized driver vector (identity pytest-pinned)
+        lpdf = (
+            connected_components_joined(edges)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        labels = lpdf["lab"].to_numpy(np.int64)
     uniq, inv, counts = np.unique(labels, return_inverse=True, return_counts=True)
     return pd.DataFrame(
         {

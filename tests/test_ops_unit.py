@@ -468,3 +468,32 @@ def test_join_fanout_scales_with_cluster(ray_session):
     assert join_fanout(8192) == 4096    # 256 nodes x 32 cpus: scales
     # live session (4 CPUs in conftest) uses the same rule
     assert join_fanout() == 2
+
+
+def test_connected_components_joined_matches_broadcast(ray_session, monkeypatch):
+    """The all-Dataset label-propagation fallback (no driver label
+    vector) must produce identical labels to the broadcast path — on a
+    blockspanning chain + disjoint triangle, and on the real
+    dup_clusters pair graph with the broadcast budget forced to 0."""
+    import ray.data as rd
+
+    from raystorm import dedup
+
+    chain = [(i, i + 1) for i in range(0, 400)]
+    tri = [(1000, 1001), (1001, 1002), (1000, 1002)]
+    pairs = pd.DataFrame(chain + tri, columns=["doc_a", "doc_b"]).astype(np.int64)
+    nodes = np.unique(pairs[["doc_a", "doc_b"]].to_numpy())
+    bc = dedup.connected_components(rd.from_pandas(pairs).repartition(8), nodes)
+    j = (
+        dedup.connected_components_joined(rd.from_pandas(pairs).repartition(8))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(j["node"].to_numpy(), nodes)
+    np.testing.assert_array_equal(j["lab"].to_numpy(), bc)
+
+    base = dedup.dup_clusters("/root/testdata/sf0.001")
+    monkeypatch.setattr(dedup, "CC_BROADCAST_MAX_NODES", 0)
+    forced = dedup.dup_clusters("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(base, forced)
