@@ -162,7 +162,9 @@ class BuildTokenStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._codec is None:
             obj = self.codec_ref
-            self._codec = _get_ref(obj) if not isinstance(obj, DocIdCodec) else obj
+            # a codec is anything with encode() (DocIdCodec or the
+            # range-sharded lazy variant); otherwise it's an ObjectRef
+            self._codec = obj if hasattr(obj, "encode") else _get_ref(obj)
             obj = self.vocab_ref
             self._vocab = _get_ref(obj) if not isinstance(obj, Vocab) else obj
         vocab = self._vocab
@@ -451,11 +453,20 @@ def build_index(
     input_fingerprint: str = "",
     cfg: BuildConfig | None = None,
     codec: DocIdCodec | None = None,
+    codec_shard_rows: int = 0,
 ) -> dict:
     """Build (or resume) the full index for a transcripts Dataset.
 
     Returns the global manifest dict.  ``ds`` must be re-iterable (a lazy
     Dataset — it is consumed by multiple passes).
+
+    ``codec_shard_rows > 0`` routes the build pass through a
+    :class:`docids.ShardedDocIdCodec`: the convmap is written before the
+    pass with that row-group size and workers fault in only the conv-id
+    ranges their batches touch instead of holding the whole conv table —
+    the SCALE.md path for conv counts past the broadcast budget.  The
+    produced index is byte-identical either way (pytest-pinned), so the
+    flag is not part of the build fingerprint.
     """
     import ray
     import pyarrow.parquet as pq
@@ -486,7 +497,19 @@ def build_index(
             }
         ).sort_values("conv_id").reset_index(drop=True)
         codec = DocIdCodec.from_pandas(conv_pdf)
-    codec_ref = ray.put(codec)
+    # persist the convmap BEFORE the build pass (idempotent content;
+    # completeness is gated by manifest.json) so sharded workers can
+    # fault in row groups; shard-sized row groups cost nothing otherwise
+    from .docids import CONVMAP_ROW_GROUP, ShardedDocIdCodec
+
+    convmap_path = os.path.join(index_dir, "convmap.parquet")
+    pq.write_table(
+        codec.to_table(),
+        convmap_path,
+        row_group_size=codec_shard_rows or CONVMAP_ROW_GROUP,
+    )
+    worker_codec = ShardedDocIdCodec(convmap_path) if codec_shard_rows else codec
+    codec_ref = ray.put(worker_codec)
 
     stats = stats[stats.field != CONV_FIELD]
     doc_stats = stats[stats.term == DOC_SENTINEL]
@@ -525,8 +548,7 @@ def build_index(
         .to_pandas()
     )
 
-    # 4. persist codec + stats + global manifest
-    pq.write_table(codec.to_table(), os.path.join(index_dir, "convmap.parquet"))
+    # 4. persist stats + global manifest (convmap written pre-pass)
     ts = term_stats.copy()
     idf_all = np.concatenate(
         [

@@ -111,3 +111,100 @@ class DocIdCodec:
             tbl["base"].to_numpy(zero_copy_only=False),
             tbl["extent"].to_numpy(zero_copy_only=False),
         )
+
+
+#: rows per convmap parquet row group — one row group == one lazily
+#: loadable shard for ShardedDocIdCodec (1M convs ≈ 40 MB resident per
+#: touched shard)
+CONVMAP_ROW_GROUP = 1 << 20
+
+
+class ShardedDocIdCodec:
+    """Range-sharded, lazily-loaded codec over a ``convmap.parquet``.
+
+    The SCALE.md escape hatch for conv tables too big to broadcast
+    whole (10^9 convs ≈ 40 GB): the parquet's row groups ARE the shards
+    — the convmap is written sorted by conv_id, so every row group
+    covers a contiguous (conv_id, base) range, mirroring the
+    reference's KVS key-range partitioning (``kvs/Worker.java:527-534``).
+    Workers receive only the file path plus per-shard boundary keys
+    (pulled from row-group column statistics — metadata-sized, no data
+    read) and fault in exactly the shards their batches touch; a build
+    task processing a contiguous corpus slice resides one or two shards,
+    not the whole table.  encode/decode/span match :class:`DocIdCodec`
+    (per-shard array layout is identical — bases stay absolute);
+    identity is pytest-pinned, and a full build forced through this
+    codec is byte-identical to the broadcast-codec build.
+    """
+
+    def __init__(self, path: str):
+        import pyarrow.parquet as pq
+
+        self.path = path
+        self._cache: dict[int, DocIdCodec] = {}
+        md = pq.ParquetFile(path).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci, bi = names.index("conv_id"), names.index("base")
+        self.shard_min_conv = np.array(
+            [md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups)],
+            np.str_,
+        )
+        self.shard_min_base = np.array(
+            [md.row_group(g).column(bi).statistics.min for g in range(md.num_row_groups)],
+            np.int64,
+        )
+        self.n_shards = md.num_row_groups
+        self.n_convs = md.num_rows
+        # global span = last shard's last (base + extent); bases are absolute
+        self.span = self._shard(self.n_shards - 1).span if self.n_shards else 0
+
+    def __getstate__(self):
+        # ship path + boundaries only; each worker faults in its own shards
+        d = dict(self.__dict__)
+        d["_cache"] = {}
+        return d
+
+    def _shard(self, i: int) -> DocIdCodec:
+        if i not in self._cache:
+            import pyarrow.parquet as pq
+
+            self._cache[i] = DocIdCodec.from_table(
+                pq.ParquetFile(self.path).read_row_group(
+                    i, columns=["conv_id", "base", "extent"]
+                )
+            )
+        return self._cache[i]
+
+    def encode(self, conv_ids, turn_idxs) -> np.ndarray:
+        if isinstance(conv_ids, (pa.Array, pa.ChunkedArray)):
+            conv_ids = conv_ids.to_numpy(zero_copy_only=False)
+        conv_ids = np.asarray(conv_ids, dtype=np.str_)
+        turn_idxs = np.asarray(turn_idxs, dtype=np.int64)
+        if not len(conv_ids):
+            return np.empty(0, np.int64)
+        sid = np.searchsorted(self.shard_min_conv.astype(conv_ids.dtype), conv_ids, side="right") - 1
+        if (sid < 0).any():
+            raise KeyError("unknown conv_id in encode()")
+        out = np.empty(len(conv_ids), np.int64)
+        for s in np.unique(sid):
+            m = sid == s
+            out[m] = self._shard(int(s)).encode(conv_ids[m], turn_idxs[m])
+        return out
+
+    def decode(self, docids: np.ndarray):
+        docids = np.asarray(docids, dtype=np.int64)
+        if not len(docids):
+            return np.empty(0, np.str_), np.empty(0, np.int32)
+        sid = np.searchsorted(self.shard_min_base, docids, side="right") - 1
+        conv = np.empty(len(docids), object)
+        turn = np.empty(len(docids), np.int32)
+        for s in np.unique(sid):
+            m = sid == s
+            c, t = self._shard(int(max(s, 0))).decode(docids[m])
+            conv[m] = c
+            turn[m] = t
+        return conv.astype(np.str_), turn
+
+    def shards_resident(self) -> int:
+        """How many shards this process has faulted in (test hook)."""
+        return len(self._cache)

@@ -205,3 +205,62 @@ def test_bm25f_is_weighted_field_sum(index_dir):
         conv, turn = idx.codec.decode(np.array(sorted(chunks), np.int64))
         for d, c, tn in zip(sorted(chunks), conv, turn):
             assert abs(got.loc[(c, tn)].score - chunks[d]) < 2e-6
+
+
+def test_sharded_codec_identity_and_laziness(index_dir):
+    """ShardedDocIdCodec (lazily loaded convmap row groups) must
+    encode/decode exactly like the whole-table codec while faulting in
+    only the shards it touches."""
+    import pyarrow.parquet as pq
+
+    from raystorm.docids import DocIdCodec, ShardedDocIdCodec
+
+    full = DocIdCodec.from_table(
+        pq.read_table(os.path.join(index_dir, "convmap.parquet"))
+    )
+    # rewrite with tiny row groups so sf0.001's 500 convs span many shards
+    small = os.path.join(index_dir, "convmap_sharded.parquet")
+    pq.write_table(full.to_table(), small, row_group_size=64)
+    sc = ShardedDocIdCodec(small)
+    assert sc.n_shards >= 7 and sc.span == full.span and sc.n_convs == len(full.conv_ids)
+    # lazy: init reads only the last shard (for span)
+    assert sc.shards_resident() == 1
+    one = sc.decode(np.array([0], np.int64))
+    assert sc.shards_resident() <= 2
+    assert (one[0][0], one[1][0]) == (full.conv_ids[0], 0)
+    # full identity sweep
+    pdf = corpus.transcripts_from_documents(SF).to_pandas()
+    want = full.encode(pdf.conv_id.to_numpy(), pdf.turn_idx.to_numpy())
+    got = sc.encode(pdf.conv_id.to_numpy(), pdf.turn_idx.to_numpy())
+    np.testing.assert_array_equal(got, want)
+    ca, ta = sc.decode(want)
+    cb, tb = full.decode(want)
+    np.testing.assert_array_equal(ca, cb)
+    np.testing.assert_array_equal(ta, tb)
+    with pytest.raises(KeyError):
+        sc.encode(np.array(["aaaa-missing"]), np.array([0]))
+    with pytest.raises(KeyError):
+        sc.encode(np.array(["zzzz-missing"]), np.array([0]))
+
+
+def test_build_with_sharded_codec_byte_identical(ray_session, tmp_path, index_dir):
+    """A build forced through the range-sharded codec (workers fault in
+    convmap row groups instead of holding the broadcast table) must
+    produce byte-identical partitions and identical query results."""
+    d = str(tmp_path / "idx_sharded")
+    ds = corpus.transcripts_from_documents(SF)
+    cfg = build.BuildConfig(num_partitions=8, split_target=500)
+    m = build.build_index(
+        ds, d, input_fingerprint=SF, cfg=cfg, codec_shard_rows=64
+    )
+    assert m["status"] == "complete"
+    import pyarrow.parquet as pq
+
+    assert pq.ParquetFile(os.path.join(d, "convmap.parquet")).metadata.num_row_groups >= 7
+    for p in range(8):
+        a = os.path.join(index_dir, "parts", f"part-{p:05d}", "postings.bin")
+        b = os.path.join(d, "parts", f"part-{p:05d}", "postings.bin")
+        assert open(a, "rb").read() == open(b, "rb").read()
+    base = _engine_topk(index_dir, "bm25")
+    got = _engine_topk(d, "bm25")
+    pd.testing.assert_frame_equal(got, base)
