@@ -168,7 +168,14 @@ def cmd_serve(args) -> int:
         sf_dir=args.sf_dir,
         detached=args.detached,
     )
-    print(json.dumps({"replicas": args.replicas, "name": args.name, **handle.info()}))
+    info = {"replicas": args.replicas, "name": args.name, **handle.info()}
+    if args.http:
+        host, port = serve.start_http(
+            args.index_dir, replicas=args.replicas, name=args.name,
+            sf_dir=args.sf_dir, port=args.port, detached=args.detached,
+        )
+        info["http"] = f"http://{host}:{port}"
+    print(json.dumps(info))
     for q in args.query or []:
         df = handle.topk(q, args.k, args.mode)
         print(f"# {q}")
@@ -305,6 +312,10 @@ def main(argv=None) -> int:
     s.add_argument("--sf-dir", default=None)
     s.add_argument("--detached", action="store_true",
                    help="replicas outlive this driver (cluster mode)")
+    s.add_argument("--http", action="store_true",
+                   help="also start the HTTP front (/search, /info)")
+    s.add_argument("--port", type=int, default=0,
+                   help="HTTP port (0 = ephemeral)")
     s.add_argument("--query", action="append", help="evaluate via the pool")
     s.add_argument("--k", type=int, default=10)
     s.add_argument(

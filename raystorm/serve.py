@@ -10,10 +10,12 @@ actors are created ``lifetime="detached"`` so they outlive the driver
 that started them — the same always-on property the HTTP server has —
 and each replica mmaps the shared index store independently.
 
-No HTTP layer is reimplemented: the wire protocol is Ray's task
-protocol, which is what a Ray-native deployment would use (an HTTP
-front would be one thin FastAPI handler calling ``handle.topk`` — out
-of scope for a data-processing engine, as SURVEY.md §2.2 notes).
+The native wire protocol is Ray's task protocol; :class:`HttpFrontend`
+adds the one thin HTTP handler closing the reference-surface gap
+(``SearchServer.java:19-25`` registers ``/search`` + static routes):
+a stdlib ``ThreadingHTTPServer`` (FastAPI is absent in this
+environment) whose GET handlers delegate straight to the replica pool
+— no logic beyond parse → ``handle.topk`` → JSON.
 """
 
 from __future__ import annotations
@@ -100,8 +102,116 @@ def start(
     return ServeHandle(actors)
 
 
+@ray.remote
+class HttpFrontend:
+    """HTTP front over the replica pool — the reference's SearchServer
+    routes (``SearchServer.java:103-266``) as one thin delegating
+    handler.
+
+    ``GET /search?q=<text>&k=<n>&mode=<mode>`` -> JSON row list
+    (rank/conv_id/turn_idx/score); ``GET /info`` -> index stats.
+    Runs inside a (detachable) Ray actor so the endpoint outlives the
+    starting driver exactly like the replica pool; binds an ephemeral
+    port unless given one.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        replicas: int = 2,
+        name: str = "raystorm-server",
+        sf_dir: str | None = None,
+        port: int = 0,
+    ):
+        import json
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import parse_qs, urlparse
+
+        handle = start(index_dir, replicas=replicas, name=name, sf_dir=sf_dir)
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, payload: str):
+                body = payload.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                try:
+                    u = urlparse(self.path)
+                    if u.path == "/search":
+                        qs = parse_qs(u.query)
+                        q = qs.get("q", [""])[0]
+                        k = int(qs.get("k", ["10"])[0])
+                        mode = qs.get("mode", ["bm25"])[0]
+                        df = handle.topk(q, k, mode)
+                        self._send(200, df.to_json(orient="records"))
+                    elif u.path == "/info":
+                        self._send(200, json.dumps(handle.info()))
+                    else:
+                        self._send(404, json.dumps({"error": "not found"}))
+                except Exception as e:  # surface errors as JSON, keep serving
+                    import traceback
+
+                    traceback.print_exc()
+                    self._send(500, json.dumps({"error": str(e)}))
+
+        self._srv = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+        self._thread.start()
+
+    def address(self) -> tuple[str, int]:
+        import ray.util
+
+        host = ray.util.get_node_ip_address()
+        return host, int(self._srv.server_address[1])
+
+    def shutdown(self) -> None:
+        self._srv.shutdown()
+
+
+#: live handles for non-detached HTTP fronts — a named actor without
+#: ``lifetime="detached"`` is killed when its last handle is GC'd, so
+#: the module pins one until stop() (detached fronts don't need it)
+_HTTP_ACTORS: dict = {}
+
+
+def start_http(
+    index_dir: str,
+    replicas: int = 2,
+    name: str = "raystorm-server",
+    sf_dir: str | None = None,
+    port: int = 0,
+    detached: bool = False,
+) -> tuple[str, int]:
+    """Start (or reconnect to) the HTTP front; returns (host, port)."""
+    opts: dict = {"get_if_exists": True, "name": f"{name}-http"}
+    if detached:
+        opts["lifetime"] = "detached"
+    actor = HttpFrontend.options(**opts).remote(
+        index_dir, replicas=replicas, name=name, sf_dir=sf_dir, port=port
+    )
+    if not detached:
+        _HTTP_ACTORS[name] = actor
+    return ray.get(actor.address.remote())
+
+
 def stop(replicas: int = 2, name: str = "raystorm-server") -> int:
-    """Kill the named replicas; returns how many were found."""
+    """Kill the named replicas (and HTTP front, if any); returns how
+    many replicas were found."""
+    try:
+        a = ray.get_actor(f"{name}-http")
+        ray.get(a.shutdown.remote())
+        ray.kill(a)
+    except ValueError:
+        pass
+    _HTTP_ACTORS.pop(name, None)
     n = 0
     for i in range(replicas):
         try:

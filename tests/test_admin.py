@@ -90,3 +90,36 @@ def test_serve_actor_pool_matches_direct_index(index_pair):
         )
     finally:
         assert serve.stop(replicas=2, name="t-serve") == 2
+
+
+def test_http_front_matches_direct_actor(index_pair):
+    """GET /search over the stdlib HTTP front must return exactly the
+    replica pool's answer (the SearchServer route analog); /info serves
+    stats; unknown routes 404."""
+    import json as _json
+    import urllib.request
+
+    from raystorm import serve
+
+    _root, live, _cand = index_pair
+    host, port = serve.start_http(live, replicas=2, name="t-http")
+    try:
+        direct = query.SegmentIndex(live)
+        for text, mode in (("hash join", "bm25"), ("the", "bm25_and")):
+            from urllib.parse import quote
+
+            url = f"http://{host}:{port}/search?q={quote(text)}&k=10&mode={mode}"
+            rows = _json.loads(urllib.request.urlopen(url, timeout=30).read())
+            got = pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"])
+            want = direct.topk(text, 10, mode).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+        info = _json.loads(
+            urllib.request.urlopen(f"http://{host}:{port}/info", timeout=30).read()
+        )
+        assert info["n_terms"] > 0
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"http://{host}:{port}/nope", timeout=30)
+    finally:
+        assert serve.stop(replicas=2, name="t-http") == 2
