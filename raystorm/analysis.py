@@ -111,7 +111,7 @@ LANG_MARKERS = {
 UNKNOWN_LANG = "und"
 
 
-def lang_id(sf_dir: str):
+def lang_id(sf_dir: str, sort: bool = True):
     """Predict a language per document by stopword-marker hits.
 
     Vectorized: one pass over the exploded word array per language
@@ -145,7 +145,10 @@ def lang_id(sf_dir: str):
         )
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+    out = ds.map_batches(score, batch_format="pyarrow")
+    # the corpus-wide sort exists only for deterministic gate compare;
+    # production callers pass sort=False and keep the stream unsorted
+    return out.sort("doc_id") if sort else out
 
 
 def lang_id_sql() -> str:
@@ -183,7 +186,7 @@ QUALITY_STOPWORDS = LANG_MARKERS["en"]
 ROUND = 6
 
 
-def quality_score(sf_dir: str):
+def quality_score(sf_dir: str, sort: bool = True):
     """Per-document quality features + composite score.
 
     score = 0.3·min(1, n_words/50) + 0.4·stopword_ratio + 0.3·alpha_ratio
@@ -226,7 +229,10 @@ def quality_score(sf_dir: str):
         )
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+    out = ds.map_batches(score, batch_format="pyarrow")
+    # the corpus-wide sort exists only for deterministic gate compare;
+    # production callers pass sort=False and keep the stream unsorted
+    return out.sort("doc_id") if sort else out
 
 
 def quality_score_sql() -> str:
@@ -259,7 +265,7 @@ FROM base ORDER BY doc_id
 BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
 
 
-def token_count(sf_dir: str):
+def token_count(sf_dir: str, sort: bool = True):
     """Whitespace token count + BPE-ish regex token count per document.
 
     Both counts via pyarrow RE2 kernels (``count_substring_regex``) —
@@ -280,7 +286,8 @@ def token_count(sf_dir: str):
         )
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return ds.map_batches(count, batch_format="pyarrow").sort("doc_id")
+    out = ds.map_batches(count, batch_format="pyarrow")
+    return out.sort("doc_id") if sort else out
 
 
 def token_count_sql() -> str:
@@ -352,7 +359,7 @@ ORDER BY lang, source, size_bucket
 # ---------------------------------------------------------------------------
 
 
-def fingerprint(sf_dir: str):
+def fingerprint(sf_dir: str, sort: bool = True):
     """Per-doc content fingerprint: exact 60-bit md5 of the text plus the
     min md5 over distinct words (a 1-permutation MinHash — the building
     block dedup.py scales out to 16 permutations)."""
@@ -379,7 +386,8 @@ def fingerprint(sf_dir: str):
         )
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
+    out = ds.map_batches(fp, batch_format="pyarrow")
+    return out.sort("doc_id") if sort else out
 
 
 def fingerprint_sql() -> str:

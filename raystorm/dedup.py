@@ -734,13 +734,11 @@ def _simhash_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())})
 
 
-def simhash_docs(sf_dir: str):
+def simhash_docs(sf_dir: str, sort: bool = True):
     """Per-document 48-bit tf-weighted SimHash."""
-    return (
-        _docs(sf_dir)
-        .map_batches(_simhash_batch, batch_format="pyarrow")
-        .sort("doc_id")
-    )
+    out = _docs(sf_dir).map_batches(_simhash_batch, batch_format="pyarrow")
+    # gate-only determinism sort; sort=False for production streams
+    return out.sort("doc_id") if sort else out
 
 
 def simhash_docs_sql() -> str:

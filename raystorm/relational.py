@@ -382,7 +382,7 @@ ORDER BY event_id
 # ---------------------------------------------------------------------------
 
 
-def mix_sources(sf_dir: str):
+def mix_sources(sf_dir: str, sort: bool = True):
     """Deterministic per-source weighted sampling: keep a document iff
     its keyed 60-bit hash mod 100 falls below its source's rate
     (rate_source = md5int60(source) % 100 + 1, i.e. 1..100% — a
@@ -403,7 +403,9 @@ def mix_sources(sf_dir: str):
         return batch.filter(pa.array(hd < rates))
 
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
-    return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
+    out = ds.map_batches(pick, batch_format="pyarrow")
+    # gate-only determinism sort; sort=False for production streams
+    return out.sort("doc_id") if sort else out
 
 
 MIX_SOURCES_SQL = """
