@@ -204,14 +204,11 @@ def start_http(
 
 def stop(replicas: int = 2, name: str = "raystorm-server") -> int:
     """Kill the named replicas (and HTTP front, if any); returns how
-    many replicas were found."""
-    try:
-        a = ray.get_actor(f"{name}-http")
-        ray.get(a.shutdown.remote())
-        ray.kill(a)
-    except ValueError:
-        pass
-    _HTTP_ACTORS.pop(name, None)
+    many replicas were found.
+
+    Replicas go first: the HTTP front's internal handles are what keep
+    non-detached replicas alive, so killing it first races replica
+    reaping against the get_actor lookups below."""
     n = 0
     for i in range(replicas):
         try:
@@ -219,4 +216,11 @@ def stop(replicas: int = 2, name: str = "raystorm-server") -> int:
             n += 1
         except ValueError:
             pass
+    try:
+        a = ray.get_actor(f"{name}-http")
+        ray.get(a.shutdown.remote())
+        ray.kill(a)
+    except ValueError:
+        pass
+    _HTTP_ACTORS.pop(name, None)
     return n
