@@ -45,7 +45,14 @@ def md5int60_sql(expr: str) -> str:
     return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
 
 
-def join_fanout(cpus: int | None = None) -> int:
+#: shuffle-join rows one 1-CPU aggregator comfortably owns; the rows
+#: hint bounds fan-out so toy inputs don't pay actor startup x cpus//2
+#: (sf0.1 probe: 150k-row join best at fan-out 4 ≈ 40-50k rows/agg;
+#: at corpus scale the cpus//2 cap dominates long before this does)
+JOIN_ROWS_PER_PARTITION = 50_000
+
+
+def join_fanout(cpus: int | None = None, rows: int | None = None) -> int:
     """Shuffle-join partition count for ``Dataset.join``.
 
     Each join partition is a 1-CPU aggregator actor and Ray requires ALL
@@ -55,12 +62,19 @@ def join_fanout(cpus: int | None = None) -> int:
     exchange with cluster width (a former hard cap of 8 would have
     funneled corpus-scale joins through 8 actors on a 256-node cluster)
     while the other half keeps feeding the join.  ``cpus`` overrides the
-    cluster probe (tests pin the formula without a 32-CPU session)."""
+    cluster probe (tests pin the formula without a 32-CPU session).
+    ``rows`` (when the caller knows the join input size, e.g. from
+    parquet metadata) bounds the fan-out to ~JOIN_ROWS_PER_PARTITION
+    rows per aggregator — a 150k-row join on a 32-CPU box measured 1 s
+    SLOWER at 16 partitions than 8 purely from actor startup."""
     if cpus is None:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, min(cpus // 2, cpus - 4))
+    fo = max(2, min(cpus // 2, cpus - 4))
+    if rows is not None:
+        fo = max(2, min(fo, -(-rows // JOIN_ROWS_PER_PARTITION)))
+    return fo
 
 
 def split_words_arrow(texts) -> tuple[pa.Array, np.ndarray]:

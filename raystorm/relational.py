@@ -169,10 +169,17 @@ def revenue_by_priority(sf_dir: str):
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(li_partial, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    # join input is order-cardinality (lineitem pre-combined): bound the
+    # fan-out by the parquet row count so toy inputs skip actor startup
+    import pyarrow.parquet as pq
+
+    n_orders = pq.ParquetFile(
+        os.path.join(sf_dir, "orders.parquet")
+    ).metadata.num_rows
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=join_fanout(),
+        num_partitions=join_fanout(rows=n_orders),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
