@@ -144,14 +144,14 @@ def delete_convs(index_dir: str, conv_ids, delete_fingerprint: str = "") -> dict
             ),
         }
     )
-    tmpm = gpath + ".tmp"
-    with open(tmpm, "w") as fh:
-        json.dump(new_manifest, fh, indent=1, default=str)
-    os.replace(tmpm, gpath)
-    # restamp serving companions: tombstones change no stored text or
-    # position (queries mask before any companion read), so a current
-    # companion stays valid across a delete — bump its stamp to the new
-    # fingerprint instead of forcing a rebuild
+    # restamp serving companions BEFORE the manifest flip: tombstones
+    # change no stored text or position (queries mask before any
+    # companion read), so a current companion stays valid across a
+    # delete — bump its stamp to the new fingerprint instead of forcing
+    # a rebuild.  Order matters for crash-safety: a crash after the
+    # manifest flip but before a restamp would leave the companion
+    # stale forever (the replay fast-path returns before reaching it);
+    # restamping first means every crash window replays to completion.
     for sub in ("docstore", "positional"):
         cpath = os.path.join(index_dir, sub, "_manifest.json")
         if os.path.isfile(cpath):
@@ -165,6 +165,10 @@ def delete_convs(index_dir: str, conv_ids, delete_fingerprint: str = "") -> dict
                 with open(ctmp, "w") as fh:
                     json.dump(cm, fh, indent=1)
                 os.replace(ctmp, cpath)
+    tmpm = gpath + ".tmp"
+    with open(tmpm, "w") as fh:
+        json.dump(new_manifest, fh, indent=1, default=str)
+    os.replace(tmpm, gpath)
     return new_manifest
 
 

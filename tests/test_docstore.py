@@ -207,3 +207,28 @@ def test_bm25_prox_bonus_math(store):
                 if dists:
                     bonus += positional.PROX_W / (1.0 + min(dists))
             assert abs(sc - (base_by_id[did] + bonus)) < 2e-5, (text, did)
+
+
+def test_delete_replay_restamps_companions(store, tmp_path):
+    """Crash between the companion restamp and the manifest flip must
+    converge on replay: before the fix the replay fast-path returned
+    before restamping, leaving companions stale forever."""
+    import shutil
+
+    from raystorm import deletes, positional
+
+    d, _m = store
+    positional.build_positional_index(SF, d, num_parts=4)
+    d2 = str(tmp_path / "replay_del")
+    shutil.copytree(d, d2)
+    pre_manifest = open(os.path.join(d2, "manifest.json")).read()
+    victims = [query.SegmentIndex(d2).codec.conv_ids[0]]
+    deletes.delete_convs(d2, victims, delete_fingerprint="replay-test")
+    # simulate the crash window: companions restamped to the new
+    # fingerprint, manifest still pre-delete
+    open(os.path.join(d2, "manifest.json"), "w").write(pre_manifest)
+    with pytest.raises(ValueError, match="stale"):
+        docstore.DocStore(d2)
+    deletes.delete_convs(d2, victims, delete_fingerprint="replay-test")
+    assert docstore.DocStore(d2).texts(np.array([0], np.int64)) is not None
+    assert positional.PositionalIndex(d2).num_parts == 4
