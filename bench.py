@@ -201,11 +201,18 @@ SCALING_REPEATS = 4
 
 
 def main_scaling(sf_dir: str) -> dict:
-    """Fresh-process runs at 8 and 32 CPUs; report scaling efficiency."""
-    results = {}
-    for cpus in (8, 32):
-        best = None
-        for _rep in range(SCALING_REPEATS):
+    """Fresh-process runs at 8 and 32 CPUs; report scaling efficiency.
+
+    Levels are INTERLEAVED per repetition (32, 8, 32, 8, ...) rather
+    than run as two homogeneous blocks: measured on this host, the
+    32-CPU children of a block-ordered harness land uniformly ~1.6x
+    above their floor because they all sit in the hot/steal window the
+    four ~400 s 8-CPU children create, while standalone 32-CPU runs on
+    a rested host reach 85-95 s.  Interleaving gives both levels the
+    same thermal environment; min per level stays the estimator."""
+    results: dict[int, dict] = {}
+    for _rep in range(SCALING_REPEATS):
+        for cpus in (32, 8):
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(cpus)
             env["GRAFT_SF_DIR"] = sf_dir
@@ -230,9 +237,9 @@ def main_scaling(sf_dir: str) -> dict:
                     f"{proc.stderr[-2000:]}"
                 )
             run = json.loads(lines[-1])
+            best = results.get(cpus)
             if best is None or run["queries"]["build_synth"] < best["queries"]["build_synth"]:
-                best = run
-        results[cpus] = best
+                results[cpus] = run
     t8 = results[8]["queries"]["build_synth"]
     t32 = results[32]["queries"]["build_synth"]
     tp8 = results[8]["extras"]["build_synth_turns_per_sec"]
