@@ -197,7 +197,7 @@ SCALING_CONVS = 200_000
 #: estimator — hypervisor steal makes identical 32-CPU runs swing 2x:
 #: measured 94.9 / 161.1 / 187.0 s back-to-back, while 8-CPU runs stay
 #: within 1%; wide runs need more repeats to reach their floor)
-SCALING_REPEATS = 4
+SCALING_REPEATS = 5
 
 
 def main_scaling(sf_dir: str) -> dict:

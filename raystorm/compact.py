@@ -182,6 +182,10 @@ def compact_index(index_dir: str, out_dir: str, num_partitions: int | None = Non
     import ray.data as rd
     import pyarrow.parquet as pq
 
+    from . import update as _update
+
+    # finish any interrupted update commit before reading the trio
+    _update.rollforward_pending(index_dir)
     manifest = json.load(open(os.path.join(index_dir, "manifest.json")))
     P = num_partitions or manifest["num_partitions"]
     os.makedirs(out_dir, exist_ok=True)

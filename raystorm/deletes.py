@@ -90,7 +90,12 @@ def delete_convs(index_dir: str, conv_ids, delete_fingerprint: str = "") -> dict
     are no-ops) and per conv (re-deleting a tombstoned conv is a no-op).
     Raises ``KeyError`` for conv_ids the index has never seen.
     """
+    from . import update as _update
+
     gpath = os.path.join(index_dir, "manifest.json")
+    # a crashed update commit must roll forward before we mutate the
+    # trio, or the delete would be clobbered by the update's re-entry
+    _update.rollforward_pending(index_dir)
     manifest = json.load(open(gpath))
     if manifest.get("status") != "complete":
         raise ValueError(f"cannot delete from an incomplete index: {index_dir}")
@@ -233,6 +238,9 @@ def vacuum_index(index_dir: str, out_dir: str, num_partitions: int | None = None
     import ray
     import ray.data as rd
 
+    from . import update as _update
+
+    _update.rollforward_pending(index_dir)
     manifest = json.load(open(os.path.join(index_dir, "manifest.json")))
     starts, ends = load_tombstones(index_dir)
     if not len(starts):
