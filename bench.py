@@ -52,6 +52,16 @@ def run_suite(
     extras: dict[str, float] = {}
 
     try:
+        # -- 0. session warm-up (untimed, recorded): spin up the worker
+        # pool + per-worker imports so the first timed line measures the
+        # engine, not Ray process forking (12-23 s absorbed into
+        # build_sf on a cold session, vs 2.4-6.7 s steady-state)
+        t0 = time.perf_counter()
+        rd.range(num_cpus * 8, override_num_blocks=num_cpus * 2).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).count()
+        extras["session_warmup_s"] = time.perf_counter() - t0
+
         # -- 1. index build over the sf corpus (fresh dir: timed cold) -------
         cfg = build.BuildConfig(num_partitions=max(16, num_cpus), split_target=50_000)
         ds = corpus.transcripts_from_documents(sf_dir)
