@@ -138,3 +138,63 @@ def test_delete_replay_and_unknown(trio, tmp_path):
     assert m2["build_fingerprint"] == m1["build_fingerprint"]  # replay no-op
     with pytest.raises(KeyError):
         deletes.delete_convs(tomb.index_dir, ["zzz-not-a-conv"], "other")
+
+
+def test_delete_entry_rolls_forward_pending_update(
+    ray_session, tmp_path_factory, monkeypatch
+):
+    """A delete entered while an update commit sits half-flipped must
+    finish that commit first, then apply — otherwise the delete mutates
+    an inconsistent trio and the update's own re-entry clobbers it."""
+    import json, os
+
+    import pyarrow.parquet as pq
+
+    from raystorm import update
+
+    SF0 = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("del_pending"))
+    cfg = build.BuildConfig(num_partitions=4, split_target=500)
+    base = corpus.transcripts_from_documents(SF0, max_doc=350)
+    build.build_index(base, d, input_fingerprint="delp-base", cfg=cfg)
+    delta = corpus.transcripts_from_documents(SF0, min_doc=350)
+
+    real = update.rollforward_pending
+
+    def crashing(index_dir):
+        jpath = os.path.join(index_dir, update.PENDING_COMMIT)
+        if not os.path.isfile(jpath):
+            return real(index_dir)  # update entry: nothing pending yet
+        # the commit flip: replace ONLY the convmap, then "crash"
+        sfx = json.load(open(jpath))["suffix"]
+        os.replace(
+            os.path.join(index_dir, f"convmap.parquet.staged-{sfx}"),
+            os.path.join(index_dir, "convmap.parquet"),
+        )
+        raise RuntimeError("simulated crash mid-commit")
+
+    monkeypatch.setattr(update, "rollforward_pending", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        update.update_index(delta, d, delta_fingerprint="delp-delta")
+    monkeypatch.undo()
+    assert os.path.isfile(os.path.join(d, update.PENDING_COMMIT))
+
+    # the convmap is already flipped (base+delta convs); the manifest is
+    # still generation 1 — delete entry must repair before mutating
+    victims = pq.read_table(os.path.join(d, "convmap.parquet"))[
+        "conv_id"
+    ].to_pylist()[:3]
+    m2 = deletes.delete_convs(d, victims, delete_fingerprint="delp-del")
+    assert m2["n_deleted_convs"] == len(victims)
+    assert not os.path.isfile(os.path.join(d, update.PENDING_COMMIT))
+    mj = json.load(open(os.path.join(d, "manifest.json")))
+    assert mj["generations"] == 2  # the pending update landed, not lost
+    idx = query.SegmentIndex(d)
+    assert idx.codec.span == mj["docid_span"]
+    terms = sorted(idx.terms("text"))[:50]
+    term = max(terms, key=lambda t: len(idx.postings(t, "text")[0]))
+    got = idx.topk(term, 10**9, "bm25")
+    assert len(got) and not got.conv_id.isin(set(victims)).any()
+    # update replay after the delete is a no-op, not a re-application
+    m3 = update.update_index(delta, d, delta_fingerprint="delp-delta")
+    assert m3["generations"] == 2
