@@ -188,12 +188,14 @@ def _updated_docstore_index_for(sf_dir: str) -> str:
 
 
 def _run_reference_queries(
-    sf_dir: str, mode: str, index_dir: str | None = None
+    sf_dir: str, mode: str, index_dir: str | None = None, queries=None
 ) -> pd.DataFrame:
     import ray.data as rd
 
     index_dir = index_dir or _index_for(sf_dir)
-    qds = rd.from_arrow(query.queries_table())
+    qds = rd.from_arrow(
+        query.queries_table(queries) if queries is not None else query.queries_table()
+    )
     kwargs = {"index_dir": index_dir, "mode": mode}
     if mode == "faithful_boosted":
         kwargs["sf_dir"] = sf_dir
@@ -489,6 +491,18 @@ def _q_topk_bm25_conjunctive(sf_dir: str):
     return _run_reference_queries(sf_dir, "bm25_and")
 
 
+def _q_topk_bm25_wildcard(sf_dir: str):
+    """Trailing-* prefix queries: each prefix expands to its
+    MAX_EXPANSIONS highest-df dictionary terms via two binary searches
+    over the sorted term dictionary (query.SegmentIndex.expand_prefix),
+    and the expanded union scores as plain disjunctive BM25 — Lucene's
+    PrefixQuery scoring rewrite.  The oracle re-derives the df-capped
+    expansion from the corpus dfs CTE (query.wildcard_topk_sql)."""
+    return _run_reference_queries(
+        sf_dir, "bm25_wild", queries=query.WILDCARD_QUERIES
+    )
+
+
 def _q_topk_bm25f(sf_dir: str):
     """BM25F weighted multi-field scoring (text ×1.0 + tool ×2.0, each
     field with its own tokenizer mode/df/avgdl)."""
@@ -638,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_updated_pruned": _q_topk_bm25_updated_pruned,
         "term_stats_updated": _q_term_stats_updated,
         "topk_bm25_conjunctive": _q_topk_bm25_conjunctive,
+        "topk_bm25_wildcard": _q_topk_bm25_wildcard,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
         "search_snippets_docstore": _q_search_snippets_docstore,
@@ -705,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM tfs t GROUP BY t.term ORDER BY t.term"
         ),
         "topk_bm25_conjunctive": query.bm25_topk_sql(conjunctive=True),
+        "topk_bm25_wildcard": query.wildcard_topk_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),
         "search_snippets_docstore": snippets.snippets_sql(),

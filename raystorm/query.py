@@ -65,19 +65,34 @@ class _FieldDict:
         "first_docid", "last_docid",
     )
 
-    def rank_of(self, term: str) -> int:
-        """Binary search the Arrow vocabulary; -1 if absent."""
+    def lower_bound(self, key: str) -> int:
+        """Leftmost index with terms[i] >= key (binary search over the
+        Arrow buffer; O(log V) ``as_py`` probes)."""
         arr = self.terms
         lo, hi = 0, len(arr)
         while lo < hi:
             mid = (lo + hi) // 2
-            if arr[mid].as_py() < term:
+            if arr[mid].as_py() < key:
                 lo = mid + 1
             else:
                 hi = mid
-        if lo < len(arr) and arr[lo].as_py() == term:
+        return lo
+
+    def rank_of(self, term: str) -> int:
+        """Binary search the Arrow vocabulary; -1 if absent."""
+        lo = self.lower_bound(term)
+        if lo < len(self.terms) and self.terms[lo].as_py() == term:
             return lo
         return -1
+
+    def prefix_range(self, prefix: str) -> tuple[int, int]:
+        """[lo, hi) vocabulary rank range of terms starting with
+        ``prefix`` — two binary searches, never a scan.  The upper key
+        bumps the prefix's last code point (total order: every string
+        with the prefix sorts below it)."""
+        lo = self.lower_bound(prefix)
+        hi = self.lower_bound(prefix[:-1] + chr(ord(prefix[-1]) + 1))
+        return lo, hi
 
 
 class SegmentIndex:
@@ -370,6 +385,8 @@ class SegmentIndex:
             docids, scores = self._score_bm25(query_text)
         elif mode == "bm25_and":
             docids, scores = self._score_bm25_conjunctive(query_text)
+        elif mode == "bm25_wild":
+            docids, scores = self._score_bm25_wildcard(query_text)
         elif mode == "bm25f":
             docids, scores = self._score_bm25f(query_text)
         elif mode == "faithful":
@@ -402,7 +419,12 @@ class SegmentIndex:
 
     def _score_bm25(self, query_text: str):
         toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
-        terms = sorted(set(toks.tolist()))
+        return self._score_bm25_terms(sorted(set(toks.tolist())))
+
+    def _score_bm25_terms(self, terms):
+        """Disjunctive BM25 accumulation over an explicit (distinct,
+        sorted) body-field term list — the core shared by plain ``bm25``
+        and the wildcard-expanded ``bm25_wild`` mode."""
         gs = self.global_stats["text"]
         fd = self._dict.get("text")
         id_chunks, sc_chunks = [], []
@@ -426,6 +448,48 @@ class SegmentIndex:
             sc_chunks.append(sc)
         ids, totals = _accumulate(id_chunks, sc_chunks)
         return self._drop_deleted(ids, totals)
+
+    #: wildcard-expansion cap per prefix (the Lucene PrefixQuery rewrite
+    #: bound, deliberately small so the deterministic (df desc, term asc)
+    #: cut is exercised at test scale; production callers pass their own).
+    #: Selection by df is SQL-mirrorable, unlike insertion-order caps.
+    MAX_EXPANSIONS = 4
+
+    def expand_prefix(
+        self, prefix: str, field: str = "text", max_expansions: int | None = None
+    ) -> list[str]:
+        """Vocabulary terms starting with ``prefix``, capped to the
+        ``max_expansions`` highest-df (ties: term asc), returned sorted.
+
+        Two binary searches bound the dictionary range
+        (``_FieldDict.prefix_range``) and the df cut is a vectorized
+        argsort of the range slice — cost is O(log V + R log R) for R
+        matching terms, never a vocabulary scan.  The reference has no
+        wildcard queries (SearchServer.java tokenizes to exact terms
+        only); this is the standard boolean-retrieval extension its
+        sorted term dictionary makes cheap.
+        """
+        cap = self.MAX_EXPANSIONS if max_expansions is None else max_expansions
+        fd = self._dict.get(field)
+        if fd is None or not prefix:
+            return []
+        lo, hi = fd.prefix_range(prefix)
+        if lo >= hi:
+            return []
+        order = np.argsort(-fd.df[lo:hi], kind="stable")[:cap]
+        return sorted(fd.terms[lo + int(i)].as_py() for i in order)
+
+    def _score_bm25_wildcard(self, query_text: str):
+        """Trailing-``*`` prefix queries: each prefix expands to its
+        df-capped dictionary terms (:meth:`expand_prefix`), the union
+        with the exact terms scores disjunctively with real per-term
+        idf — Lucene's PrefixQuery→OR rewrite, not the constant-score
+        variant, so the DuckDB oracle can reproduce scores exactly."""
+        exact, prefixes = parse_wildcard_query(query_text)
+        terms = set(exact)
+        for p in prefixes:
+            terms.update(self.expand_prefix(p))
+        return self._score_bm25_terms(sorted(terms))
 
     def _score_bm25_conjunctive(self, query_text: str):
         """AND semantics: only documents containing EVERY (distinct,
@@ -920,8 +984,8 @@ REFERENCE_QUERIES = (
 )
 
 
-def queries_table() -> pa.Table:
-    q = list(zip(*REFERENCE_QUERIES))
+def queries_table(queries=REFERENCE_QUERIES) -> pa.Table:
+    q = list(zip(*queries))
     return pa.table(
         {
             "query_id": pa.array(q[0], pa.string()),
@@ -929,6 +993,42 @@ def queries_table() -> pa.Table:
             "k": pa.array(q[2], pa.int32()),
         }
     )
+
+
+# Wildcard query set: trailing-* prefix patterns over the same corpus —
+# single prefix, cap-exercising prefix ("s*" matches 6 vocabulary terms,
+# MAX_EXPANSIONS=4 binds), mixed prefix+exact, absent prefix, two
+# prefixes, and a no-wildcard degenerate (== plain bm25).
+WILDCARD_QUERIES = (
+    ("w01", "mer*", 10),
+    ("w02", "s*", 10),
+    ("w03", "cust* order", 10),
+    ("w04", "zz*", 10),
+    ("w05", "ta* val*", 10),
+    ("w06", "the merge", 10),
+)
+
+
+def parse_wildcard_query(query_text: str):
+    """Split a raw query into (exact_terms, prefixes), both sorted+deduped.
+
+    A whitespace token ending in ``*`` is a prefix pattern: its stem is
+    lowercased and stripped to the body tokenizer's alphabet (pure a-z,
+    matching what can exist in the dictionary); empty stems drop out.
+    The remaining tokens go through the body tokenizer exactly as plain
+    ``bm25`` mode does.  Shared verbatim by the engine and the oracle
+    generator so parsing can never diverge between them.
+    """
+    raw = query_text.split()
+    prefixes = set()
+    for t in raw:
+        if t.endswith("*"):
+            stem = "".join(ch for ch in t[:-1].lower() if "a" <= ch <= "z")
+            if stem:
+                prefixes.add(stem)
+    rest = " ".join(t for t in raw if not t.endswith("*"))
+    toks, _ = normalize.tokenize_column(pa.array([rest]), "body")
+    return sorted(set(toks.tolist())), sorted(prefixes)
 
 
 # ---------------------------------------------------------------------------
@@ -994,6 +1094,7 @@ def bm25_topk_sql(
     mask_pred: str | None = None,
     corpus_pred: str | None = None,
     conjunctive: bool = False,
+    qterms_sql: str | None = None,
 ) -> str:
     """Full oracle query for the BM25 reference-query evaluation.
 
@@ -1002,7 +1103,10 @@ def bm25_topk_sql(
     deletes before vacuum.  ``corpus_pred`` filters the corpus itself
     (see :func:`corpus_ctes`) — the post-vacuum / rebuild semantics.
     ``conjunctive`` keeps only documents matching EVERY query term
-    (the ``bm25_and`` scoring mode).
+    (the ``bm25_and`` scoring mode).  ``qterms_sql`` replaces the
+    literal per-query term VALUES with a caller-built CTE chain that
+    must end in ``qterms(query_id, term)`` — how the wildcard oracle
+    injects its df-capped dictionary expansion.
     """
     mask = f"WHERE NOT ({mask_pred.replace('conv_id', 't.conv_id')})" if mask_pred else ""
     having = (
@@ -1011,10 +1115,15 @@ def bm25_topk_sql(
         if conjunctive
         else ""
     )
+    qterms_clause = (
+        qterms_sql
+        if qterms_sql is not None
+        else f"qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)})"
+    )
     return f"""
 WITH {corpus_ctes(corpus_pred)},
 queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
-qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+{qterms_clause},
 scores AS (
   SELECT q.query_id,
          t.conv_id, t.turn_idx,
@@ -1043,6 +1152,61 @@ FROM ranked r JOIN queries q ON q.query_id = r.query_id
 WHERE r.rank <= q.qk
 ORDER BY r.query_id, r.rank
 """
+
+
+def wildcard_topk_sql(
+    queries=WILDCARD_QUERIES,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_expansions: int | None = None,
+) -> str:
+    """Oracle for the ``bm25_wild`` mode: per-prefix dictionary
+    expansion capped to the ``max_expansions`` highest-df terms
+    (ties: term asc) — the exact rule of
+    :meth:`SegmentIndex.expand_prefix` — unioned with the exact terms,
+    deduped per query, then scored by the plain disjunctive BM25 chain.
+
+    Query parsing goes through :func:`parse_wildcard_query` (the same
+    function the engine calls), so tokenization can never diverge; the
+    expansion itself re-derives from the ``dfs`` CTE, which equals the
+    index dictionary's df for the text field by construction.  Prefixes
+    are pure a-z (the parser strips everything else), so ``LIKE p||'%'``
+    is metacharacter-safe.
+    """
+    cap = SegmentIndex.MAX_EXPANSIONS if max_expansions is None else max_expansions
+    exact_rows, prefix_rows = [], []
+    for qid, text, _k in queries:
+        exact, prefixes = parse_wildcard_query(text)
+        exact_rows += [f"('{qid}', '{t}')" for t in exact]
+        prefix_rows += [f"('{qid}', '{p}')" for p in prefixes]
+    # degenerate-but-valid empty relations keep the SQL well-formed for
+    # all-wildcard or no-wildcard query sets
+    qexact = (
+        f"qexact(query_id, term) AS (VALUES {', '.join(exact_rows)})"
+        if exact_rows
+        else "qexact(query_id, term) AS (SELECT NULL, NULL WHERE false)"
+    )
+    qprefix = (
+        f"qprefix(query_id, prefix) AS (VALUES {', '.join(prefix_rows)})"
+        if prefix_rows
+        else "qprefix(query_id, prefix) AS (SELECT NULL, NULL WHERE false)"
+    )
+    qterms_sql = f"""{qexact},
+{qprefix},
+qexpand AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, p.prefix, d.term,
+           row_number() OVER (PARTITION BY p.query_id, p.prefix
+                              ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM qprefix p JOIN dfs d ON d.term LIKE p.prefix || '%'
+  ) WHERE rn <= {cap}
+),
+qterms AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, term FROM qexact
+        UNION ALL SELECT query_id, term FROM qexpand)
+)"""
+    return bm25_topk_sql(queries=queries, k1=k1, b=b, qterms_sql=qterms_sql)
 
 
 def phrase_topk_sql(

@@ -264,3 +264,49 @@ def test_build_with_sharded_codec_byte_identical(ray_session, tmp_path, index_di
     base = _engine_topk(index_dir, "bm25")
     got = _engine_topk(d, "bm25")
     pd.testing.assert_frame_equal(got, base)
+
+
+def test_wildcard_parse_and_expand(index_dir):
+    """parse_wildcard_query splits/strips; expand_prefix is the df-capped
+    (df desc, term asc) dictionary range — two binary searches, cap binds."""
+    exact, prefixes = query.parse_wildcard_query("cust* Order ta* the")
+    assert prefixes == ["cust", "ta"]
+    assert "order" in exact and all("*" not in t for t in exact)
+    # non-alpha stem chars strip; empty stems drop
+    assert query.parse_wildcard_query("a1b* ** x")[1] == ["ab"]
+
+    idx = query.SegmentIndex(index_dir)
+    fd = idx._dict.get("text")
+    vocab = [fd.terms[i].as_py() for i in range(len(fd.terms))]
+    dfs = {t: int(fd.df[i]) for i, t in enumerate(vocab)}
+    all_s = [t for t in vocab if t.startswith("s")]
+    assert len(all_s) > idx.MAX_EXPANSIONS  # cap actually binds on s*
+    got = idx.expand_prefix("s")
+    want = sorted(
+        sorted(all_s, key=lambda t: (-dfs[t], t))[: idx.MAX_EXPANSIONS]
+    )
+    assert got == want
+    assert idx.expand_prefix("zz") == []
+    assert idx.expand_prefix("") == []
+    # uncapped expansion returns the whole range
+    assert idx.expand_prefix("s", max_expansions=10**9) == sorted(all_s)
+
+
+def test_wildcard_rank_identical(index_dir, duck):
+    """bm25_wild engine vs the SQL oracle that re-derives the df-capped
+    expansion from the dfs CTE; plus the no-wildcard degenerate == bm25."""
+    idx = query.SegmentIndex(index_dir)
+    rows = []
+    for qid, text, k in query.WILDCARD_QUERIES:
+        df = idx.topk(text, k, "bm25_wild")
+        df.insert(0, "query_id", qid)
+        rows.append(df)
+    engine = pd.concat(rows, ignore_index=True)
+    oracle = duck.execute(query.wildcard_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        engine.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
+    )
+    # a query with no '*' scores identically to plain bm25
+    plain = idx.topk("the merge", 10, "bm25")
+    wild = idx.topk("the merge", 10, "bm25_wild")
+    pd.testing.assert_frame_equal(plain, wild)
