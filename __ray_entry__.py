@@ -503,6 +503,16 @@ def _q_topk_bm25_wildcard(sf_dir: str):
     )
 
 
+def _q_topk_bm25_fuzzy(sf_dir: str):
+    """Fuzzy retrieval: every query term expands to its edit-distance<=2
+    dictionary neighborhood (df-capped, exact term always kept —
+    query.SegmentIndex.expand_fuzzy) and the union scores as disjunctive
+    BM25 — Lucene's FuzzyQuery scoring rewrite.  The oracle re-derives
+    the expansion with DuckDB levenshtein over the dfs CTE
+    (query.fuzzy_topk_sql)."""
+    return _run_reference_queries(sf_dir, "bm25_fuzzy", queries=query.FUZZY_QUERIES)
+
+
 def _q_topk_bm25f(sf_dir: str):
     """BM25F weighted multi-field scoring (text ×1.0 + tool ×2.0, each
     field with its own tokenizer mode/df/avgdl)."""
@@ -653,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_updated": _q_term_stats_updated,
         "topk_bm25_conjunctive": _q_topk_bm25_conjunctive,
         "topk_bm25_wildcard": _q_topk_bm25_wildcard,
+        "topk_bm25_fuzzy": _q_topk_bm25_fuzzy,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
         "search_snippets_docstore": _q_search_snippets_docstore,
@@ -721,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "topk_bm25_conjunctive": query.bm25_topk_sql(conjunctive=True),
         "topk_bm25_wildcard": query.wildcard_topk_sql(),
+        "topk_bm25_fuzzy": query.fuzzy_topk_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),
         "search_snippets_docstore": snippets.snippets_sql(),

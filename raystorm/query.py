@@ -387,6 +387,8 @@ class SegmentIndex:
             docids, scores = self._score_bm25_conjunctive(query_text)
         elif mode == "bm25_wild":
             docids, scores = self._score_bm25_wildcard(query_text)
+        elif mode == "bm25_fuzzy":
+            docids, scores = self._score_bm25_fuzzy(query_text)
         elif mode == "bm25f":
             docids, scores = self._score_bm25f(query_text)
         elif mode == "faithful":
@@ -489,6 +491,61 @@ class SegmentIndex:
         terms = set(exact)
         for p in prefixes:
             terms.update(self.expand_prefix(p))
+        return self._score_bm25_terms(sorted(terms))
+
+    #: fuzzy-match edit-distance bound (Lucene FuzzyQuery's default) and
+    #: its own expansion cap — smaller than MAX_EXPANSIONS so the
+    #: exact-term-survives-the-cap rule is exercisable on the synthetic
+    #: vocabulary (a term's d<=2 neighborhood tops out at 4 there).
+    MAX_FUZZY_DIST = 2
+    MAX_FUZZY_EXPANSIONS = 2
+
+    def expand_fuzzy(
+        self,
+        term: str,
+        field: str = "text",
+        max_dist: int | None = None,
+        max_expansions: int | None = None,
+    ) -> list[str]:
+        """Dictionary terms within ``max_dist`` unit-cost edits of
+        ``term``, capped to the ``max_expansions`` highest-df (ties:
+        term asc) — plus ``term`` itself whenever it is in the
+        dictionary, even when the df cut would drop it (the distance-0
+        match must never lose to its own neighbors).  Returned sorted.
+
+        Same length-difference-pruned dictionary scan as
+        :meth:`suggest_terms` (and the same 100M-term design point: a
+        length/prefix-bucketed pass or BK-tree over the sorted
+        vocabulary, actor-local).  The selection rule is (df desc,
+        term asc) so the DuckDB oracle can re-derive it exactly.
+        """
+        dist = self.MAX_FUZZY_DIST if max_dist is None else max_dist
+        cap = self.MAX_FUZZY_EXPANSIONS if max_expansions is None else max_expansions
+        fd = self._dict.get(field)
+        if fd is None or not term:
+            return []
+        cands = []
+        for i, t in enumerate(fd.terms.to_pylist()):
+            if abs(len(t) - len(term)) > dist:
+                continue
+            if _levenshtein(term, t) <= dist:
+                cands.append((-int(fd.df[i]), t))
+        keep = {t for _, t in sorted(cands)[:cap]}
+        if any(t == term for _, t in cands):
+            keep.add(term)
+        return sorted(keep)
+
+    def _score_bm25_fuzzy(self, query_text: str):
+        """Fuzzy retrieval: every (distinct, body-tokenized) query term
+        expands to its edit-distance-bounded dictionary neighborhood
+        (:meth:`expand_fuzzy`) and the union scores disjunctively with
+        real per-term idf — Lucene's FuzzyQuery→OR scoring rewrite,
+        applied to in-vocabulary terms too (their neighbors match, at
+        their own idf), exactly as Lucene does."""
+        toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
+        terms: set[str] = set()
+        for t in sorted(set(toks.tolist())):
+            terms.update(self.expand_fuzzy(t))
         return self._score_bm25_terms(sorted(terms))
 
     def _score_bm25_conjunctive(self, query_text: str):
@@ -1009,6 +1066,22 @@ WILDCARD_QUERIES = (
 )
 
 
+# Fuzzy query set (MAX_FUZZY_DIST=2, MAX_FUZZY_EXPANSIONS=2 over the
+# synthetic vocabulary): simple dist-1 miss, cap-binding 6-candidate
+# neighborhood ("bat"), exact term that the df cap would drop but the
+# distance-0 rule keeps ("fast": part/hash out-df it), no-candidate
+# probe, two fuzzy terms, and in-vocabulary terms whose d<=2
+# neighborhoods are themselves alone (== plain bm25 for that pair).
+FUZZY_QUERIES = (
+    ("f01", "merg", 10),
+    ("f02", "bat", 10),
+    ("f03", "fast stream", 10),
+    ("f04", "zzzzzz", 10),
+    ("f05", "dta ort", 10),
+    ("f06", "customer window", 10),
+)
+
+
 def parse_wildcard_query(query_text: str):
     """Split a raw query into (exact_terms, prefixes), both sorted+deduped.
 
@@ -1206,6 +1279,39 @@ qterms AS (
   FROM (SELECT query_id, term FROM qexact
         UNION ALL SELECT query_id, term FROM qexpand)
 )"""
+    return bm25_topk_sql(queries=queries, k1=k1, b=b, qterms_sql=qterms_sql)
+
+
+def fuzzy_topk_sql(
+    queries=FUZZY_QUERIES,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_dist: int | None = None,
+    max_expansions: int | None = None,
+) -> str:
+    """Oracle for the ``bm25_fuzzy`` mode: per-query-term dictionary
+    neighborhood within ``max_dist`` edits (DuckDB ``levenshtein`` ==
+    :func:`_levenshtein`, pinned by the suggest property test), capped
+    to the ``max_expansions`` highest-df (ties: term asc) with the
+    distance-0 exact term always kept — the exact rule of
+    :meth:`SegmentIndex.expand_fuzzy` — then the plain disjunctive BM25
+    chain over the deduped union."""
+    dist = SegmentIndex.MAX_FUZZY_DIST if max_dist is None else max_dist
+    cap = SegmentIndex.MAX_FUZZY_EXPANSIONS if max_expansions is None else max_expansions
+    raw_rows = []
+    for qid, text, _k in queries:
+        toks, _ = normalize.tokenize_column(pa.array([text]), "body")
+        raw_rows += [f"('{qid}', '{t}')" for t in sorted(set(toks.tolist()))]
+    qterms_sql = f"""qraw(query_id, qterm) AS (VALUES {', '.join(raw_rows)}),
+qexpand AS (
+  SELECT query_id, term FROM (
+    SELECT q.query_id, q.qterm, d.term,
+           row_number() OVER (PARTITION BY q.query_id, q.qterm
+                              ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM qraw q JOIN dfs d ON levenshtein(q.qterm, d.term) <= {dist}
+  ) WHERE rn <= {cap} OR term = qterm
+),
+qterms AS (SELECT DISTINCT query_id, term FROM qexpand)"""
     return bm25_topk_sql(queries=queries, k1=k1, b=b, qterms_sql=qterms_sql)
 
 

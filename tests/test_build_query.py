@@ -310,3 +310,53 @@ def test_wildcard_rank_identical(index_dir, duck):
     plain = idx.topk("the merge", 10, "bm25")
     wild = idx.topk("the merge", 10, "bm25_wild")
     pd.testing.assert_frame_equal(plain, wild)
+
+
+def test_fuzzy_expand_rules(index_dir):
+    """expand_fuzzy: df-capped neighborhood, exact term survives the cap,
+    absent term expands to [] — rules mirrored by fuzzy_topk_sql."""
+    idx = query.SegmentIndex(index_dir)
+    fd = idx._dict.get("text")
+    vocab = fd.terms.to_pylist()
+    dfs = {t: int(fd.df[i]) for i, t in enumerate(vocab)}
+
+    def brute(term, dist, cap):
+        cands = [t for t in vocab if query._levenshtein(term, t) <= dist]
+        keep = set(sorted(cands, key=lambda t: (-dfs[t], t))[:cap])
+        if term in cands:
+            keep.add(term)
+        return sorted(keep)
+
+    for probe in ("merg", "bat", "fast", "zzzzzz", "dta", "part"):
+        assert idx.expand_fuzzy(probe) == brute(
+            probe, idx.MAX_FUZZY_DIST, idx.MAX_FUZZY_EXPANSIONS
+        ), probe
+    # the exact-kept rule actually binds: "fast" is out-df'd by part/hash
+    assert "fast" in idx.expand_fuzzy("fast")
+    assert len(idx.expand_fuzzy("fast")) == idx.MAX_FUZZY_EXPANSIONS + 1
+    assert idx.expand_fuzzy("zzzzzz") == []
+    # cap binds on bat's 6-candidate d<=2 neighborhood
+    assert len(idx.expand_fuzzy("bat")) == idx.MAX_FUZZY_EXPANSIONS
+
+
+def test_fuzzy_rank_identical(index_dir, duck):
+    """bm25_fuzzy engine vs the levenshtein-expansion SQL oracle; plus
+    the isolated-neighborhood degenerate == plain bm25."""
+    idx = query.SegmentIndex(index_dir)
+    rows = []
+    for qid, text, k in query.FUZZY_QUERIES:
+        df = idx.topk(text, k, "bm25_fuzzy")
+        df.insert(0, "query_id", qid)
+        rows.append(df)
+    engine = pd.concat(rows, ignore_index=True)
+    oracle = duck.execute(query.fuzzy_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        engine.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
+    )
+    # customer/window have singleton d<=2 neighborhoods -> plain bm25
+    assert idx.expand_fuzzy("customer") == ["customer"]
+    assert idx.expand_fuzzy("window") == ["window"]
+    pd.testing.assert_frame_equal(
+        idx.topk("customer window", 10, "bm25"),
+        idx.topk("customer window", 10, "bm25_fuzzy"),
+    )
