@@ -513,6 +513,21 @@ def _q_topk_bm25_fuzzy(sf_dir: str):
     return _run_reference_queries(sf_dir, "bm25_fuzzy", queries=query.FUZZY_QUERIES)
 
 
+def _q_more_like_this(sf_dir: str):
+    """Similar-document retrieval (Lucene MoreLikeThis shape): the
+    source turn's stored text comes from the doc-store point lookup,
+    its top tf*idf terms become a disjunctive BM25 query, and the
+    source itself is excluded from the ranking (query.more_like_this;
+    oracle query.mlt_sql re-derives the term cut from the tfs CTE)."""
+    idx = query.SegmentIndex(_docstore_index_for(sf_dir))
+    rows = []
+    for qid, conv, turn, k in query.MLT_SOURCES:
+        df = idx.more_like_this(conv, turn, k)
+        df.insert(0, "query_id", qid)
+        rows.append(df)
+    return pd.concat(rows, ignore_index=True)
+
+
 def _q_topk_bm25f(sf_dir: str):
     """BM25F weighted multi-field scoring (text ×1.0 + tool ×2.0, each
     field with its own tokenizer mode/df/avgdl)."""
@@ -664,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_conjunctive": _q_topk_bm25_conjunctive,
         "topk_bm25_wildcard": _q_topk_bm25_wildcard,
         "topk_bm25_fuzzy": _q_topk_bm25_fuzzy,
+        "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
         "search_snippets_docstore": _q_search_snippets_docstore,
@@ -733,6 +749,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_conjunctive": query.bm25_topk_sql(conjunctive=True),
         "topk_bm25_wildcard": query.wildcard_topk_sql(),
         "topk_bm25_fuzzy": query.fuzzy_topk_sql(),
+        "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),
         "search_snippets_docstore": snippets.snippets_sql(),

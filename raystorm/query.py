@@ -395,6 +395,11 @@ class SegmentIndex:
             docids, scores = self._score_faithful(query_text)
         else:
             raise ValueError(mode)
+        return self._format_topk(docids, scores, k)
+
+    def _format_topk(self, docids, scores, k: int) -> pd.DataFrame:
+        """Shared ranking tail: round, boundary-tight partial top-k,
+        (score desc, docid asc) order, decode, emit."""
         if len(docids) == 0:
             return pd.DataFrame(
                 {"rank": np.empty(0, np.int32), "conv_id": [], "turn_idx": np.empty(0, np.int32), "score": []}
@@ -547,6 +552,49 @@ class SegmentIndex:
         for t in sorted(set(toks.tolist())):
             terms.update(self.expand_fuzzy(t))
         return self._score_bm25_terms(sorted(terms))
+
+    #: more-like-this query-term budget (Lucene MoreLikeThis
+    #: maxQueryTerms-style cap) — selection by rounded tf·idf desc,
+    #: term asc, so the SQL oracle re-derives the cut exactly.
+    MLT_TERMS = 5
+
+    def more_like_this(
+        self, conv_id: str, turn_idx: int, k: int = 10, max_terms: int | None = None
+    ) -> pd.DataFrame:
+        """Similar-document retrieval: fetch the source turn's stored
+        text from the doc-store (point lookup — the index must carry a
+        docstore companion), select its ``max_terms`` highest-tf·idf
+        body terms (idf = the BM25 idf; ties: rounded score desc, term
+        asc), score the corpus disjunctively with the standard BM25
+        chain, and return the top-k *excluding the source itself* —
+        Lucene's MoreLikeThis over a stored field, reconstructed from
+        this engine's own primitives.  Oracle: :func:`mlt_sql`.
+        """
+        from .docstore import DocStore
+
+        cap = self.MLT_TERMS if max_terms is None else max_terms
+        docid = int(self.codec.encode(np.array([conv_id]), np.array([turn_idx]))[0])
+        if self._docstore is None:
+            self._docstore = DocStore(self.index_dir)
+        text = self._docstore.texts(np.array([docid], np.int64))[0]
+        if not text:
+            raise KeyError(f"no stored text for ({conv_id}, {turn_idx})")
+        toks, _ = normalize.tokenize_column(pa.array([text]), "body")
+        terms_u, tf = np.unique(toks, return_counts=True)
+        fd = self._dict.get("text")
+        gs = self.global_stats["text"]
+        sel = []
+        for t, f in zip(terms_u.tolist(), tf.tolist()):
+            r = fd.rank_of(t) if fd is not None else -1
+            if r < 0:
+                continue
+            df = int(fd.df[r])
+            idf = np.log(1.0 + (gs["N"] - df + 0.5) / (df + 0.5))
+            sel.append((-round_half_up(np.float64(f * idf), RANK_ROUND), t))
+        terms = sorted(t for _, t in sorted(sel)[:cap])
+        ids, totals = self._score_bm25_terms(terms)
+        keep = ids != docid
+        return self._format_topk(ids[keep], totals[keep], k)
 
     def _score_bm25_conjunctive(self, query_text: str):
         """AND semantics: only documents containing EVERY (distinct,
@@ -1080,6 +1128,75 @@ FUZZY_QUERIES = (
     ("f05", "dta ort", 10),
     ("f06", "customer window", 10),
 )
+
+
+# More-like-this sources: (query_id, conv_id, turn_idx, k).  The conv
+# ids exist at every test scale factor (both sf0.001 and sf0.01 carry
+# convs 0..499) and the turn indexes are within every sf's per-conv
+# turn count — fixture-stable across the driver's scales.
+MLT_SOURCES = (
+    ("m01", "conv-00000003", 1, 10),
+    ("m02", "conv-00000010", 0, 10),
+    ("m03", "conv-00000031", 2, 10),
+)
+
+
+def mlt_sql(
+    sources=MLT_SOURCES,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_terms: int | None = None,
+) -> str:
+    """Oracle for :meth:`SegmentIndex.more_like_this`: the source turn's
+    term vector comes from the ``tfs`` CTE (== the doc-store text
+    re-tokenized, by construction), the tf·idf term cut is a windowed
+    rank (rounded score desc, term asc — the engine's exact rule), and
+    the expansion scores through the standard BM25 chain excluding the
+    source turn itself."""
+    cap = SegmentIndex.MLT_TERMS if max_terms is None else max_terms
+    vals = ", ".join(f"('{qid}', '{c}', {t}, {k})" for qid, c, t, k in sources)
+    return f"""
+WITH {corpus_ctes()},
+sources(query_id, s_conv, s_turn, qk) AS (VALUES {vals}),
+qterms AS (
+  SELECT query_id, term FROM (
+    SELECT s.query_id, t.term,
+           row_number() OVER (PARTITION BY s.query_id
+             ORDER BY round(t.tf * ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5)), {RANK_ROUND}) DESC,
+                      t.term ASC) AS rn
+    FROM sources s
+    JOIN tfs t ON t.conv_id = s.s_conv AND t.turn_idx = s.s_turn
+    JOIN dfs d ON d.term = t.term
+    CROSS JOIN gstats g
+  ) WHERE rn <= {cap}
+),
+scores AS (
+  SELECT q.query_id, t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  JOIN sources s ON s.query_id = q.query_id
+  CROSS JOIN gstats g
+  WHERE NOT (t.conv_id = s.s_conv AND t.turn_idx = s.s_turn)
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN sources s ON s.query_id = r.query_id
+WHERE r.rank <= s.qk
+ORDER BY r.query_id, r.rank
+"""
 
 
 def parse_wildcard_query(query_text: str):

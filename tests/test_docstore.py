@@ -232,3 +232,29 @@ def test_delete_replay_restamps_companions(store, tmp_path):
     deletes.delete_convs(d2, victims, delete_fingerprint="replay-test")
     assert docstore.DocStore(d2).texts(np.array([0], np.int64)) is not None
     assert positional.PositionalIndex(d2).num_parts == 4
+
+
+def test_more_like_this_matches_oracle(store, duck):
+    """MLT engine (docstore text -> tf*idf term cut -> BM25, source
+    excluded) vs the SQL oracle; source never appears in its own hits."""
+    import pandas as pd
+
+    d, _m = store
+    idx = query.SegmentIndex(d)
+    rows = []
+    for qid, conv, turn, k in query.MLT_SOURCES:
+        df = idx.more_like_this(conv, turn, k)
+        assert not ((df.conv_id == conv) & (df.turn_idx == turn)).any()
+        df.insert(0, "query_id", qid)
+        rows.append(df)
+    engine = pd.concat(rows, ignore_index=True)
+    oracle = duck.execute(query.mlt_sql()).df()
+    pd.testing.assert_frame_equal(
+        engine.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
+    )
+    # term-budget rule: a 1-term cut is the single highest tf*idf term
+    one = idx.more_like_this(*query.MLT_SOURCES[0][1:3], k=5, max_terms=1)
+    assert len(one) == 5
+    # unknown source raises, absent text raises
+    with pytest.raises(KeyError):
+        idx.more_like_this("conv-99999999", 0, 5)
