@@ -513,6 +513,17 @@ def _q_topk_bm25_fuzzy(sf_dir: str):
     return _run_reference_queries(sf_dir, "bm25_fuzzy", queries=query.FUZZY_QUERIES)
 
 
+def _q_topk_bm25_boolean(sf_dir: str):
+    """Lucene-BooleanQuery semantics: +MUST / -MUST_NOT / bare SHOULD;
+    BM25 sums over the positive terms restricted to docs matching every
+    MUST and no MUST_NOT (query._score_bm25_boolean; the oracle mirrors
+    the clause algebra with a HAVING count + NOT EXISTS anti-join,
+    query.boolean_topk_sql)."""
+    return _run_reference_queries(
+        sf_dir, "bm25_bool", queries=query.BOOLEAN_QUERIES
+    )
+
+
 def _q_more_like_this(sf_dir: str):
     """Similar-document retrieval (Lucene MoreLikeThis shape): the
     source turn's stored text comes from the doc-store point lookup,
@@ -679,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_conjunctive": _q_topk_bm25_conjunctive,
         "topk_bm25_wildcard": _q_topk_bm25_wildcard,
         "topk_bm25_fuzzy": _q_topk_bm25_fuzzy,
+        "topk_bm25_boolean": _q_topk_bm25_boolean,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -749,6 +761,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_conjunctive": query.bm25_topk_sql(conjunctive=True),
         "topk_bm25_wildcard": query.wildcard_topk_sql(),
         "topk_bm25_fuzzy": query.fuzzy_topk_sql(),
+        "topk_bm25_boolean": query.boolean_topk_sql(),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

@@ -389,6 +389,8 @@ class SegmentIndex:
             docids, scores = self._score_bm25_wildcard(query_text)
         elif mode == "bm25_fuzzy":
             docids, scores = self._score_bm25_fuzzy(query_text)
+        elif mode == "bm25_bool":
+            docids, scores = self._score_bm25_boolean(query_text)
         elif mode == "bm25f":
             docids, scores = self._score_bm25f(query_text)
         elif mode == "faithful":
@@ -639,6 +641,35 @@ class SegmentIndex:
                 tfs[pos], dls[pos], float(fd.idf[r]), gs["avgdl"], self.k1, self.b
             )
         return self._drop_deleted(inter, scores)
+
+    def _score_bm25_boolean(self, query_text: str):
+        """Lucene-BooleanQuery semantics: ``+term`` MUST, ``-term``
+        MUST_NOT, bare terms SHOULD.  A document qualifies when it
+        contains every MUST term and no MUST_NOT term; it scores the
+        plain BM25 sum over the (MUST ∪ SHOULD) terms it contains.  A
+        query with no positive terms matches nothing (Lucene's
+        pure-negative rule); a MUST term absent from the dictionary
+        empties the result; a +t -t contradiction empties it too (both
+        fall out of the set algebra, no special cases)."""
+        must, must_not, should = parse_boolean_query(query_text)
+        positive = sorted(set(must) | set(should))
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not positive:
+            return empty
+        ids, totals = self._score_bm25_terms(positive)
+        if not len(ids):
+            return empty
+        keep = np.ones(len(ids), bool)
+        for t in must:
+            post = self.postings(t, "text")
+            if post is None:
+                return empty
+            keep &= np.isin(ids, post[0], assume_unique=True)
+        for t in must_not:
+            post = self.postings(t, "text")
+            if post is not None:
+                keep &= ~np.isin(ids, post[0], assume_unique=True)
+        return ids[keep], totals[keep]
 
     #: BM25F field weights (text is the body; tool hits count double —
     #: the structured field is the stronger signal)
@@ -1128,6 +1159,101 @@ FUZZY_QUERIES = (
     ("f05", "dta ort", 10),
     ("f06", "customer window", 10),
 )
+
+
+# Boolean query set: +MUST / -MUST_NOT / bare SHOULD — must+should,
+# should+not, two-must+not, all-should degenerate (== plain bm25),
+# pure-negative (matches nothing), absent must term (empty), and a
+# +t -t contradiction (empty).
+BOOLEAN_QUERIES = (
+    ("b01", "+merge sort", 10),
+    ("b02", "merge -sort", 10),
+    ("b03", "+merge +sort -window", 10),
+    ("b04", "merge sort", 10),
+    ("b05", "-merge", 10),
+    ("b06", "+zzqq merge", 10),
+    ("b07", "+merge -merge", 10),
+)
+
+
+def parse_boolean_query(query_text: str):
+    """Split a raw query into (must, must_not, should) term lists, each
+    sorted+deduped.  A whitespace token's leading ``+``/``-`` sets its
+    clause; the remainder goes through the body tokenizer (a stripped
+    token may yield several terms, or none).  Shared verbatim by the
+    engine and :func:`boolean_topk_sql` so parsing can never diverge."""
+    buckets = {"+": [], "-": [], "": []}
+    for tok in query_text.split():
+        op = tok[0] if tok[:1] in ("+", "-") else ""
+        stem = tok[1:] if op else tok
+        toks, _ = normalize.tokenize_column(pa.array([stem]), "body")
+        buckets[op].extend(toks.tolist())
+    return (
+        sorted(set(buckets["+"])),
+        sorted(set(buckets["-"])),
+        sorted(set(buckets[""])),
+    )
+
+
+def boolean_topk_sql(
+    queries=BOOLEAN_QUERIES, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Oracle for the ``bm25_bool`` mode: BM25 sums over the
+    (MUST ∪ SHOULD) terms, restricted to documents matching every MUST
+    term (distinct-matched-count == the query's MUST count) and no
+    MUST_NOT term (anti-join on the doc's token set)."""
+    must_rows, not_rows, pos_rows = [], [], []
+    for qid, text, _k in queries:
+        must, must_not, should = parse_boolean_query(text)
+        must_rows += [f"('{qid}', '{t}')" for t in must]
+        not_rows += [f"('{qid}', '{t}')" for t in must_not]
+        pos_rows += [f"('{qid}', '{t}')" for t in sorted(set(must) | set(should))]
+
+    def _rel(name, rows):
+        if rows:
+            return f"{name}(query_id, term) AS (VALUES {', '.join(rows)})"
+        return f"{name}(query_id, term) AS (SELECT NULL, NULL WHERE false)"
+
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+{_rel('qmust', must_rows)},
+{_rel('qnot', not_rows)},
+{_rel('qterms', pos_rows)},
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tfs x JOIN qnot n ON n.query_id = q.query_id AND n.term = x.term
+    WHERE x.conv_id = t.conv_id AND x.turn_idx = t.turn_idx
+  )
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+  HAVING count(DISTINCT CASE WHEN t.term IN
+           (SELECT term FROM qmust m WHERE m.query_id = q.query_id)
+         THEN t.term END)
+       = (SELECT count(*) FROM qmust m2 WHERE m2.query_id = q.query_id)
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""
 
 
 # More-like-this sources: (query_id, conv_id, turn_idx, k).  The conv

@@ -360,3 +360,42 @@ def test_fuzzy_rank_identical(index_dir, duck):
         idx.topk("customer window", 10, "bm25"),
         idx.topk("customer window", 10, "bm25_fuzzy"),
     )
+
+
+def test_boolean_parse():
+    """+/- clause split with body tokenization of each stripped token."""
+    must, must_not, should = query.parse_boolean_query("+Merge sort -Window +agg")
+    assert must == ["agg", "merge"]
+    assert must_not == ["window"]
+    assert should == ["sort"]
+    # a stripped token can tokenize to several terms or none
+    must, must_not, should = query.parse_boolean_query("+a,b -")
+    assert must == ["a", "b"] and must_not == [] and should == []
+
+
+def test_boolean_rank_identical(index_dir, duck):
+    """bm25_bool engine vs the HAVING/NOT-EXISTS oracle; plus the
+    clause-algebra edge cases and the all-should degenerate."""
+    idx = query.SegmentIndex(index_dir)
+    rows = []
+    for qid, text, k in query.BOOLEAN_QUERIES:
+        df = idx.topk(text, k, "bm25_bool")
+        df.insert(0, "query_id", qid)
+        rows.append(df)
+    engine = pd.concat(rows, ignore_index=True)
+    oracle = duck.execute(query.boolean_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        engine.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
+    )
+    # all-should degenerate == plain bm25
+    pd.testing.assert_frame_equal(
+        idx.topk("merge sort", 10, "bm25"), idx.topk("merge sort", 10, "bm25_bool")
+    )
+    # pure-negative, absent-must, contradiction all match nothing
+    for text in ("-merge", "+zzqq merge", "+merge -merge"):
+        assert len(idx.topk(text, 10, "bm25_bool")) == 0, text
+    # every b01 hit must contain the MUST term; no b02 hit contains 'sort'
+    b01 = idx.topk("+merge sort", 10, "bm25_bool")
+    post = idx.postings("merge", "text")[0]
+    got_ids = idx.codec.encode(b01.conv_id.to_numpy(), b01.turn_idx.to_numpy())
+    assert np.isin(got_ids, post).all()
