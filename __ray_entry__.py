@@ -513,6 +513,29 @@ def _q_topk_bm25_fuzzy(sf_dir: str):
     return _run_reference_queries(sf_dir, "bm25_fuzzy", queries=query.FUZZY_QUERIES)
 
 
+def _q_topk_bm25_page2(sf_dir: str):
+    """Cursor pagination (Lucene searchAfter): page 1's last hit becomes
+    the cursor and page 2 is everything strictly after it in the global
+    (rounded score desc, docid asc) order — deterministic, stateless,
+    never overlaps or skips (query.topk_after).  Oracle = the same BM25
+    SQL windowed to global ranks k+1..2k, re-ranked within the page."""
+    idx = query.SegmentIndex(_index_for(sf_dir))
+    rows = []
+    for qid, text, k in query.REFERENCE_QUERIES:
+        p1 = idx.topk(text, int(k), "bm25")
+        if len(p1) < int(k):
+            continue  # page 1 exhausted the hits; page 2 is empty
+        last = p1.iloc[-1]
+        df = idx.topk_after(text, int(k), (last.conv_id, int(last.turn_idx)), "bm25")
+        df.insert(0, "query_id", qid)
+        rows.append(df)
+    if not rows:
+        return pd.DataFrame(
+            {"query_id": [], "rank": [], "conv_id": [], "turn_idx": [], "score": []}
+        )
+    return pd.concat(rows, ignore_index=True)
+
+
 def _q_topk_bm25_boolean(sf_dir: str):
     """Lucene-BooleanQuery semantics: +MUST / -MUST_NOT / bare SHOULD;
     BM25 sums over the positive terms restricted to docs matching every
@@ -691,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_wildcard": _q_topk_bm25_wildcard,
         "topk_bm25_fuzzy": _q_topk_bm25_fuzzy,
         "topk_bm25_boolean": _q_topk_bm25_boolean,
+        "topk_bm25_page2": _q_topk_bm25_page2,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -762,6 +786,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_wildcard": query.wildcard_topk_sql(),
         "topk_bm25_fuzzy": query.fuzzy_topk_sql(),
         "topk_bm25_boolean": query.boolean_topk_sql(),
+        "topk_bm25_page2": query.bm25_topk_sql(page=2),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

@@ -381,23 +381,59 @@ class SegmentIndex:
             return self.topk_pruned(query_text, k)
         if mode == "phrase":
             return self.topk_phrase(query_text, k)
-        if mode == "bm25":
-            docids, scores = self._score_bm25(query_text)
-        elif mode == "bm25_and":
-            docids, scores = self._score_bm25_conjunctive(query_text)
-        elif mode == "bm25_wild":
-            docids, scores = self._score_bm25_wildcard(query_text)
-        elif mode == "bm25_fuzzy":
-            docids, scores = self._score_bm25_fuzzy(query_text)
-        elif mode == "bm25_bool":
-            docids, scores = self._score_bm25_boolean(query_text)
-        elif mode == "bm25f":
-            docids, scores = self._score_bm25f(query_text)
-        elif mode == "faithful":
-            docids, scores = self._score_faithful(query_text)
-        else:
-            raise ValueError(mode)
+        docids, scores = self._score_mode(query_text, mode)
         return self._format_topk(docids, scores, k)
+
+    def _score_mode(self, query_text: str, mode: str):
+        """Dispatch to an accumulator-style scorer: (docids, scores)
+        over every candidate — shared by :meth:`topk` and the
+        cursor-paginated :meth:`topk_after`."""
+        if mode == "bm25":
+            return self._score_bm25(query_text)
+        if mode == "bm25_and":
+            return self._score_bm25_conjunctive(query_text)
+        if mode == "bm25_wild":
+            return self._score_bm25_wildcard(query_text)
+        if mode == "bm25_fuzzy":
+            return self._score_bm25_fuzzy(query_text)
+        if mode == "bm25_bool":
+            return self._score_bm25_boolean(query_text)
+        if mode == "bm25f":
+            return self._score_bm25f(query_text)
+        if mode == "faithful":
+            return self._score_faithful(query_text)
+        raise ValueError(mode)
+
+    def topk_after(
+        self,
+        query_text: str,
+        k: int,
+        after: tuple[str, int],
+        mode: str = "bm25",
+    ) -> pd.DataFrame:
+        """Cursor pagination (Lucene ``searchAfter``): the hits strictly
+        after ``after = (conv_id, turn_idx)`` — the last hit of the
+        previous page — in the global (rounded score desc, docid asc)
+        order, re-ranked 1..k within the page.
+
+        The cursor is resolved against the query's own candidate set
+        (the order key is per-query), so an ``after`` doc the query
+        never matched raises ``KeyError`` instead of silently returning
+        page 1.  Deterministic: re-running any page re-derives the same
+        global order, so pages never overlap or skip — no per-session
+        server state, unlike offset pagination over a mutable index.
+        Works for every accumulator mode (bm25 / and / wild / fuzzy /
+        bool / bm25f / faithful).
+        """
+        docids, scores = self._score_mode(query_text, mode)
+        cursor = int(self.codec.encode(np.array([after[0]]), np.array([after[1]]))[0])
+        r = round_half_up(scores, RANK_ROUND)
+        pos = np.searchsorted(docids, cursor)
+        if pos >= len(docids) or docids[pos] != cursor:
+            raise KeyError(f"cursor {after} is not a hit of this query")
+        cr = r[pos]
+        keep = (r < cr) | ((r == cr) & (docids > cursor))
+        return self._format_topk(docids[keep], scores[keep], k)
 
     def _format_topk(self, docids, scores, k: int) -> pd.DataFrame:
         """Shared ranking tail: round, boundary-tight partial top-k,
@@ -1411,8 +1447,13 @@ def bm25_topk_sql(
     corpus_pred: str | None = None,
     conjunctive: bool = False,
     qterms_sql: str | None = None,
+    page: int = 1,
 ) -> str:
     """Full oracle query for the BM25 reference-query evaluation.
+
+    ``page`` selects global ranks (page-1)·k+1 .. page·k, re-ranked
+    1..k within the page — the mirror of :meth:`SegmentIndex.topk_after`
+    cursor pagination.
 
     ``mask_pred`` (SQL boolean over t.conv_id) drops matching docs from
     the *ranking only* — stats stay full-corpus, mirroring tombstoned
@@ -1463,10 +1504,11 @@ ranked AS (
          round(score, {SCORE_ROUND}) AS score
   FROM scores
 )
-SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+SELECT r.query_id, CAST(r.rank - q.qk * {page - 1} AS INTEGER) AS rank,
+       r.conv_id, r.turn_idx, r.score
 FROM ranked r JOIN queries q ON q.query_id = r.query_id
-WHERE r.rank <= q.qk
-ORDER BY r.query_id, r.rank
+WHERE r.rank > q.qk * {page - 1} AND r.rank <= q.qk * {page}
+ORDER BY r.query_id, rank
 """
 
 

@@ -399,3 +399,39 @@ def test_boolean_rank_identical(index_dir, duck):
     post = idx.postings("merge", "text")[0]
     got_ids = idx.codec.encode(b01.conv_id.to_numpy(), b01.turn_idx.to_numpy())
     assert np.isin(got_ids, post).all()
+
+
+def test_search_after_pagination(index_dir, duck):
+    """topk_after: page1+page2 == top-2k exactly (no overlap, no skip),
+    page 2 matches the SQL rank window, cursor must be a real hit, and
+    pagination composes with non-bm25 accumulator modes."""
+    idx = query.SegmentIndex(index_dir)
+    pages2 = []
+    for qid, text, k in query.REFERENCE_QUERIES:
+        both = idx.topk(text, 2 * k, "bm25")
+        p1 = idx.topk(text, k, "bm25")
+        if len(p1) < k:
+            continue
+        last = p1.iloc[-1]
+        p2 = idx.topk_after(text, k, (last.conv_id, int(last.turn_idx)))
+        # stitched pages == one big page
+        stitched = pd.concat([p1, p2], ignore_index=True)
+        stitched["rank"] = np.arange(1, len(stitched) + 1, dtype=np.int32)
+        pd.testing.assert_frame_equal(stitched, both.iloc[: len(stitched)])
+        p2.insert(0, "query_id", qid)
+        pages2.append(p2)
+    engine = pd.concat(pages2, ignore_index=True)
+    oracle = duck.execute(query.bm25_topk_sql(page=2)).df()
+    pd.testing.assert_frame_equal(
+        engine.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
+    )
+    # a cursor the query never matched raises
+    with pytest.raises(KeyError):
+        idx.topk_after("merge", 5, ("conv-99999999", 0))
+    # composes with other accumulator modes (smoke: same stitching law)
+    p1 = idx.topk("+merge sort", 5, "bm25_bool")
+    p2 = idx.topk_after("+merge sort", 5, (p1.iloc[-1].conv_id, int(p1.iloc[-1].turn_idx)), "bm25_bool")
+    both = idx.topk("+merge sort", 10, "bm25_bool")
+    stitched = pd.concat([p1, p2], ignore_index=True)
+    stitched["rank"] = np.arange(1, len(stitched) + 1, dtype=np.int32)
+    pd.testing.assert_frame_equal(stitched, both.iloc[: len(stitched)])
