@@ -513,6 +513,16 @@ def _q_topk_bm25_fuzzy(sf_dir: str):
     return _run_reference_queries(sf_dir, "bm25_fuzzy", queries=query.FUZZY_QUERIES)
 
 
+def _q_topk_bm25_boost(sf_dir: str):
+    """Per-term boosts (Lucene term^2 syntax): each distinct term's
+    BM25 contribution multiplies by its boost, duplicates keep the
+    largest (query._score_bm25_boost; oracle = the BM25 SQL with a
+    weighted qterms relation, query.boost_topk_sql)."""
+    return _run_reference_queries(
+        sf_dir, "bm25_boost", queries=query.BOOST_QUERIES
+    )
+
+
 def _q_topk_bm25_page2(sf_dir: str):
     """Cursor pagination (Lucene searchAfter): page 1's last hit becomes
     the cursor and page 2 is everything strictly after it in the global
@@ -714,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_wildcard": _q_topk_bm25_wildcard,
         "topk_bm25_fuzzy": _q_topk_bm25_fuzzy,
         "topk_bm25_boolean": _q_topk_bm25_boolean,
+        "topk_bm25_boost": _q_topk_bm25_boost,
         "topk_bm25_page2": _q_topk_bm25_page2,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
@@ -786,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_wildcard": query.wildcard_topk_sql(),
         "topk_bm25_fuzzy": query.fuzzy_topk_sql(),
         "topk_bm25_boolean": query.boolean_topk_sql(),
+        "topk_bm25_boost": query.boost_topk_sql(),
         "topk_bm25_page2": query.bm25_topk_sql(page=2),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),

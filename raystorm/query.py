@@ -398,6 +398,8 @@ class SegmentIndex:
             return self._score_bm25_fuzzy(query_text)
         if mode == "bm25_bool":
             return self._score_bm25_boolean(query_text)
+        if mode == "bm25_boost":
+            return self._score_bm25_boost(query_text)
         if mode == "bm25f":
             return self._score_bm25f(query_text)
         if mode == "faithful":
@@ -466,16 +468,18 @@ class SegmentIndex:
         toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
         return self._score_bm25_terms(sorted(set(toks.tolist())))
 
-    def _score_bm25_terms(self, terms):
+    def _score_bm25_terms(self, terms, weights=None):
         """Disjunctive BM25 accumulation over an explicit (distinct,
         sorted) body-field term list — the core shared by plain ``bm25``
-        and the wildcard-expanded ``bm25_wild`` mode."""
+        and the expansion modes (``bm25_wild`` / ``bm25_fuzzy`` / MLT).
+        ``weights`` (parallel to ``terms``) multiplies each term's
+        contribution — the ``bm25_boost`` per-term boost path."""
         gs = self.global_stats["text"]
         fd = self._dict.get("text")
         id_chunks, sc_chunks = [], []
         if fd is None:
             return _accumulate(id_chunks, sc_chunks)
-        for t in terms:
+        for i, t in enumerate(terms):
             r = fd.rank_of(t)
             if r < 0:
                 continue
@@ -489,6 +493,8 @@ class SegmentIndex:
             sc = segments.bm25_term_scores(
                 tfs, dls, float(fd.idf[r]), gs["avgdl"], self.k1, self.b
             )
+            if weights is not None:
+                sc = sc * float(weights[i])
             id_chunks.append(docids)
             sc_chunks.append(sc)
         ids, totals = _accumulate(id_chunks, sc_chunks)
@@ -677,6 +683,15 @@ class SegmentIndex:
                 tfs[pos], dls[pos], float(fd.idf[r]), gs["avgdl"], self.k1, self.b
             )
         return self._drop_deleted(inter, scores)
+
+    def _score_bm25_boost(self, query_text: str):
+        """Per-term boosts (Lucene ``term^2`` syntax): each distinct
+        term's BM25 contribution multiplies by its boost; a term given
+        several boosts keeps the largest (so unboosted duplicates stay
+        == plain bm25's distinct-term semantics)."""
+        boosts = parse_boost_query(query_text)
+        terms = sorted(boosts)
+        return self._score_bm25_terms(terms, [boosts[t] for t in terms])
 
     def _score_bm25_boolean(self, query_text: str):
         """Lucene-BooleanQuery semantics: ``+term`` MUST, ``-term``
@@ -1197,6 +1212,55 @@ FUZZY_QUERIES = (
 )
 
 
+# Boost query set: explicit boost, zero boost (term contributes 0 but
+# its docs stay candidates), fractional pair, duplicate-term max rule
+# ("merge merge^3" -> 3), and the all-unboosted degenerate (== bm25).
+BOOST_QUERIES = (
+    ("x01", "merge^2 sort", 10),
+    ("x02", "merge^0 sort", 10),
+    ("x03", "the^0.5 merge^1.5", 10),
+    ("x04", "merge merge^3", 10),
+    ("x05", "merge sort", 10),
+)
+
+
+def parse_boost_query(query_text: str) -> dict:
+    """``term^W`` -> {term: boost}: each whitespace token splits on its
+    first ``^`` (before tokenization — the caret would be eaten by the
+    normalizer), the stem goes through the body tokenizer (possibly
+    yielding several terms, each getting the boost), a missing or
+    unparsable suffix means 1.0, and a term seen with several boosts
+    keeps the largest.  Shared verbatim by the engine and
+    :func:`boost_topk_sql`."""
+    boosts: dict = {}
+    for tok in query_text.split():
+        stem, sep, w_txt = tok.partition("^")
+        w = 1.0
+        if sep:
+            try:
+                w = float(w_txt)
+            except ValueError:
+                w = 1.0
+        toks, _ = normalize.tokenize_column(pa.array([stem]), "body")
+        for t in toks.tolist():
+            boosts[t] = max(boosts.get(t, w), w)
+    return boosts
+
+
+def boost_topk_sql(queries=BOOST_QUERIES, k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle for the ``bm25_boost`` mode: the weighted qterms relation
+    comes from the same :func:`parse_boost_query`, and the BM25 chain
+    multiplies each term's contribution by its boost."""
+    rows = []
+    for qid, text, _k in queries:
+        for t, w in sorted(parse_boost_query(text).items()):
+            rows.append(f"('{qid}', '{t}', {w!r})")
+    qterms_sql = f"qterms(query_id, term, w) AS (VALUES {', '.join(rows)})"
+    return bm25_topk_sql(
+        queries=queries, k1=k1, b=b, qterms_sql=qterms_sql, weighted=True
+    )
+
+
 # Boolean query set: +MUST / -MUST_NOT / bare SHOULD — must+should,
 # should+not, two-must+not, all-should degenerate (== plain bm25),
 # pure-negative (matches nothing), absent must term (empty), and a
@@ -1448,6 +1512,7 @@ def bm25_topk_sql(
     conjunctive: bool = False,
     qterms_sql: str | None = None,
     page: int = 1,
+    weighted: bool = False,
 ) -> str:
     """Full oracle query for the BM25 reference-query evaluation.
 
@@ -1463,9 +1528,12 @@ def bm25_topk_sql(
     (the ``bm25_and`` scoring mode).  ``qterms_sql`` replaces the
     literal per-query term VALUES with a caller-built CTE chain that
     must end in ``qterms(query_id, term)`` — how the wildcard oracle
-    injects its df-capped dictionary expansion.
+    injects its df-capped dictionary expansion.  ``weighted`` expects
+    qterms to carry a third ``w`` column and multiplies each term's
+    BM25 contribution by it (the ``bm25_boost`` oracle).
     """
     mask = f"WHERE NOT ({mask_pred.replace('conv_id', 't.conv_id')})" if mask_pred else ""
+    wmul = "q.w * " if weighted else ""
     having = (
         "HAVING count(DISTINCT t.term) = "
         "(SELECT count(*) FROM qterms q2 WHERE q2.query_id = q.query_id)"
@@ -1484,7 +1552,7 @@ queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queri
 scores AS (
   SELECT q.query_id,
          t.conv_id, t.turn_idx,
-         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+         sum( {wmul}ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
               * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
   FROM qterms q
   JOIN tfs t ON t.term = q.term

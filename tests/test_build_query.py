@@ -435,3 +435,31 @@ def test_search_after_pagination(index_dir, duck):
     stitched = pd.concat([p1, p2], ignore_index=True)
     stitched["rank"] = np.arange(1, len(stitched) + 1, dtype=np.int32)
     pd.testing.assert_frame_equal(stitched, both.iloc[: len(stitched)])
+
+
+def test_boost_parse_and_rank(index_dir, duck):
+    """term^W parsing (max rule, invalid suffix -> 1.0) and bm25_boost
+    engine vs the weighted-qterms oracle; unboosted degenerate == bm25."""
+    assert query.parse_boost_query("merge^2 sort") == {"merge": 2.0, "sort": 1.0}
+    assert query.parse_boost_query("merge merge^3") == {"merge": 3.0}
+    # an unparsable boost suffix is discarded, the stem keeps 1.0
+    assert query.parse_boost_query("merge^abc sort^") == {"merge": 1.0, "sort": 1.0}
+
+    idx = query.SegmentIndex(index_dir)
+    rows = []
+    for qid, text, k in query.BOOST_QUERIES:
+        df = idx.topk(text, k, "bm25_boost")
+        df.insert(0, "query_id", qid)
+        rows.append(df)
+    engine = pd.concat(rows, ignore_index=True)
+    oracle = duck.execute(query.boost_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        engine.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
+    )
+    pd.testing.assert_frame_equal(
+        idx.topk("merge sort", 10, "bm25"), idx.topk("merge sort", 10, "bm25_boost")
+    )
+    # a 2x boost on a single-term query doubles every score
+    one = idx.topk("merge", 10, "bm25")
+    two = idx.topk("merge^2", 10, "bm25_boost")
+    np.testing.assert_allclose(two.score, 2 * one.score, atol=2e-6)
