@@ -135,6 +135,28 @@ def run_suite(
         extras["query_p99_ms"] = 1000 * lat[int(0.99 * (len(lat) - 1))]
         timings["query_latency_sweep"] = sum(lat)
 
+        # expanded query modes on the warm serving index: wildcard /
+        # fuzzy / boolean / boost fixture sets, searchAfter page-2 for
+        # three reference queries, and more-like-this (docstore point
+        # lookups) — one line covering the whole extended-mode family
+        t0 = time.perf_counter()
+        for qs, mode in (
+            (query.WILDCARD_QUERIES, "bm25_wild"),
+            (query.FUZZY_QUERIES, "bm25_fuzzy"),
+            (query.BOOLEAN_QUERIES, "bm25_bool"),
+            (query.BOOST_QUERIES, "bm25_boost"),
+        ):
+            for _qid, text, k in qs:
+                idx.topk(text, int(k), mode)
+        for _qid, text, k in qset[:3]:
+            p1 = idx.topk(text, int(k), "bm25")
+            if len(p1) == int(k):
+                last = p1.iloc[-1]
+                idx.topk_after(text, int(k), (last.conv_id, int(last.turn_idx)))
+        for _qid, conv, turn, k in query.MLT_SOURCES:
+            idx.more_like_this(conv, turn, int(k))
+        timings["query_modes_expanded"] = time.perf_counter() - t0
+
         # -- 4. large synthetic build (headline throughput; Zipf skew) -------
         synth_dir = corpus.synth_transcripts(n_convs=synth_convs)
         sds = rd.read_parquet(synth_dir)
