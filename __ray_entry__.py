@@ -21,7 +21,7 @@ from typing import Any
 import pandas as pd
 import pyarrow as pa
 
-from raystorm import build, corpus, normalize, pipelines, positional, query, snippets
+from raystorm import build, corpus, facets, normalize, pipelines, positional, query, snippets
 
 
 def _index_for(sf_dir: str) -> str:
@@ -557,6 +557,17 @@ def _q_topk_bm25_boolean(sf_dir: str):
     )
 
 
+def _q_search_facets(sf_dir: str):
+    """Facet aggregation over the FULL candidate set of each reference
+    query (no top-k cut): hits actor pool -> shuffle join to the
+    column-pruned corpus metadata -> per-block combiner partials ->
+    (query_id, role, n_hits, top_score) — the Elasticsearch-aggregations
+    capability class (facets.search_facets; oracle facets.facets_sql)."""
+    from raystorm import facets
+
+    return facets.search_facets(sf_dir, _index_for(sf_dir))
+
+
 def _q_more_like_this(sf_dir: str):
     """Similar-document retrieval (Lucene MoreLikeThis shape): the
     source turn's stored text comes from the doc-store point lookup,
@@ -726,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_boolean": _q_topk_bm25_boolean,
         "topk_bm25_boost": _q_topk_bm25_boost,
         "topk_bm25_page2": _q_topk_bm25_page2,
+        "search_facets": _q_search_facets,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -799,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_boolean": query.boolean_topk_sql(),
         "topk_bm25_boost": query.boost_topk_sql(),
         "topk_bm25_page2": query.bm25_topk_sql(page=2),
+        "search_facets": facets.facets_sql(),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

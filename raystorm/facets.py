@@ -1,0 +1,162 @@
+"""Search-hit facet aggregation: per-query hit counts + top score per
+metadata bucket (the Elasticsearch-aggregations capability class, which
+the reference's result page lacks — `SearchServer.java` renders ranked
+hits only).
+
+Shape: an actor-pool scorer emits EVERY matching hit (no top-k cut),
+the hit stream shuffle-joins to the corpus metadata columns it needs
+(`conv_id, turn_idx, facet`), and per-block combiner partials bound the
+final merge at O(queries × buckets × blocks) — the facet table never
+materializes the hit set anywhere.  At 100 TB the join is a full
+exchange by construction (facets aggregate the whole candidate set, the
+same class as any analytics groupby); the fan-out follows the shared
+cluster-width rule (`analysis.join_fanout`).
+
+Determinism: per-hit scores round to SCORE_ROUND before the max so the
+facet metrics are order-independent — `n_hits` is integral and
+`max(round6(score))` commutes, unlike a float sum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import corpus, normalize  # noqa: F401  (normalize: SQL mirror deps)
+from .analysis import join_fanout, round_half_up
+from .query import (
+    REFERENCE_QUERIES,
+    SCORE_ROUND,
+    SegmentIndex,
+    _queries_values,
+    _qterms_values,
+    corpus_ctes,
+    queries_table,
+)
+
+
+class FacetScorer:
+    """Actor-pool stage: queries batch -> ALL matching hit rows
+    (query_id, conv_id, turn_idx, score) — the no-cut sibling of
+    ``QueryScorer`` (index loads once per actor)."""
+
+    def __init__(self, index_dir: str, mode: str = "bm25"):
+        self.index = SegmentIndex(index_dir)
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, convs, turns, scores = [], [], [], []
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ids, sc = self.index._score_mode(text, self.mode)
+            conv, turn = self.index.codec.decode(ids)
+            qids.append(np.full(len(ids), qid, object))
+            convs.append(conv)
+            turns.append(turn.astype(np.int64))
+            scores.append(round_half_up(sc, SCORE_ROUND))
+        if not qids:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.string()),
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids)),
+                "conv_id": pa.array(np.concatenate(convs)),
+                "turn_idx": pa.array(np.concatenate(turns)),
+                "score": pa.array(np.concatenate(scores)),
+            }
+        )
+
+
+def search_facets(
+    sf_dir: str,
+    index_dir: str,
+    queries=REFERENCE_QUERIES,
+    facet: str = "role",
+    mode: str = "bm25",
+) -> pd.DataFrame:
+    """(query_id, facet, n_hits, top_score) over every matching doc.
+
+    hits (actor pool, no cut) ⋈ corpus metadata (column-pruned read,
+    shuffle join) -> per-block combiner partials -> tiny driver merge.
+    Oracle: :func:`facets_sql`.
+    """
+    import ray.data as rd
+
+    qds = rd.from_arrow(queries_table(queries))
+    hits = qds.map_batches(
+        FacetScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    )
+
+    def prune(b: pa.Table) -> pa.Table:
+        t = b.select(["conv_id", "turn_idx", facet])
+        return t.set_column(
+            t.column_names.index("turn_idx"),
+            "turn_idx",
+            t["turn_idx"].cast(pa.int64()),
+        )
+
+    meta = corpus.transcripts_from_documents(sf_dir).map_batches(
+        prune, batch_format="pyarrow"
+    )
+    joined = hits.join(
+        meta,
+        join_type="inner",
+        num_partitions=join_fanout(),
+        on=("conv_id", "turn_idx"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["query_id", facet]).aggregate(
+            [("score", "count"), ("score", "max")]
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby(["query_id", facet], as_index=False)
+        .agg(n_hits=("score_count", "sum"), top_score=("score_max", "max"))
+        .sort_values(["query_id", facet])
+        .reset_index(drop=True)
+    )
+    out["n_hits"] = out["n_hits"].astype(np.int64)
+    return out
+
+
+def facets_sql(queries=REFERENCE_QUERIES, facet: str = "role", k1=1.2, b=0.75) -> str:
+    """Oracle: the BM25 scores CTE (no rank cut) joined to the
+    transcript metadata, grouped by (query, facet bucket)."""
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+)
+SELECT s.query_id, tr.{facet} AS {facet},
+       CAST(count(*) AS BIGINT) AS n_hits,
+       max(round(s.score, {SCORE_ROUND})) AS top_score
+FROM scores s
+JOIN transcripts tr ON tr.conv_id = s.conv_id AND tr.turn_idx = s.turn_idx
+GROUP BY s.query_id, tr.{facet}
+ORDER BY s.query_id, {facet}
+"""

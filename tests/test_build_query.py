@@ -463,3 +463,26 @@ def test_boost_parse_and_rank(index_dir, duck):
     one = idx.topk("merge", 10, "bm25")
     two = idx.topk("merge^2", 10, "bm25_boost")
     np.testing.assert_allclose(two.score, 2 * one.score, atol=2e-6)
+
+
+def test_search_facets_match_oracle(ray_session, index_dir, duck):
+    """Full-candidate-set facet aggregation (hits actor pool -> metadata
+    shuffle join -> combiner partials) vs the SQL groupby oracle."""
+    from raystorm import facets
+
+    got = facets.search_facets(SF, index_dir)
+    want = (
+        duck.execute(facets.facets_sql())
+        .df()
+        .sort_values(["query_id", "role"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    # n_hits must sum to the full disjunctive candidate counts: every
+    # hit lands in exactly one facet bucket
+    idx = query.SegmentIndex(index_dir)
+    for qid, text, _k in query.REFERENCE_QUERIES:
+        ids, _ = idx._score_mode(text, "bm25")
+        assert got[got.query_id == qid].n_hits.sum() == len(ids)
