@@ -568,6 +568,16 @@ def _q_search_facets(sf_dir: str):
     return facets.search_facets(sf_dir, _index_for(sf_dir))
 
 
+def _q_search_facets_daily(sf_dir: str):
+    """Date-histogram facet (hits per UTC day of the turn timestamp):
+    the bucket derives vectorized inside the pruned metadata read —
+    Elasticsearch's date_histogram aggregation
+    (facets.search_facets_daily; oracle facets.facets_daily_sql)."""
+    from raystorm import facets
+
+    return facets.search_facets_daily(sf_dir, _index_for(sf_dir))
+
+
 def _q_more_like_this(sf_dir: str):
     """Similar-document retrieval (Lucene MoreLikeThis shape): the
     source turn's stored text comes from the doc-store point lookup,
@@ -738,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_boost": _q_topk_bm25_boost,
         "topk_bm25_page2": _q_topk_bm25_page2,
         "search_facets": _q_search_facets,
+        "search_facets_daily": _q_search_facets_daily,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -812,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_boost": query.boost_topk_sql(),
         "topk_bm25_page2": query.bm25_topk_sql(page=2),
         "search_facets": facets.facets_sql(),
+        "search_facets_daily": facets.facets_daily_sql(),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

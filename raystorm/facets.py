@@ -133,9 +133,74 @@ def search_facets(
     return out
 
 
-def facets_sql(queries=REFERENCE_QUERIES, facet: str = "role", k1=1.2, b=0.75) -> str:
+def search_facets_daily(
+    sf_dir: str, index_dir: str, queries=REFERENCE_QUERIES, mode: str = "bm25"
+) -> pd.DataFrame:
+    """Date-histogram facet: hits per UTC day bucket of the turn's
+    timestamp — the Elasticsearch date_histogram aggregation.  Same
+    hits→metadata join shape as :func:`search_facets`; the bucket
+    column derives vectorized (Arrow ``strftime``) inside the pruned
+    metadata read, so the day never exists as driver state."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    qds = rd.from_arrow(queries_table(queries))
+    hits = qds.map_batches(
+        FacetScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    )
+
+    def prune(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"].cast(pa.int64()),
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+            }
+        )
+
+    meta = corpus.transcripts_from_documents(sf_dir).map_batches(
+        prune, batch_format="pyarrow"
+    )
+    joined = hits.join(
+        meta,
+        join_type="inner",
+        num_partitions=join_fanout(),
+        on=("conv_id", "turn_idx"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["query_id", "day"]).aggregate(
+            [("score", "count"), ("score", "max")]
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby(["query_id", "day"], as_index=False)
+        .agg(n_hits=("score_count", "sum"), top_score=("score_max", "max"))
+        .sort_values(["query_id", "day"])
+        .reset_index(drop=True)
+    )
+    out["n_hits"] = out["n_hits"].astype(np.int64)
+    return out
+
+
+def facets_sql(
+    queries=REFERENCE_QUERIES,
+    facet: str = "role",
+    k1=1.2,
+    b=0.75,
+    facet_expr: str | None = None,
+) -> str:
     """Oracle: the BM25 scores CTE (no rank cut) joined to the
-    transcript metadata, grouped by (query, facet bucket)."""
+    transcript metadata, grouped by (query, facet bucket).
+    ``facet_expr`` overrides the bucket expression (e.g. a
+    ``strftime`` day truncation for the date histogram)."""
+    if facet_expr is None:
+        facet_expr = f"tr.{facet}"
     return f"""
 WITH {corpus_ctes()},
 queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
@@ -152,11 +217,24 @@ scores AS (
   CROSS JOIN gstats g
   GROUP BY q.query_id, t.conv_id, t.turn_idx
 )
-SELECT s.query_id, tr.{facet} AS {facet},
+SELECT s.query_id, {facet_expr} AS {facet},
        CAST(count(*) AS BIGINT) AS n_hits,
        max(round(s.score, {SCORE_ROUND})) AS top_score
 FROM scores s
 JOIN transcripts tr ON tr.conv_id = s.conv_id AND tr.turn_idx = s.turn_idx
-GROUP BY s.query_id, tr.{facet}
+GROUP BY s.query_id, {facet_expr}
 ORDER BY s.query_id, {facet}
 """
+
+
+def facets_daily_sql(queries=REFERENCE_QUERIES, k1=1.2, b=0.75) -> str:
+    """Oracle for :func:`search_facets_daily` — the facet bucket is the
+    UTC day truncation of the turn timestamp (DuckDB ``strftime`` ==
+    Arrow ``strftime`` for this format)."""
+    return facets_sql(
+        queries=queries,
+        facet="day",
+        k1=k1,
+        b=b,
+        facet_expr="strftime(tr.ts, '%Y-%m-%d')",
+    )

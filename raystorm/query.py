@@ -536,11 +536,43 @@ class SegmentIndex:
         with the exact terms scores disjunctively with real per-term
         idf — Lucene's PrefixQuery→OR rewrite, not the constant-score
         variant, so the DuckDB oracle can reproduce scores exactly."""
-        exact, prefixes = parse_wildcard_query(query_text)
+        exact, prefixes, suffixes = parse_wildcard_query(query_text)
         terms = set(exact)
         for p in prefixes:
             terms.update(self.expand_prefix(p))
+        for s in suffixes:
+            terms.update(self.expand_suffix(s))
         return self._score_bm25_terms(sorted(terms))
+
+    def expand_suffix(
+        self, suffix: str, field: str = "text", max_expansions: int | None = None
+    ) -> list[str]:
+        """Vocabulary terms ending with ``suffix`` (leading-wildcard
+        ``*fix`` patterns), capped to the ``max_expansions`` highest-df
+        (ties: term asc), returned sorted.
+
+        A leading wildcard cannot exploit the dictionary's sort order,
+        so this is one vectorized Arrow pass (``pc.ends_with`` over the
+        term array) per query suffix — actor-local, no cluster traffic.
+        At the 100M-term design point the standard fix is a second
+        dictionary of reversed terms (Lucene's ReversedWildcardFilter),
+        which turns this into the same two binary searches as
+        :meth:`expand_prefix`; documented rather than built because the
+        dictionary is the smallest index structure and the pass is
+        vectorized.
+        """
+        import pyarrow.compute as pc
+
+        cap = self.MAX_EXPANSIONS if max_expansions is None else max_expansions
+        fd = self._dict.get(field)
+        if fd is None or not suffix:
+            return []
+        mask = pc.ends_with(fd.terms, pattern=suffix).to_numpy(zero_copy_only=False)
+        idxs = np.nonzero(mask)[0]
+        if not len(idxs):
+            return []
+        order = np.argsort(-fd.df[idxs], kind="stable")[:cap]
+        return sorted(fd.terms[int(idxs[i])].as_py() for i in order)
 
     #: fuzzy-match edit-distance bound (Lucene FuzzyQuery's default) and
     #: its own expansion cap — smaller than MAX_EXPANSIONS so the
@@ -1182,10 +1214,11 @@ def queries_table(queries=REFERENCE_QUERIES) -> pa.Table:
     )
 
 
-# Wildcard query set: trailing-* prefix patterns over the same corpus —
-# single prefix, cap-exercising prefix ("s*" matches 6 vocabulary terms,
-# MAX_EXPANSIONS=4 binds), mixed prefix+exact, absent prefix, two
-# prefixes, and a no-wildcard degenerate (== plain bm25).
+# Wildcard query set: trailing-* (prefix) and leading-* (suffix)
+# patterns over the same corpus — single prefix, cap-exercising prefix
+# ("s*" matches 6 vocabulary terms, MAX_EXPANSIONS=4 binds), mixed
+# prefix+exact, absent prefix, two prefixes, and a no-wildcard
+# degenerate (== plain bm25).
 WILDCARD_QUERIES = (
     ("w01", "mer*", 10),
     ("w02", "s*", 10),
@@ -1193,6 +1226,12 @@ WILDCARD_QUERIES = (
     ("w04", "zz*", 10),
     ("w05", "ta* val*", 10),
     ("w06", "the merge", 10),
+    # leading-wildcard (suffix) patterns: simple, cap-binding ("*e"
+    # matches 5 vocabulary terms, MAX_EXPANSIONS=4 binds), and a
+    # both-sided token with no matches either way
+    ("w07", "*er", 10),
+    ("w08", "*e sort", 10),
+    ("w09", "*zq*", 10),
 )
 
 
@@ -1426,25 +1465,33 @@ ORDER BY r.query_id, r.rank
 
 
 def parse_wildcard_query(query_text: str):
-    """Split a raw query into (exact_terms, prefixes), both sorted+deduped.
+    """Split a raw query into (exact_terms, prefixes, suffixes), each
+    sorted+deduped.
 
-    A whitespace token ending in ``*`` is a prefix pattern: its stem is
-    lowercased and stripped to the body tokenizer's alphabet (pure a-z,
-    matching what can exist in the dictionary); empty stems drop out.
-    The remaining tokens go through the body tokenizer exactly as plain
-    ``bm25`` mode does.  Shared verbatim by the engine and the oracle
-    generator so parsing can never diverge between them.
+    A whitespace token ending in ``*`` is a prefix pattern; one
+    STARTING with ``*`` is a suffix pattern (``*fix``); a token that is
+    both (``*x*``) contributes its stem to both sets.  Stems are
+    lowercased and stripped to the body tokenizer's alphabet (pure
+    a-z, matching what can exist in the dictionary); empty stems drop
+    out.  The remaining tokens go through the body tokenizer exactly
+    as plain ``bm25`` mode does.  Shared verbatim by the engine and
+    the oracle generator so parsing can never diverge between them.
     """
     raw = query_text.split()
-    prefixes = set()
+    prefixes, suffixes = set(), set()
     for t in raw:
+        if not (t.endswith("*") or t.startswith("*")):
+            continue
+        stem = "".join(ch for ch in t.lower() if "a" <= ch <= "z")
+        if not stem:
+            continue
         if t.endswith("*"):
-            stem = "".join(ch for ch in t[:-1].lower() if "a" <= ch <= "z")
-            if stem:
-                prefixes.add(stem)
-    rest = " ".join(t for t in raw if not t.endswith("*"))
+            prefixes.add(stem)
+        if t.startswith("*"):
+            suffixes.add(stem)
+    rest = " ".join(t for t in raw if not (t.endswith("*") or t.startswith("*")))
     toks, _ = normalize.tokenize_column(pa.array([rest]), "body")
-    return sorted(set(toks.tolist())), sorted(prefixes)
+    return sorted(set(toks.tolist())), sorted(prefixes), sorted(suffixes)
 
 
 # ---------------------------------------------------------------------------
@@ -1586,39 +1633,39 @@ def wildcard_topk_sql(
     b: float = 0.75,
     max_expansions: int | None = None,
 ) -> str:
-    """Oracle for the ``bm25_wild`` mode: per-prefix dictionary
-    expansion capped to the ``max_expansions`` highest-df terms
-    (ties: term asc) — the exact rule of
-    :meth:`SegmentIndex.expand_prefix` — unioned with the exact terms,
-    deduped per query, then scored by the plain disjunctive BM25 chain.
+    """Oracle for the ``bm25_wild`` mode: per-prefix (``LIKE p||'%'``)
+    and per-suffix (``LIKE '%'||s`` — the leading-wildcard patterns)
+    dictionary expansions, each capped to the ``max_expansions``
+    highest-df terms (ties: term asc) — the exact rules of
+    :meth:`SegmentIndex.expand_prefix` / :meth:`expand_suffix` —
+    unioned with the exact terms, deduped per query, then scored by
+    the plain disjunctive BM25 chain.
 
     Query parsing goes through :func:`parse_wildcard_query` (the same
     function the engine calls), so tokenization can never diverge; the
     expansion itself re-derives from the ``dfs`` CTE, which equals the
-    index dictionary's df for the text field by construction.  Prefixes
-    are pure a-z (the parser strips everything else), so ``LIKE p||'%'``
-    is metacharacter-safe.
+    index dictionary's df for the text field by construction.  Stems
+    are pure a-z (the parser strips everything else), so the LIKE
+    patterns are metacharacter-safe.
     """
     cap = SegmentIndex.MAX_EXPANSIONS if max_expansions is None else max_expansions
-    exact_rows, prefix_rows = [], []
+    exact_rows, prefix_rows, suffix_rows = [], [], []
     for qid, text, _k in queries:
-        exact, prefixes = parse_wildcard_query(text)
+        exact, prefixes, suffixes = parse_wildcard_query(text)
         exact_rows += [f"('{qid}', '{t}')" for t in exact]
         prefix_rows += [f"('{qid}', '{p}')" for p in prefixes]
+        suffix_rows += [f"('{qid}', '{s}')" for s in suffixes]
+
     # degenerate-but-valid empty relations keep the SQL well-formed for
     # all-wildcard or no-wildcard query sets
-    qexact = (
-        f"qexact(query_id, term) AS (VALUES {', '.join(exact_rows)})"
-        if exact_rows
-        else "qexact(query_id, term) AS (SELECT NULL, NULL WHERE false)"
-    )
-    qprefix = (
-        f"qprefix(query_id, prefix) AS (VALUES {', '.join(prefix_rows)})"
-        if prefix_rows
-        else "qprefix(query_id, prefix) AS (SELECT NULL, NULL WHERE false)"
-    )
-    qterms_sql = f"""{qexact},
-{qprefix},
+    def _rel(name, col, rows):
+        if rows:
+            return f"{name}(query_id, {col}) AS (VALUES {', '.join(rows)})"
+        return f"{name}(query_id, {col}) AS (SELECT NULL, NULL WHERE false)"
+
+    qterms_sql = f"""{_rel('qexact', 'term', exact_rows)},
+{_rel('qprefix', 'prefix', prefix_rows)},
+{_rel('qsuffix', 'suffix', suffix_rows)},
 qexpand AS (
   SELECT query_id, term FROM (
     SELECT p.query_id, p.prefix, d.term,
@@ -1627,10 +1674,19 @@ qexpand AS (
     FROM qprefix p JOIN dfs d ON d.term LIKE p.prefix || '%'
   ) WHERE rn <= {cap}
 ),
+qexpand_s AS (
+  SELECT query_id, term FROM (
+    SELECT s.query_id, s.suffix, d.term,
+           row_number() OVER (PARTITION BY s.query_id, s.suffix
+                              ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM qsuffix s JOIN dfs d ON d.term LIKE '%' || s.suffix
+  ) WHERE rn <= {cap}
+),
 qterms AS (
   SELECT DISTINCT query_id, term
   FROM (SELECT query_id, term FROM qexact
-        UNION ALL SELECT query_id, term FROM qexpand)
+        UNION ALL SELECT query_id, term FROM qexpand
+        UNION ALL SELECT query_id, term FROM qexpand_s)
 )"""
     return bm25_topk_sql(queries=queries, k1=k1, b=b, qterms_sql=qterms_sql)
 

@@ -269,11 +269,14 @@ def test_build_with_sharded_codec_byte_identical(ray_session, tmp_path, index_di
 def test_wildcard_parse_and_expand(index_dir):
     """parse_wildcard_query splits/strips; expand_prefix is the df-capped
     (df desc, term asc) dictionary range — two binary searches, cap binds."""
-    exact, prefixes = query.parse_wildcard_query("cust* Order ta* the")
+    exact, prefixes, suffixes = query.parse_wildcard_query("cust* Order ta* the *er")
     assert prefixes == ["cust", "ta"]
+    assert suffixes == ["er"]
     assert "order" in exact and all("*" not in t for t in exact)
     # non-alpha stem chars strip; empty stems drop
     assert query.parse_wildcard_query("a1b* ** x")[1] == ["ab"]
+    # a both-sided token lands in both sets
+    assert query.parse_wildcard_query("*mid*")[1:] == (["mid"], ["mid"])
 
     idx = query.SegmentIndex(index_dir)
     fd = idx._dict.get("text")
@@ -290,6 +293,17 @@ def test_wildcard_parse_and_expand(index_dir):
     assert idx.expand_prefix("") == []
     # uncapped expansion returns the whole range
     assert idx.expand_prefix("s", max_expansions=10**9) == sorted(all_s)
+
+    # suffix expansion: same df-capped (df desc, term asc) rule over the
+    # ends-with pass; "*e" binds the cap (5 vocabulary terms end in e)
+    all_e = [t for t in vocab if t.endswith("e")]
+    assert len(all_e) > idx.MAX_EXPANSIONS
+    assert idx.expand_suffix("e") == sorted(
+        sorted(all_e, key=lambda t: (-dfs[t], t))[: idx.MAX_EXPANSIONS]
+    )
+    assert idx.expand_suffix("e", max_expansions=10**9) == sorted(all_e)
+    assert idx.expand_suffix("zq") == []
+    assert idx.expand_suffix("") == []
 
 
 def test_wildcard_rank_identical(index_dir, duck):
@@ -486,3 +500,22 @@ def test_search_facets_match_oracle(ray_session, index_dir, duck):
     for qid, text, _k in query.REFERENCE_QUERIES:
         ids, _ = idx._score_mode(text, "bm25")
         assert got[got.query_id == qid].n_hits.sum() == len(ids)
+
+
+def test_search_facets_daily_match_oracle(ray_session, index_dir, duck):
+    """Date-histogram facet vs the strftime-bucketed SQL oracle; bucket
+    totals per query must match the role-facet totals (same hit set)."""
+    from raystorm import facets
+
+    got = facets.search_facets_daily(SF, index_dir)
+    want = (
+        duck.execute(facets.facets_daily_sql())
+        .df()
+        .sort_values(["query_id", "day"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=False)
+    roles = facets.search_facets(SF, index_dir)
+    a = got.groupby("query_id").n_hits.sum()
+    b = roles.groupby("query_id").n_hits.sum()
+    pd.testing.assert_series_equal(a, b)
