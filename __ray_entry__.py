@@ -573,8 +573,6 @@ def _q_search_facets_daily(sf_dir: str):
     the bucket derives vectorized inside the pruned metadata read —
     Elasticsearch's date_histogram aggregation
     (facets.search_facets_daily; oracle facets.facets_daily_sql)."""
-    from raystorm import facets
-
     return facets.search_facets_daily(sf_dir, _index_for(sf_dir))
 
 

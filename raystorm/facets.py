@@ -56,38 +56,37 @@ class FacetScorer:
             convs.append(conv)
             turns.append(turn.astype(np.int64))
             scores.append(round_half_up(sc, SCORE_ROUND))
-        if not qids:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.string()),
-                    "conv_id": pa.array([], pa.string()),
-                    "turn_idx": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
+        # explicit types: an all-miss batch concatenates empty object
+        # arrays, which pa.array would otherwise type as null and break
+        # block schema unification against hit-bearing batches
+        def col(chunks, np_dtype, pa_type):
+            vals = np.concatenate(chunks) if chunks else np.empty(0, np_dtype)
+            return pa.array(vals, pa_type)
+
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(qids)),
-                "conv_id": pa.array(np.concatenate(convs)),
-                "turn_idx": pa.array(np.concatenate(turns)),
-                "score": pa.array(np.concatenate(scores)),
+                "query_id": col(qids, object, pa.string()),
+                "conv_id": col(convs, object, pa.string()),
+                "turn_idx": col(turns, np.int64, pa.int64()),
+                "score": col(scores, np.float64, pa.float64()),
             }
         )
 
 
-def search_facets(
+def _facet_pipeline(
     sf_dir: str,
     index_dir: str,
-    queries=REFERENCE_QUERIES,
-    facet: str = "role",
-    mode: str = "bm25",
+    queries,
+    mode: str,
+    facet: str,
+    prune_fn,
 ) -> pd.DataFrame:
-    """(query_id, facet, n_hits, top_score) over every matching doc.
-
-    hits (actor pool, no cut) ⋈ corpus metadata (column-pruned read,
-    shuffle join) -> per-block combiner partials -> tiny driver merge.
-    Oracle: :func:`facets_sql`.
-    """
+    """Shared facet pipeline: hits (actor pool, no cut) ⋈ pruned corpus
+    metadata (shuffle join, cluster-width fan-out) -> per-block
+    combiner partials -> tiny driver merge.  ``prune_fn`` projects a
+    transcripts batch to (conv_id, turn_idx int64, <facet>) — where the
+    bucket column derives (plain metadata column or a vectorized
+    expression like the day truncation)."""
     import ray.data as rd
 
     qds = rd.from_arrow(queries_table(queries))
@@ -98,17 +97,8 @@ def search_facets(
         concurrency=2,
         batch_size=4,
     )
-
-    def prune(b: pa.Table) -> pa.Table:
-        t = b.select(["conv_id", "turn_idx", facet])
-        return t.set_column(
-            t.column_names.index("turn_idx"),
-            "turn_idx",
-            t["turn_idx"].cast(pa.int64()),
-        )
-
     meta = corpus.transcripts_from_documents(sf_dir).map_batches(
-        prune, batch_format="pyarrow"
+        prune_fn, batch_format="pyarrow"
     )
     joined = hits.join(
         meta,
@@ -133,25 +123,37 @@ def search_facets(
     return out
 
 
+def search_facets(
+    sf_dir: str,
+    index_dir: str,
+    queries=REFERENCE_QUERIES,
+    facet: str = "role",
+    mode: str = "bm25",
+) -> pd.DataFrame:
+    """(query_id, facet, n_hits, top_score) over every matching doc,
+    bucketed by a transcript metadata column.  Oracle: :func:`facets_sql`."""
+
+    def prune(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"].cast(pa.int64()),
+                facet: b[facet],
+            }
+        )
+
+    return _facet_pipeline(sf_dir, index_dir, queries, mode, facet, prune)
+
+
 def search_facets_daily(
     sf_dir: str, index_dir: str, queries=REFERENCE_QUERIES, mode: str = "bm25"
 ) -> pd.DataFrame:
     """Date-histogram facet: hits per UTC day bucket of the turn's
-    timestamp — the Elasticsearch date_histogram aggregation.  Same
-    hits→metadata join shape as :func:`search_facets`; the bucket
-    column derives vectorized (Arrow ``strftime``) inside the pruned
-    metadata read, so the day never exists as driver state."""
+    timestamp — the Elasticsearch date_histogram aggregation.  The
+    bucket column derives vectorized (Arrow ``strftime``) inside the
+    pruned metadata read, so the day never exists as driver state.
+    Oracle: :func:`facets_daily_sql`."""
     import pyarrow.compute as pc
-    import ray.data as rd
-
-    qds = rd.from_arrow(queries_table(queries))
-    hits = qds.map_batches(
-        FacetScorer,
-        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
-        batch_format="pyarrow",
-        concurrency=2,
-        batch_size=4,
-    )
 
     def prune(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -162,30 +164,7 @@ def search_facets_daily(
             }
         )
 
-    meta = corpus.transcripts_from_documents(sf_dir).map_batches(
-        prune, batch_format="pyarrow"
-    )
-    joined = hits.join(
-        meta,
-        join_type="inner",
-        num_partitions=join_fanout(),
-        on=("conv_id", "turn_idx"),
-    )
-
-    def partial(b: pa.Table) -> pa.Table:
-        return b.group_by(["query_id", "day"]).aggregate(
-            [("score", "count"), ("score", "max")]
-        )
-
-    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = (
-        parts.groupby(["query_id", "day"], as_index=False)
-        .agg(n_hits=("score_count", "sum"), top_score=("score_max", "max"))
-        .sort_values(["query_id", "day"])
-        .reset_index(drop=True)
-    )
-    out["n_hits"] = out["n_hits"].astype(np.int64)
-    return out
+    return _facet_pipeline(sf_dir, index_dir, queries, mode, "day", prune)
 
 
 def facets_sql(

@@ -587,6 +587,7 @@ class SegmentIndex:
         field: str = "text",
         max_dist: int | None = None,
         max_expansions: int | None = None,
+        vocab: list | None = None,
     ) -> list[str]:
         """Dictionary terms within ``max_dist`` unit-cost edits of
         ``term``, capped to the ``max_expansions`` highest-df (ties:
@@ -605,8 +606,12 @@ class SegmentIndex:
         fd = self._dict.get(field)
         if fd is None or not term:
             return []
+        # callers probing several terms (the fuzzy scorer) materialize
+        # the vocabulary ONCE and pass it in — never once per term
+        if vocab is None:
+            vocab = fd.terms.to_pylist()
         cands = []
-        for i, t in enumerate(fd.terms.to_pylist()):
+        for i, t in enumerate(vocab):
             if abs(len(t) - len(term)) > dist:
                 continue
             if _levenshtein(term, t) <= dist:
@@ -624,9 +629,13 @@ class SegmentIndex:
         applied to in-vocabulary terms too (their neighbors match, at
         their own idf), exactly as Lucene does."""
         toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
+        qterms = sorted(set(toks.tolist()))
         terms: set[str] = set()
-        for t in sorted(set(toks.tolist())):
-            terms.update(self.expand_fuzzy(t))
+        if qterms:
+            fd = self._dict.get("text")
+            vocab = fd.terms.to_pylist() if fd is not None else []
+            for t in qterms:
+                terms.update(self.expand_fuzzy(t, vocab=vocab))
         return self._score_bm25_terms(sorted(terms))
 
     #: more-like-this query-term budget (Lucene MoreLikeThis
