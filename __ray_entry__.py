@@ -576,6 +576,43 @@ def _q_search_facets_daily(sf_dir: str):
     return facets.search_facets_daily(sf_dir, _index_for(sf_dir))
 
 
+def _docvalues_index_for(sf_dir: str) -> str:
+    """Standard index + its doc-values sidecar (docvalues.py: columnar
+    per-doc role/tool/ts, the Lucene DocValues analog), built once and
+    fingerprint-cached like the docstore."""
+    from raystorm import docvalues
+
+    index_dir = _index_for(sf_dir)
+    docvalues.build_docvalues(corpus.transcripts_from_documents(sf_dir), index_dir)
+    return index_dir
+
+
+def _q_topk_bm25_filtered(sf_dir: str):
+    """Metadata-filtered BM25 (ES filter context): candidates score with
+    full-corpus stats, then doc-values clauses (role/tool equality, ts
+    range, IN set, !=) drop non-matching docs before ranking
+    (query.topk_filtered; oracle query.filtered_topk_sql)."""
+    return _run_reference_queries(
+        sf_dir,
+        "bm25_filtered",
+        index_dir=_docvalues_index_for(sf_dir),
+        queries=query.FILTER_QUERIES,
+    )
+
+
+def _q_topk_sorted_recency(sf_dir: str):
+    """Sort-by-field retrieval (ES sort): match-any candidates ordered
+    by the ts doc value per query direction (recency search), one query
+    combining filter + sort (query.topk_sorted; oracle
+    query.sorted_topk_sql)."""
+    return _run_reference_queries(
+        sf_dir,
+        "sorted",
+        index_dir=_docvalues_index_for(sf_dir),
+        queries=query.SORT_QUERIES,
+    )
+
+
 def _q_more_like_this(sf_dir: str):
     """Similar-document retrieval (Lucene MoreLikeThis shape): the
     source turn's stored text comes from the doc-store point lookup,
@@ -747,6 +784,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_page2": _q_topk_bm25_page2,
         "search_facets": _q_search_facets,
         "search_facets_daily": _q_search_facets_daily,
+        "topk_bm25_filtered": _q_topk_bm25_filtered,
+        "topk_sorted_recency": _q_topk_sorted_recency,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -822,6 +861,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_page2": query.bm25_topk_sql(page=2),
         "search_facets": facets.facets_sql(),
         "search_facets_daily": facets.facets_daily_sql(),
+        "topk_bm25_filtered": query.filtered_topk_sql(),
+        "topk_sorted_recency": query.sorted_topk_sql(),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

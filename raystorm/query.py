@@ -116,6 +116,7 @@ class SegmentIndex:
 
         self._ts_starts, self._ts_ends = load_tombstones(index_dir)
         self._docstore = None  # lazy (phrase mode; needs build --docstore)
+        self._dv = None  # lazy (filter/sort modes; needs build_docvalues)
         ts = pq.read_table(os.path.join(index_dir, "terms_stats.parquet"))
         # gather all part dictionaries columnar (one Arrow concat; no
         # per-row Python) with a part-id column
@@ -461,6 +462,76 @@ class SegmentIndex:
                 "conv_id": conv,
                 "turn_idx": turn,
                 "score": round_half_up(scores[sel], SCORE_ROUND),
+            }
+        )
+
+    # ----- doc-values filter / sort (Lucene DocValues, ES filter
+    # context + sort; see docvalues.py for the storage layout) -----
+    def docvalues(self):
+        """Lazy doc-values reader (raises if build_docvalues never ran)."""
+        if self._dv is None:
+            from .docvalues import DocValues
+
+            self._dv = DocValues(self.index_dir)
+        return self._dv
+
+    def topk_filtered(
+        self, query_text: str, k: int, clauses, mode: str = "bm25"
+    ) -> pd.DataFrame:
+        """Top-k with a metadata filter: candidates score exactly as
+        ``mode`` (full-corpus stats — a filter narrows the RESULT set,
+        never the idf, matching Lucene's filter-context semantics), then
+        drop candidates whose doc values fail the clause conjunction."""
+        docids, scores = self._score_mode(query_text, mode)
+        if len(docids) and clauses:
+            keep = self.docvalues().mask(docids, clauses)
+            docids, scores = docids[keep], scores[keep]
+        return self._format_topk(docids, scores, k)
+
+    def topk_sorted(
+        self,
+        query_text: str,
+        k: int,
+        clauses=(),
+        field: str = "ts_us",
+        desc: bool = True,
+    ) -> pd.DataFrame:
+        """Match-any candidates ordered by a doc-values field (ES
+        ``sort``; recency search when field=ts_us desc).  Candidate-
+        bounded: only the matching docs' values are looked up; ties
+        break on docid ascending — the (conv_id, turn_idx) order, which
+        the SQL mirror reproduces."""
+        docids, _ = self._score_bm25(query_text)
+        dv = self.docvalues()
+        if len(docids) and clauses:
+            docids = docids[dv.mask(docids, clauses)]
+        if not len(docids):
+            return pd.DataFrame(
+                {
+                    "rank": np.empty(0, np.int32),
+                    "conv_id": [],
+                    "turn_idx": np.empty(0, np.int32),
+                    field: np.empty(0, np.int64),
+                }
+            )
+        vals, found = dv.lookup(docids, field)
+        docids, vals = docids[found], vals[found].astype(np.int64)
+        key = -vals if desc else vals
+        if len(docids) > k:
+            top = np.argpartition(key, k - 1)[:k]
+            boundary = np.max(key[top])
+            cand = np.nonzero(key <= boundary)[0]
+        else:
+            cand = np.arange(len(docids))
+        order = np.lexsort((docids[cand], key[cand]))[:k]
+        sel = cand[order]
+        conv, turn = self.codec.decode(docids[sel])
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                "conv_id": conv,
+                "turn_idx": turn,
+                field: vals[sel],
             }
         )
 
@@ -1176,21 +1247,45 @@ class QueryScorer:
                 )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import docvalues
+
+        n = len(batch)
+        names = batch.column_names
+        fjs = (
+            batch["filter_json"].to_pylist()
+            if "filter_json" in names
+            else [None] * n
+        )
+        sds = batch["sdesc"].to_pylist() if "sdesc" in names else [True] * n
         out = []
-        for qid, text, k in zip(
+        for qid, text, k, fj, sd in zip(
             batch["query_id"].to_pylist(),
             batch["text"].to_pylist(),
             batch["k"].to_pylist(),
+            fjs,
+            sds,
         ):
             if self.mode == "faithful_boosted":
                 df = _topk_boosted(self.index, text, int(k), self.titles)
+            elif self.mode == "bm25_filtered":
+                df = self.index.topk_filtered(
+                    text, int(k), docvalues.decode_clauses(fj)
+                )
+            elif self.mode == "sorted":
+                df = self.index.topk_sorted(
+                    text, int(k), clauses=docvalues.decode_clauses(fj), desc=bool(sd)
+                )
             else:
                 df = self.index.topk(text, int(k), self.mode)
             df.insert(0, "query_id", qid)
             out.append(df)
-        res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-            {"query_id": [], "rank": [], "conv_id": [], "turn_idx": [], "score": []}
-        )
+        if out:
+            res = pd.concat(out, ignore_index=True)
+        else:
+            val_col = "ts_us" if self.mode == "sorted" else "score"
+            res = pd.DataFrame(
+                {"query_id": [], "rank": [], "conv_id": [], "turn_idx": [], val_col: []}
+            )
         return pa.Table.from_pandas(res, preserve_index=False)
 
 
@@ -1213,14 +1308,27 @@ REFERENCE_QUERIES = (
 
 
 def queries_table(queries=REFERENCE_QUERIES) -> pa.Table:
-    q = list(zip(*queries))
-    return pa.table(
-        {
-            "query_id": pa.array(q[0], pa.string()),
-            "text": pa.array(q[1], pa.string()),
-            "k": pa.array(q[2], pa.int32()),
-        }
-    )
+    """Query specs -> Arrow table for the QueryScorer actor pool.
+
+    3-tuples (qid, text, k) are the standard modes; 4-tuples append a
+    ``filter_json`` clause column (bm25_filtered); 5-tuples append
+    ``sdesc`` too (sorted mode) — structured clauses ride the Dataset
+    as JSON, decoded once per query inside the actor."""
+    width = len(queries[0])
+    cols = {
+        "query_id": pa.array([q[0] for q in queries], pa.string()),
+        "text": pa.array([q[1] for q in queries], pa.string()),
+        "k": pa.array([q[2] for q in queries], pa.int32()),
+    }
+    if width >= 4:
+        from . import docvalues
+
+        cols["filter_json"] = pa.array(
+            [docvalues.encode_clauses(q[3]) for q in queries], pa.string()
+        )
+    if width >= 5:
+        cols["sdesc"] = pa.array([bool(q[4]) for q in queries], pa.bool_())
+    return pa.table(cols)
 
 
 # Wildcard query set: trailing-* (prefix) and leading-* (suffix)
@@ -1257,6 +1365,41 @@ FUZZY_QUERIES = (
     ("f04", "zzzzzz", 10),
     ("f05", "dta ort", 10),
     ("f06", "customer window", 10),
+)
+
+
+# Metadata-filter query set (docvalues.py clauses; 4-tuples — the 4th
+# element is the clause conjunction): role equality, tool turns with a
+# specific tool, a ts upper bound, a ts range window, an IN set, an
+# absent-term probe, and a != exclusion.  Timestamps are ISO strings
+# converted ONCE by docvalues.ts_us for both the engine and the SQL.
+FILTER_QUERIES = (
+    ("fl01", "merge sort", 10, (("role", "=", "user"),)),
+    ("fl02", "the", 10, (("role", "=", "tool"), ("tool", "=", "search"))),
+    ("fl03", "customer", 10, (("ts_us", "<", "2025-01-05 00:00:00"),)),
+    (
+        "fl04",
+        "merge",
+        10,
+        (
+            ("ts_us", ">=", "2025-01-03 00:00:00"),
+            ("ts_us", "<", "2025-01-10 00:00:00"),
+        ),
+    ),
+    ("fl05", "the window", 10, (("role", "in", ("user", "assistant")),)),
+    ("fl06", "zzzabsent", 10, (("role", "=", "user"),)),
+    ("fl07", "stream fast", 10, (("role", "!=", "assistant"),)),
+)
+
+
+# Sort-by-field query set (5-tuples: + clause conjunction + desc flag):
+# recency (ts desc), oldest-first, a filtered sort (ES query+filter+
+# sort in one request), and an absent-term probe.
+SORT_QUERIES = (
+    ("sr01", "merge sort", 10, (), True),
+    ("sr02", "the", 5, (), False),
+    ("sr03", "customer window", 10, (("role", "=", "user"),), True),
+    ("sr04", "zzzabsent", 10, (), True),
 )
 
 
@@ -1569,6 +1712,7 @@ def bm25_topk_sql(
     qterms_sql: str | None = None,
     page: int = 1,
     weighted: bool = False,
+    meta_case: str | None = None,
 ) -> str:
     """Full oracle query for the BM25 reference-query evaluation.
 
@@ -1586,9 +1730,24 @@ def bm25_topk_sql(
     must end in ``qterms(query_id, term)`` — how the wildcard oracle
     injects its df-capped dictionary expansion.  ``weighted`` expects
     qterms to carry a third ``w`` column and multiplies each term's
-    BM25 contribution by it (the ``bm25_boost`` oracle).
+    BM25 contribution by it (the ``bm25_boost`` oracle).  ``meta_case``
+    (SQL boolean over q.query_id and transcripts alias ``m``, built by
+    :func:`docvalues.filters_case_sql`) joins each candidate's
+    transcripts row and keeps only rows passing its query's metadata
+    filter — the ``bm25_filtered`` oracle (stats stay full-corpus,
+    exactly like the engine's filter-context semantics).
     """
-    mask = f"WHERE NOT ({mask_pred.replace('conv_id', 't.conv_id')})" if mask_pred else ""
+    where_parts = []
+    if mask_pred:
+        where_parts.append(f"NOT ({mask_pred.replace('conv_id', 't.conv_id')})")
+    if meta_case:
+        where_parts.append(meta_case)
+    mask = ("WHERE " + " AND ".join(where_parts)) if where_parts else ""
+    meta_join = (
+        "JOIN transcripts m ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx"
+        if meta_case
+        else ""
+    )
     wmul = "q.w * " if weighted else ""
     having = (
         "HAVING count(DISTINCT t.term) = "
@@ -1615,6 +1774,7 @@ scores AS (
   JOIN dfs d ON d.term = q.term
   JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
   CROSS JOIN gstats g
+  {meta_join}
   {mask}
   GROUP BY q.query_id, t.conv_id, t.turn_idx
   {having}
@@ -1633,6 +1793,61 @@ SELECT r.query_id, CAST(r.rank - q.qk * {page - 1} AS INTEGER) AS rank,
 FROM ranked r JOIN queries q ON q.query_id = r.query_id
 WHERE r.rank > q.qk * {page - 1} AND r.rank <= q.qk * {page}
 ORDER BY r.query_id, rank
+"""
+
+
+def filtered_topk_sql(queries=FILTER_QUERIES, k1: float = 1.2, b: float = 0.75) -> str:
+    """bm25_topk_sql with each query's doc-values clause conjunction
+    applied — the :meth:`SegmentIndex.topk_filtered` mirror.  The clause
+    SQL comes from docvalues.filters_case_sql (shared representation)."""
+    from . import docvalues
+
+    base = tuple((q[0], q[1], q[2]) for q in queries)
+    return bm25_topk_sql(
+        queries=base, k1=k1, b=b, meta_case=docvalues.filters_case_sql(queries)
+    )
+
+
+def sorted_topk_sql(queries=SORT_QUERIES) -> str:
+    """Mirror of :meth:`SegmentIndex.topk_sorted`: match-any candidates
+    per query, each query's clause filter, ordered by epoch_us(ts) in
+    the query's direction with (conv_id, turn_idx) tie-break == docid
+    ascending (zero-padded conv ids sort identically as strings and
+    codec integers)."""
+    from . import docvalues
+
+    base = tuple((q[0], q[1], q[2]) for q in queries)
+    qvals = ", ".join(
+        f"('{qid}', {k}, {'TRUE' if sdesc else 'FALSE'})"
+        for qid, _t, k, _c, sdesc in queries
+    )
+    fcase = docvalues.filters_case_sql(queries, alias="m", qid_col="c.query_id")
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk, sdesc) AS (VALUES {qvals}),
+qterms(query_id, term) AS (VALUES {_qterms_values(base, dedup=True)}),
+cands AS (
+  SELECT DISTINCT q.query_id, t.conv_id, t.turn_idx
+  FROM qterms q JOIN tfs t ON t.term = q.term
+),
+ranked AS (
+  SELECT c.query_id,
+         CAST(row_number() OVER (
+           PARTITION BY c.query_id
+           ORDER BY CASE WHEN qq.sdesc THEN -epoch_us(m.ts)
+                         ELSE epoch_us(m.ts) END,
+                    c.conv_id, c.turn_idx) AS INTEGER) AS rank,
+         c.conv_id, CAST(c.turn_idx AS INTEGER) AS turn_idx,
+         epoch_us(m.ts) AS ts_us
+  FROM cands c
+  JOIN transcripts m ON m.conv_id = c.conv_id AND m.turn_idx = c.turn_idx
+  JOIN queries qq ON qq.query_id = c.query_id
+  WHERE {fcase}
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.ts_us
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
 """
 
 

@@ -1,0 +1,134 @@
+"""Doc-values sidecar: build, point lookups, filter/sort parity vs DuckDB.
+
+Lucene-DocValues analog (docvalues.py): columnar per-doc metadata next
+to the index, powering ES-style filter context, range queries and
+sort-by-field — each pinned rank-identical to a SQL oracle over the
+same corpus (golden-oracle pattern, SURVEY.md §5).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raystorm import build, corpus, docvalues, query
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dv_index(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dvidx"))
+    ds = corpus.transcripts_from_documents(SF)
+    cfg = build.BuildConfig(num_partitions=8, split_target=500)
+    m = build.build_index(ds, d, input_fingerprint=SF, cfg=cfg)
+    assert m["status"] == "complete"
+    dm = docvalues.build_docvalues(corpus.transcripts_from_documents(SF), d)
+    assert dm["status"] == "complete"
+    return d
+
+
+def test_build_idempotent(ray_session, dv_index):
+    """Second call returns the cached manifest without rewriting."""
+    m1 = docvalues.build_docvalues(corpus.transcripts_from_documents(SF), dv_index)
+    m2 = docvalues.build_docvalues(corpus.transcripts_from_documents(SF), dv_index)
+    assert m1 == m2
+
+
+def test_point_lookups_match_corpus(ray_session, dv_index, duck):
+    """Sampled docids return exactly the corpus row's role/tool/ts."""
+    idx = query.SegmentIndex(dv_index)
+    dv = idx.docvalues()
+    rows = duck.execute(
+        f"WITH transcripts AS ({corpus.transcripts_sql()}) "
+        "SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us "
+        "FROM transcripts ORDER BY conv_id, turn_idx"
+    ).df()
+    sample = rows.iloc[:: max(1, len(rows) // 50)]
+    docids = idx.codec.encode(
+        sample["conv_id"].to_numpy(), sample["turn_idx"].to_numpy(np.int64)
+    )
+    for col in ("role", "tool", "ts_us"):
+        vals, found = dv.lookup(docids, col)
+        assert found.all()
+        assert list(vals) == list(sample[col])
+
+
+def test_absent_docids_never_match(ray_session, dv_index):
+    idx = query.SegmentIndex(dv_index)
+    dv = idx.docvalues()
+    ghost = np.array([idx.codec.span + 5, idx.codec.span + 99], np.int64)
+    vals, found = dv.lookup(ghost, "role")
+    assert not found.any()
+    assert not dv.mask(ghost, (("role", "!=", "nosuchrole"),)).any()
+
+
+def test_filtered_rank_identical(ray_session, dv_index, duck):
+    idx = query.SegmentIndex(dv_index)
+    rows = []
+    for qid, text, k, clauses in query.FILTER_QUERIES:
+        df = idx.topk_filtered(text, k, clauses)
+        df.insert(0, "query_id", qid)
+        rows.append(df)
+    engine = pd.concat(rows, ignore_index=True)
+    oracle = duck.execute(query.filtered_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        engine.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
+    )
+    # the filters actually bind: every filtered query returns a strict
+    # subset (or reordering) of its unfiltered candidate list
+    for qid, text, k, clauses in query.FILTER_QUERIES:
+        unfiltered = idx.topk(text, 1000)
+        filtered = idx.topk_filtered(text, 1000, clauses)
+        assert len(filtered) <= len(unfiltered)
+
+
+def test_sorted_rank_identical(ray_session, dv_index, duck):
+    idx = query.SegmentIndex(dv_index)
+    rows = []
+    for qid, text, k, clauses, desc in query.SORT_QUERIES:
+        df = idx.topk_sorted(text, k, clauses=clauses, desc=desc)
+        df.insert(0, "query_id", qid)
+        rows.append(df)
+    engine = pd.concat(rows, ignore_index=True)
+    oracle = duck.execute(query.sorted_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        engine.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
+    )
+    # direction sanity: sr01 is recency (non-increasing ts), sr02 ascending
+    sr01 = engine[engine["query_id"] == "sr01"]["ts_us"].to_numpy()
+    sr02 = engine[engine["query_id"] == "sr02"]["ts_us"].to_numpy()
+    assert (np.diff(sr01) <= 0).all() and (np.diff(sr02) >= 0).all()
+
+
+def test_stale_docvalues_guard(ray_session, dv_index, tmp_path):
+    """An index fingerprint change must invalidate the sidecar."""
+    import json
+    import os
+    import shutil
+
+    d2 = str(tmp_path / "idx2")
+    shutil.copytree(dv_index, d2)
+    mpath = os.path.join(d2, "manifest.json")
+    m = json.load(open(mpath))
+    m["build_fingerprint"] = "deadbeef" + m["build_fingerprint"][8:]
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="stale docvalues"):
+        query.SegmentIndex(d2).docvalues()
+
+
+def test_clause_roundtrip_and_sql_lockstep():
+    """encode/decode preserves clauses; the SQL emitter renders every op
+    the engine evaluates (one representation, two emitters)."""
+    clauses = [
+        ("role", "=", "user"),
+        ("tool", "!=", "bash"),
+        ("ts_us", ">=", "2025-01-03 00:00:00"),
+        ("role", "in", ["user", "tool"]),
+    ]
+    rt = docvalues.decode_clauses(docvalues.encode_clauses(clauses))
+    assert [list(c) for c in rt] == [list(c) for c in clauses]
+    sql = docvalues.clauses_sql(clauses)
+    assert "m.role = 'user'" in sql
+    assert "m.tool <> 'bash'" in sql
+    assert f"epoch_us(m.ts) >= {docvalues.ts_us('2025-01-03 00:00:00')}" in sql
+    assert "m.role IN ('user', 'tool')" in sql
