@@ -576,6 +576,15 @@ def _q_search_facets_daily(sf_dir: str):
     return facets.search_facets_daily(sf_dir, _index_for(sf_dir))
 
 
+def _q_search_facets_docvalues(sf_dir: str):
+    """Facet aggregation via the doc-values sidecar: buckets resolve
+    per candidate inside the scorer actor (candidate-bounded lookups,
+    no corpus join) — the serving-path shape, pinned to the SAME oracle
+    as the join pipeline (facets.search_facets_dv; oracle
+    facets.facets_sql)."""
+    return facets.search_facets_dv(_docvalues_index_for(sf_dir))
+
+
 def _docvalues_index_for(sf_dir: str) -> str:
     """Standard index + its doc-values sidecar (docvalues.py: columnar
     per-doc role/tool/ts, the Lucene DocValues analog), built once and
@@ -786,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets_daily": _q_search_facets_daily,
         "topk_bm25_filtered": _q_topk_bm25_filtered,
         "topk_sorted_recency": _q_topk_sorted_recency,
+        "search_facets_docvalues": _q_search_facets_docvalues,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -863,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "search_facets_daily": facets.facets_daily_sql(),
         "topk_bm25_filtered": query.filtered_topk_sql(),
         "topk_sorted_recency": query.sorted_topk_sql(),
+        "search_facets_docvalues": facets.facets_sql(),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

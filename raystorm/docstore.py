@@ -37,7 +37,13 @@ DIRNAME = "docstore"
 
 
 def _fingerprint(index_fp: str, num_shards: int) -> str:
-    return hashlib.sha256(f"docstore|{index_fp}|{num_shards}".encode()).hexdigest()[:16]
+    # v2: writer assigns shards by searchsorted over the SAME bounds the
+    # reader maps with — a multiplicative assignment disagrees at floor
+    # boundaries, so ~1 docid per shard boundary was written to shard s
+    # but looked up in shard s+1 and silently missed (returned '')
+    return hashlib.sha256(
+        f"docstore|v2|{index_fp}|{num_shards}".encode()
+    ).hexdigest()[:16]
 
 
 class _ShardWriter:
@@ -99,12 +105,21 @@ def build_docstore(ds, index_dir: str, num_shards: int = 16) -> dict:
     )
     span = codec.span
     codec_ref = ray.put(codec)
+    bounds = [
+        [int(s * span // num_shards), int((s + 1) * span // num_shards)]
+        for s in range(num_shards)
+    ]
+    los = np.array([b[0] for b in bounds], np.int64)
 
     def assign(batch: pa.Table) -> pa.Table:
         c = build._get_ref(codec_ref) if not isinstance(codec_ref, DocIdCodec) else codec_ref
         docid = c.encode(batch["conv_id"], batch["turn_idx"].to_numpy(zero_copy_only=False))
-        shard = (docid * num_shards // max(span, 1)).astype(np.int32)
-        np.clip(shard, 0, num_shards - 1, out=shard)
+        # searchsorted over the manifest bounds — the exact map
+        # DocStore.texts() reads with, so boundary docids cannot land
+        # in a shard the lookup never opens
+        shard = np.clip(
+            np.searchsorted(los, docid, side="right") - 1, 0, num_shards - 1
+        ).astype(np.int32)
         return pa.table(
             {
                 "docid": pa.array(docid),
@@ -120,10 +135,6 @@ def build_docstore(ds, index_dir: str, num_shards: int = 16) -> dict:
         .map_groups(writer, batch_format="pandas")
         .to_pandas()
     )
-    bounds = [
-        [int(s * span // num_shards), int((s + 1) * span // num_shards)]
-        for s in range(num_shards)
-    ]
     m = {
         "fingerprint": fp,
         "index_fingerprint": manifest["build_fingerprint"],

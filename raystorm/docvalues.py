@@ -58,8 +58,11 @@ def ts_us(iso: str) -> int:
 
 
 def _fingerprint(index_fp: str, num_shards: int) -> str:
+    # v2: writer assigns shards by searchsorted over the SAME bounds the
+    # reader maps with (a multiplicative assignment disagrees at floor
+    # boundaries — boundary docids silently miss)
     return hashlib.sha256(
-        f"docvalues|{index_fp}|{num_shards}|{','.join(COLUMNS)}".encode()
+        f"docvalues|v2|{index_fp}|{num_shards}|{','.join(COLUMNS)}".encode()
     ).hexdigest()[:16]
 
 
@@ -96,13 +99,17 @@ class _ShardWriter:
         return pd.DataFrame([{"shard": shard, "rows": len(group), "resumed": False}])
 
 
-def _project(batch: pa.Table, codec, num_shards: int, span: int) -> pa.Table:
-    """transcripts batch -> (docid, shard, role, tool, ts_us)."""
+def _project(batch: pa.Table, codec, los: np.ndarray) -> pa.Table:
+    """transcripts batch -> (docid, shard, role, tool, ts_us); shard
+    assignment is searchsorted over the manifest bounds — the exact map
+    the reader uses (DocValues._shard), so no boundary docid can land
+    in a shard the lookup never opens."""
     docid = codec.encode(
         batch["conv_id"], batch["turn_idx"].to_numpy(zero_copy_only=False)
     )
-    shard = (docid * num_shards // max(span, 1)).astype(np.int32)
-    np.clip(shard, 0, num_shards - 1, out=shard)
+    shard = np.clip(
+        np.searchsorted(los, docid, side="right") - 1, 0, len(los) - 1
+    ).astype(np.int32)
     return pa.table(
         {
             "docid": pa.array(docid),
@@ -142,9 +149,14 @@ def build_docvalues(ds, index_dir: str, num_shards: int = 16) -> dict:
     )
     span = codec.span
     codec_ref = ray.put(codec)
+    bounds = [
+        [int(s * span // num_shards), int((s + 1) * span // num_shards)]
+        for s in range(num_shards)
+    ]
+    los = np.array([b[0] for b in bounds], np.int64)
 
     def assign(batch: pa.Table) -> pa.Table:
-        return _project(batch, build._get_ref(codec_ref), num_shards, span)
+        return _project(batch, build._get_ref(codec_ref), los)
 
     writer = _ShardWriter(out_dir, fp)
     stats = (
@@ -153,10 +165,6 @@ def build_docvalues(ds, index_dir: str, num_shards: int = 16) -> dict:
         .map_groups(writer, batch_format="pandas")
         .to_pandas()
     )
-    bounds = [
-        [int(s * span // num_shards), int((s + 1) * span // num_shards)]
-        for s in range(num_shards)
-    ]
     m = {
         "fingerprint": fp,
         "index_fingerprint": manifest["build_fingerprint"],

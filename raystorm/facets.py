@@ -167,6 +167,100 @@ def search_facets_daily(
     return _facet_pipeline(sf_dir, index_dir, queries, mode, "day", prune)
 
 
+class DVFacetScorer:
+    """Actor-pool stage: queries batch -> per-batch facet PARTIALS,
+    buckets resolved from the doc-values sidecar (docvalues.py) —
+    candidate-bounded lookups, NO corpus join.  This is the serving
+    shape: a facet request touches the index + the doc-values shards
+    its candidates span, nothing else.  Pinned result-identical to the
+    join pipeline (:func:`search_facets`) by pytest and by sharing its
+    oracle."""
+
+    def __init__(self, index_dir: str, facet: str = "role", mode: str = "bm25"):
+        from .docvalues import DocValues
+
+        self.index = SegmentIndex(index_dir)
+        self.dv = DocValues(index_dir)
+        self.facet = facet
+        self.mode = mode
+
+    def _buckets(self, docids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Facet bucket per candidate docid (+ found mask)."""
+        if self.facet == "day":
+            ts, found = self.dv.lookup(docids, "ts_us")
+            days = np.datetime64(0, "D") + ts // 86_400_000_000
+            return days.astype(str).astype(object), found
+        return self.dv.lookup(docids, self.facet)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ids, sc = self.index._score_mode(text, self.mode)
+            if not len(ids):
+                continue
+            buckets, found = self._buckets(ids)
+            sc = round_half_up(sc, SCORE_ROUND)[found]
+            g = (
+                pd.DataFrame({self.facet: buckets[found], "score": sc})
+                .groupby(self.facet, as_index=False)
+                .agg(n_hits=("score", "size"), top_score=("score", "max"))
+            )
+            g.insert(0, "query_id", qid)
+            parts.append(g)
+        res = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=object),
+                    self.facet: pd.Series([], dtype=object),
+                    "n_hits": pd.Series([], dtype=np.int64),
+                    "top_score": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+        res["n_hits"] = res["n_hits"].astype(np.int64)
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def search_facets_dv(
+    index_dir: str,
+    queries=REFERENCE_QUERIES,
+    facet: str = "role",
+    mode: str = "bm25",
+) -> pd.DataFrame:
+    """Doc-values facet aggregation: same output as
+    :func:`search_facets` (same oracle) with buckets resolved per
+    candidate from the sidecar instead of a corpus shuffle join —
+    needs ``docvalues.build_docvalues`` to have run on the index.
+    Partials are per (actor batch × bucket); the driver merge is
+    O(queries × buckets)."""
+    import ray.data as rd
+
+    qds = rd.from_arrow(queries_table(queries))
+    parts = qds.map_batches(
+        DVFacetScorer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "facet": facet,
+            "mode": mode,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    ).to_pandas()
+    out = (
+        parts.groupby(["query_id", facet], as_index=False)
+        .agg(n_hits=("n_hits", "sum"), top_score=("top_score", "max"))
+        .sort_values(["query_id", facet])
+        .reset_index(drop=True)
+    )
+    out["n_hits"] = out["n_hits"].astype(np.int64)
+    return out
+
+
 def facets_sql(
     queries=REFERENCE_QUERIES,
     facet: str = "role",

@@ -37,6 +37,21 @@ def test_roundtrip_matches_corpus(store):
     np.testing.assert_array_equal(got, sample.text.to_numpy(object))
 
 
+def test_every_docid_found(store):
+    """Full-coverage lookup: EVERY turn's text round-trips — shard-
+    boundary docids regressed once when the writer's shard assignment
+    and the reader's bounds map disagreed (written to shard s, looked
+    up in shard s+1, silently '')."""
+    d, _m = store
+    idx = query.SegmentIndex(d)
+    st = docstore.DocStore(d)
+    pdf = corpus.transcripts_from_documents(SF).to_pandas()
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    docids = idx.codec.encode(pdf.conv_id.to_numpy(), pdf.turn_idx.to_numpy())
+    got = st.texts(docids)
+    np.testing.assert_array_equal(got, pdf.text.to_numpy(object))
+
+
 def test_rebuild_is_resume_noop(store):
     d, m1 = store
     ds = corpus.transcripts_from_documents(SF)
