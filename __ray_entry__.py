@@ -585,6 +585,34 @@ def _q_search_facets_docvalues(sf_dir: str):
     return facets.search_facets_dv(_docvalues_index_for(sf_dir))
 
 
+def _q_topk_sorted_page2(sf_dir: str):
+    """Cursor pagination over a SORT order (ES search_after with a
+    field sort): page 1's last hit cursors page 2 in the (ts dir, docid
+    asc) order (query.topk_sorted_after).  Oracle = the sorted SQL
+    windowed to global sort ranks k+1..2k, re-ranked within the page."""
+    idx = query.SegmentIndex(_docvalues_index_for(sf_dir))
+    rows = []
+    for qid, text, k, clauses, desc in query.SORT_QUERIES:
+        p1 = idx.topk_sorted(text, int(k), clauses=clauses, desc=desc)
+        if len(p1) < int(k):
+            continue  # page 1 exhausted the hits; page 2 is empty
+        last = p1.iloc[-1]
+        df = idx.topk_sorted_after(
+            text,
+            int(k),
+            (last.conv_id, int(last.turn_idx)),
+            clauses=clauses,
+            desc=desc,
+        )
+        df.insert(0, "query_id", qid)
+        rows.append(df)
+    if not rows:
+        return pd.DataFrame(
+            {"query_id": [], "rank": [], "conv_id": [], "turn_idx": [], "ts_us": []}
+        )
+    return pd.concat(rows, ignore_index=True)
+
+
 def _docvalues_index_for(sf_dir: str) -> str:
     """Standard index + its doc-values sidecar (docvalues.py: columnar
     per-doc role/tool/ts, the Lucene DocValues analog), built once and
@@ -796,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_filtered": _q_topk_bm25_filtered,
         "topk_sorted_recency": _q_topk_sorted_recency,
         "search_facets_docvalues": _q_search_facets_docvalues,
+        "topk_sorted_page2": _q_topk_sorted_page2,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -874,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_filtered": query.filtered_topk_sql(),
         "topk_sorted_recency": query.sorted_topk_sql(),
         "search_facets_docvalues": facets.facets_sql(),
+        "topk_sorted_page2": query.sorted_topk_sql(page=2),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

@@ -157,6 +157,26 @@ def run_suite(
             idx.more_like_this(conv, turn, int(k))
         timings["query_modes_expanded"] = time.perf_counter() - t0
 
+        # doc-values sidecar: build, then filtered + sorted retrieval on
+        # the warm index and facet aggregation resolved from the sidecar
+        # (the serving-path facet shape — candidate-bounded, no corpus
+        # join)
+        from raystorm import docvalues as _docvalues
+        from raystorm import facets as _facets
+
+        t0 = time.perf_counter()
+        _docvalues.build_docvalues(ds, idx_sf, num_shards=max(8, num_cpus // 2))
+        timings["build_docvalues"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _qid, text, k, clauses in query.FILTER_QUERIES:
+            idx.topk_filtered(text, int(k), clauses)
+        for _qid, text, k, clauses, desc in query.SORT_QUERIES:
+            idx.topk_sorted(text, int(k), clauses=clauses, desc=desc)
+        timings["query_docvalues_modes"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _facets.search_facets_dv(idx_sf)
+        timings["facets_docvalues"] = time.perf_counter() - t0
+
         # -- 4. large synthetic build (headline throughput; Zipf skew) -------
         synth_dir = corpus.synth_transcripts(n_convs=synth_convs)
         sds = rd.read_parquet(synth_dir)

@@ -182,6 +182,85 @@ def build_docvalues(ds, index_dir: str, num_shards: int = 16) -> dict:
     return m
 
 
+def update_docvalues(ds_delta, index_dir: str) -> dict:
+    """Generation append after ``update.update_index``: the delta
+    corpus's metadata writes as NEW shards covering the appended docid
+    range and the manifest restamps to the live index fingerprint —
+    base shards are never re-read (the docstore.update_docstore cost
+    model, docstore.py:149).  Idempotent per index fingerprint."""
+    import math
+
+    import ray
+
+    idx_m = json.load(open(os.path.join(index_dir, "manifest.json")))
+    idx_fp = idx_m["build_fingerprint"]
+    out_dir = os.path.join(index_dir, DIRNAME)
+    mpath = os.path.join(out_dir, "_manifest.json")
+    m = json.load(open(mpath))
+    if m.get("index_fingerprint") == idx_fp:
+        return m
+    old_hi = int(m["bounds"][-1][1])
+    new_span = int(idx_m["docid_span"])
+    if new_span <= old_hi:
+        raise ValueError(
+            "docvalues cannot incrementally follow this index change "
+            "(no appended docid range — e.g. a vacuum); rebuild with "
+            "build_docvalues"
+        )
+    avg = max(1, old_hi // len(m["bounds"]))
+    n_new = max(1, math.ceil((new_span - old_hi) / avg))
+    delta_span = new_span - old_hi
+    new_bounds = [
+        [old_hi + j * delta_span // n_new, old_hi + (j + 1) * delta_span // n_new]
+        for j in range(n_new)
+    ]
+    base_shards = len(m["bounds"])
+    los = np.array([b[0] for b in new_bounds], np.int64)
+    gen_fp = _fingerprint(idx_fp, base_shards + n_new)
+    codec = DocIdCodec.from_table(
+        pq.read_table(os.path.join(index_dir, "convmap.parquet"))
+    )
+    codec_ref = ray.put(codec)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = _project(batch, build._get_ref(codec_ref), los)
+        docid = t["docid"].to_numpy()
+        if len(docid) and docid.min() < old_hi:
+            raise ValueError(
+                "delta rows fall inside the base docid span — "
+                "update_docvalues must receive ONLY the delta corpus"
+            )
+        shard = base_shards + t["shard"].to_numpy()
+        return t.set_column(
+            t.column_names.index("shard"), "shard", pa.array(shard.astype(np.int32))
+        )
+
+    writer = _ShardWriter(out_dir, gen_fp)
+    stats = (
+        ds_delta.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(writer, batch_format="pandas")
+        .to_pandas()
+    )
+    m2 = dict(m)
+    m2.update(
+        {
+            "index_fingerprint": idx_fp,
+            "bounds": m["bounds"] + new_bounds,
+            "num_shards": base_shards + n_new,
+            "span": new_span,
+            "generations": m.get("generations", 1) + 1,
+            "rows": int(m["rows"]) + int(stats["rows"].sum()),
+            "status": "complete",
+        }
+    )
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(m2, fh, indent=1)
+    os.replace(tmp, mpath)
+    return m2
+
+
 # ---------------------------------------------------------------------------
 # Query-time lookup + filter evaluation
 # ---------------------------------------------------------------------------

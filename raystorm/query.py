@@ -501,10 +501,7 @@ class SegmentIndex:
         bounded: only the matching docs' values are looked up; ties
         break on docid ascending — the (conv_id, turn_idx) order, which
         the SQL mirror reproduces."""
-        docids, _ = self._score_bm25(query_text)
-        dv = self.docvalues()
-        if len(docids) and clauses:
-            docids = docids[dv.mask(docids, clauses)]
+        docids, vals = self._sorted_candidates(query_text, clauses, field)
         if not len(docids):
             return pd.DataFrame(
                 {
@@ -514,9 +511,22 @@ class SegmentIndex:
                     field: np.empty(0, np.int64),
                 }
             )
-        vals, found = dv.lookup(docids, field)
-        docids, vals = docids[found], vals[found].astype(np.int64)
         key = -vals if desc else vals
+        return self._format_sorted(docids, vals, key, k, field)
+
+    def _sorted_candidates(self, query_text: str, clauses, field: str):
+        """Shared head of the sorted modes: match-any candidates,
+        clause-filtered, with their doc-value sort keys."""
+        docids, _ = self._score_bm25(query_text)
+        dv = self.docvalues()
+        if len(docids) and clauses:
+            docids = docids[dv.mask(docids, clauses)]
+        vals, found = dv.lookup(docids, field)
+        return docids[found], vals[found].astype(np.int64)
+
+    def _format_sorted(self, docids, vals, key, k: int, field: str) -> pd.DataFrame:
+        """Ranking tail of the sorted modes: boundary-tight partial
+        top-k in (key asc, docid asc) order, decode, emit."""
         if len(docids) > k:
             top = np.argpartition(key, k - 1)[:k]
             boundary = np.max(key[top])
@@ -533,6 +543,34 @@ class SegmentIndex:
                 "turn_idx": turn,
                 field: vals[sel],
             }
+        )
+
+    def topk_sorted_after(
+        self,
+        query_text: str,
+        k: int,
+        after: tuple[str, int],
+        clauses=(),
+        field: str = "ts_us",
+        desc: bool = True,
+    ) -> pd.DataFrame:
+        """Cursor pagination over a SORT order (ES ``search_after`` with
+        a field sort): hits strictly after ``after = (conv_id,
+        turn_idx)`` in the (field dir, docid asc) order, re-ranked 1..k.
+        Same determinism contract as :meth:`topk_after`: the cursor must
+        be a hit of this query or KeyError."""
+        docids, vals = self._sorted_candidates(query_text, clauses, field)
+        cursor = int(
+            self.codec.encode(np.array([after[0]]), np.array([after[1]]))[0]
+        )
+        pos = np.searchsorted(docids, cursor)
+        if pos >= len(docids) or docids[pos] != cursor:
+            raise KeyError(f"cursor {after} is not a hit of this query")
+        key = -vals if desc else vals
+        ck = key[pos]
+        keep = (key > ck) | ((key == ck) & (docids > cursor))
+        return self._format_sorted(
+            docids[keep], vals[keep], key[keep], k, field
         )
 
     def _score_bm25(self, query_text: str):
@@ -1808,12 +1846,14 @@ def filtered_topk_sql(queries=FILTER_QUERIES, k1: float = 1.2, b: float = 0.75) 
     )
 
 
-def sorted_topk_sql(queries=SORT_QUERIES) -> str:
+def sorted_topk_sql(queries=SORT_QUERIES, page: int = 1) -> str:
     """Mirror of :meth:`SegmentIndex.topk_sorted`: match-any candidates
     per query, each query's clause filter, ordered by epoch_us(ts) in
     the query's direction with (conv_id, turn_idx) tie-break == docid
     ascending (zero-padded conv ids sort identically as strings and
-    codec integers)."""
+    codec integers).  ``page`` windows global sort ranks
+    (page-1)·k+1..page·k re-ranked 1..k — the
+    :meth:`SegmentIndex.topk_sorted_after` mirror."""
     from . import docvalues
 
     base = tuple((q[0], q[1], q[2]) for q in queries)
@@ -1844,10 +1884,11 @@ ranked AS (
   JOIN queries qq ON qq.query_id = c.query_id
   WHERE {fcase}
 )
-SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.ts_us
+SELECT r.query_id, CAST(r.rank - q.qk * {page - 1} AS INTEGER) AS rank,
+       r.conv_id, r.turn_idx, r.ts_us
 FROM ranked r JOIN queries q ON q.query_id = r.query_id
-WHERE r.rank <= q.qk
-ORDER BY r.query_id, r.rank
+WHERE r.rank > q.qk * {page - 1} AND r.rank <= q.qk * {page}
+ORDER BY r.query_id, rank
 """
 
 

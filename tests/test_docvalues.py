@@ -137,6 +137,66 @@ def test_dv_facets_identical_to_join_pipeline(ray_session, dv_index, duck):
     pd.testing.assert_frame_equal(joined_day, dv_day)
 
 
+def test_sorted_after_pages_never_overlap_or_skip(ray_session, dv_index):
+    """Page 1 + page 2 of the sorted cursor == one double-size page;
+    a cursor that is not a hit raises instead of silently paging."""
+    idx = query.SegmentIndex(dv_index)
+    for _qid, text, k, clauses, desc in query.SORT_QUERIES:
+        p1 = idx.topk_sorted(text, k, clauses=clauses, desc=desc)
+        if len(p1) < k:
+            continue
+        last = p1.iloc[-1]
+        p2 = idx.topk_sorted_after(
+            text, k, (last.conv_id, int(last.turn_idx)), clauses=clauses, desc=desc
+        )
+        both = pd.concat([p1, p2], ignore_index=True)
+        both["rank"] = np.arange(1, len(both) + 1, dtype=np.int32)
+        wide = idx.topk_sorted(text, 2 * k, clauses=clauses, desc=desc)
+        pd.testing.assert_frame_equal(both, wide)
+    with pytest.raises(KeyError):
+        idx.topk_sorted_after("zzzabsent", 5, ("conv-00000000", 0))
+
+
+def test_update_docvalues_matches_full_corpus(ray_session, tmp_path, duck):
+    """Base build + index update + docvalues generation append: every
+    docid (base AND delta) resolves to its corpus metadata — and a
+    stale sidecar (no update run) refuses to serve."""
+    from raystorm import update
+
+    cutoff = 250
+    d = str(tmp_path / "idx")
+    cfg = build.BuildConfig(num_partitions=4, split_target=500)
+    base_ds = corpus.transcripts_from_documents(SF, max_doc=cutoff)
+    build.build_index(base_ds, d, input_fingerprint=f"{SF}|base", cfg=cfg)
+    docvalues.build_docvalues(
+        corpus.transcripts_from_documents(SF, max_doc=cutoff), d, num_shards=4
+    )
+    delta_ds = corpus.transcripts_from_documents(SF, min_doc=cutoff)
+    update.update_index(delta_ds, d, delta_fingerprint=f"{SF}|delta")
+    with pytest.raises(ValueError, match="stale docvalues"):
+        query.SegmentIndex(d).docvalues()
+    m = docvalues.update_docvalues(
+        corpus.transcripts_from_documents(SF, min_doc=cutoff), d
+    )
+    assert m["generations"] == 2
+    idx = query.SegmentIndex(d)
+    dv = idx.docvalues()
+    rows = duck.execute(
+        f"WITH transcripts AS ({corpus.transcripts_sql()}) "
+        "SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us "
+        "FROM transcripts ORDER BY conv_id, turn_idx"
+    ).df()
+    docids = idx.codec.encode(
+        rows["conv_id"].to_numpy(), rows["turn_idx"].to_numpy(np.int64)
+    )
+    for col in ("role", "ts_us"):
+        vals, found = dv.lookup(docids, col)
+        assert found.all()
+        assert list(vals) == list(rows[col])
+    # idempotent: re-running the append is a no-op
+    assert docvalues.update_docvalues(delta_ds, d) == m
+
+
 def test_clause_roundtrip_and_sql_lockstep():
     """encode/decode preserves clauses; the SQL emitter renders every op
     the engine evaluates (one representation, two emitters)."""
