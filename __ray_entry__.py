@@ -613,6 +613,45 @@ def _q_topk_sorted_page2(sf_dir: str):
     return pd.concat(rows, ignore_index=True)
 
 
+def _split_indexes_for(sf_dir: str) -> list[str]:
+    """Two INDEPENDENT indexes over disjoint doc_id halves (cutoff at
+    UPDATE_BASE_FRACTION) — the federation members.  Each builds/caches
+    exactly like _index_for; neither ever sees the other's rows."""
+    import ray.data as rd
+
+    cfg = build.BuildConfig(num_partitions=16, split_target=2000)
+    max_doc = int(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).max("doc_id")
+    )
+    cutoff = int(UPDATE_BASE_FRACTION * (max_doc + 1))
+    dirs = []
+    for tag, lo, hi in (("lo", None, cutoff), ("hi", cutoff, None)):
+        fp_in = f"{sf_dir}|fed-{tag}|{lo}|{hi}"
+        key = hashlib.sha256(
+            f"{fp_in}|{cfg.fingerprint(fp_in)}".encode()
+        ).hexdigest()[:16]
+        index_dir = os.path.join("/tmp", "raystorm_index", key)
+        ds = corpus.transcripts_from_documents(sf_dir, min_doc=lo, max_doc=hi)
+        build.build_index(ds, index_dir, input_fingerprint=fp_in, cfg=cfg)
+        dirs.append(index_dir)
+    return dirs
+
+
+def _q_topk_bm25_federated(sf_dir: str):
+    """Federated search over two independently built half-corpus
+    indexes (ES cross-index search with global idf): corpus stats merge
+    exactly (integer N/total_tokens/df sums), so the ranking is
+    rank-identical to ONE index over the union corpus — the oracle is
+    the plain full-corpus BM25 SQL (federate.batch_evaluate_federated)."""
+    from raystorm import federate
+
+    return federate.batch_evaluate_federated(
+        _split_indexes_for(sf_dir), query.REFERENCE_QUERIES
+    )
+
+
 def _docvalues_index_for(sf_dir: str) -> str:
     """Standard index + its doc-values sidecar (docvalues.py: columnar
     per-doc role/tool/ts, the Lucene DocValues analog), built once and
@@ -825,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_sorted_recency": _q_topk_sorted_recency,
         "search_facets_docvalues": _q_search_facets_docvalues,
         "topk_sorted_page2": _q_topk_sorted_page2,
+        "topk_bm25_federated": _q_topk_bm25_federated,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -904,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_sorted_recency": query.sorted_topk_sql(),
         "search_facets_docvalues": facets.facets_sql(),
         "topk_sorted_page2": query.sorted_topk_sql(page=2),
+        "topk_bm25_federated": query.bm25_topk_sql(),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),
