@@ -54,6 +54,26 @@ class IndexServer:
             return _topk_boosted(self.index, query_text, k, self.titles)
         return self.index.topk(query_text, k, mode)
 
+    def topk_filtered(
+        self, query_text: str, k: int = 10, clauses_json: str = "", mode: str = "bm25"
+    ) -> pd.DataFrame:
+        """Metadata-filtered search (needs the doc-values sidecar);
+        clauses ride the wire as their JSON encoding."""
+        from .docvalues import decode_clauses
+
+        return self.index.topk_filtered(
+            query_text, k, decode_clauses(clauses_json), mode
+        )
+
+    def topk_sorted(
+        self, query_text: str, k: int = 10, clauses_json: str = "", desc: bool = True
+    ) -> pd.DataFrame:
+        from .docvalues import decode_clauses
+
+        return self.index.topk_sorted(
+            query_text, k, clauses=decode_clauses(clauses_json), desc=desc
+        )
+
     def info(self) -> dict:
         return {
             "n_terms": self.index.manifest["n_terms"],
@@ -73,6 +93,20 @@ class ServeHandle:
         a = self.actors[self._i % len(self.actors)]
         self._i += 1
         return ray.get(a.topk.remote(query_text, k, mode))
+
+    def topk_filtered(
+        self, query_text: str, k: int = 10, clauses_json: str = "", mode: str = "bm25"
+    ) -> pd.DataFrame:
+        a = self.actors[self._i % len(self.actors)]
+        self._i += 1
+        return ray.get(a.topk_filtered.remote(query_text, k, clauses_json, mode))
+
+    def topk_sorted(
+        self, query_text: str, k: int = 10, clauses_json: str = "", desc: bool = True
+    ) -> pd.DataFrame:
+        a = self.actors[self._i % len(self.actors)]
+        self._i += 1
+        return ray.get(a.topk_sorted.remote(query_text, k, clauses_json, desc))
 
     def info(self) -> dict:
         return ray.get(self.actors[0].info.remote())
@@ -150,7 +184,19 @@ class HttpFrontend:
                         q = qs.get("q", [""])[0]
                         k = int(qs.get("k", ["10"])[0])
                         mode = qs.get("mode", ["bm25"])[0]
-                        df = handle.topk(q, k, mode)
+                        # ES request shapes: &filter=<JSON clause list>
+                        # (filter context) and &sort=ts_us[:asc|:desc]
+                        # (field sort, optionally with a filter)
+                        flt = qs.get("filter", [""])[0]
+                        sort = qs.get("sort", [""])[0]
+                        if sort:
+                            df = handle.topk_sorted(
+                                q, k, flt, desc=not sort.endswith(":asc")
+                            )
+                        elif flt:
+                            df = handle.topk_filtered(q, k, flt, mode)
+                        else:
+                            df = handle.topk(q, k, mode)
                         self._send(200, df.to_json(orient="records"))
                     elif u.path == "/info":
                         self._send(200, json.dumps(handle.info()))

@@ -197,6 +197,46 @@ def test_update_docvalues_matches_full_corpus(ray_session, tmp_path, duck):
     assert docvalues.update_docvalues(delta_ds, d) == m
 
 
+def test_http_filter_and_sort_routes(ray_session, dv_index):
+    """GET /search with &filter= / &sort= must return exactly the direct
+    index answers — the ES filter-context and field-sort request shapes
+    over the stdlib HTTP front."""
+    import json as _json
+    import urllib.request
+    from urllib.parse import quote
+
+    from raystorm import serve
+
+    host, port = serve.start_http(dv_index, replicas=2, name="t-dv-http")
+    try:
+        idx = query.SegmentIndex(dv_index)
+        clauses = [["role", "=", "user"]]
+        fj = quote(docvalues.encode_clauses(clauses))
+        url = (
+            f"http://{host}:{port}/search?q={quote('merge sort')}&k=10&filter={fj}"
+        )
+        rows = _json.loads(urllib.request.urlopen(url, timeout=30).read())
+        got = pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"])
+        want = idx.topk_filtered("merge sort", 10, [("role", "=", "user")])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+        url = f"http://{host}:{port}/search?q={quote('merge sort')}&k=10&sort=ts_us"
+        rows = _json.loads(urllib.request.urlopen(url, timeout=30).read())
+        got = pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "ts_us"])
+        want = idx.topk_sorted("merge sort", 10)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+        url = f"http://{host}:{port}/search?q=the&k=5&sort=ts_us:asc&filter={fj}"
+        rows = _json.loads(urllib.request.urlopen(url, timeout=30).read())
+        got = pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "ts_us"])
+        want = idx.topk_sorted(
+            "the", 5, clauses=[("role", "=", "user")], desc=False
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    finally:
+        assert serve.stop(replicas=2, name="t-dv-http") == 2
+
+
 def test_clause_roundtrip_and_sql_lockstep():
     """encode/decode preserves clauses; the SQL emitter renders every op
     the engine evaluates (one representation, two emitters)."""
