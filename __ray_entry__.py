@@ -652,6 +652,23 @@ def _q_topk_bm25_federated(sf_dir: str):
     )
 
 
+def _q_search_count(sf_dir: str):
+    """Hit counting (the ES _count API): distinct match-any candidates
+    per query via the accumulator, no ranking work; zero-hit queries
+    still emit a row (query.batch_count; oracle query.count_sql)."""
+    return query.batch_count(_index_for(sf_dir))
+
+
+def _q_term_vectors(sf_dir: str):
+    """Per-doc term vectors (the ES termvectors API): doc-store point
+    lookups -> the index's own tokenizer -> (term, tf) rows, so the
+    vectors agree with the posting lists by construction
+    (docstore.term_vectors; oracle docstore.term_vectors_sql)."""
+    from raystorm import docstore
+
+    return docstore.term_vectors(_docstore_index_for(sf_dir))
+
+
 def _docvalues_index_for(sf_dir: str) -> str:
     """Standard index + its doc-values sidecar (docvalues.py: columnar
     per-doc role/tool/ts, the Lucene DocValues analog), built once and
@@ -836,6 +853,12 @@ def _q_topk_faithful_boosted(sf_dir: str):
     )
 
 
+def _term_vectors_oracle_sql() -> str:
+    from raystorm import docstore
+
+    return docstore.term_vectors_sql()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out = {
         "transcripts": _q_transcripts,
@@ -865,6 +888,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets_docvalues": _q_search_facets_docvalues,
         "topk_sorted_page2": _q_topk_sorted_page2,
         "topk_bm25_federated": _q_topk_bm25_federated,
+        "search_count": _q_search_count,
+        "term_vectors": _q_term_vectors,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -945,6 +970,8 @@ def oracle_sql() -> dict[str, str]:
         "search_facets_docvalues": facets.facets_sql(),
         "topk_sorted_page2": query.sorted_topk_sql(page=2),
         "topk_bm25_federated": query.bm25_topk_sql(),
+        "search_count": query.count_sql(),
+        "term_vectors": _term_vectors_oracle_sql(),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

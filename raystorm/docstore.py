@@ -305,3 +305,73 @@ class DocStore:
             idx = np.nonzero(sel)[0][hit]
             out[idx] = st[pos_c[hit]]
         return out
+
+
+# ---------------------------------------------------------------------------
+# Term vectors (the ES termvectors API): per-doc (term, tf) lists
+# ---------------------------------------------------------------------------
+
+#: fixed docs for the term_vectors gate — turn 0 always exists for every
+#: conversation (corpus.py: every document yields >= 1 turn)
+TV_DOCS = (
+    ("conv-00000017", 0),
+    ("conv-00000042", 0),
+    ("conv-00000271", 0),
+    ("conv-00000003", 0),
+)
+
+
+def term_vectors(index_dir: str, docs=TV_DOCS) -> pd.DataFrame:
+    """(conv_id, turn_idx, term, tf) for the requested docs — the ES
+    termvectors API.  Texts come from the doc-store point lookups
+    (k-bounded), terms from the SAME tokenizer the index build used, so
+    the vectors agree with the posting lists by construction.  Oracle:
+    :func:`term_vectors_sql` (the tfs CTE restricted to the docs)."""
+    from . import query as _query
+    from . import normalize
+
+    idx = _query.SegmentIndex(index_dir)
+    store = DocStore(index_dir)
+    convs = np.array([d[0] for d in docs], object)
+    turns = np.array([d[1] for d in docs], np.int64)
+    docids = idx.codec.encode(convs, turns)
+    texts = store.texts(docids)
+    rows = []
+    for conv, turn, text in zip(convs, turns, texts):
+        toks, _ = normalize.tokenize_column(pa.array([text]), "body")
+        if not len(toks):
+            continue
+        terms, tf = np.unique(toks, return_counts=True)
+        rows.append(
+            pd.DataFrame(
+                {
+                    "conv_id": np.full(len(terms), conv, object),
+                    "turn_idx": np.full(len(terms), turn, np.int32),
+                    "term": terms,
+                    "tf": tf.astype(np.int64),
+                }
+            )
+        )
+    if not rows:
+        return pd.DataFrame(
+            {"conv_id": [], "turn_idx": np.empty(0, np.int32), "term": [], "tf": np.empty(0, np.int64)}
+        )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["conv_id", "turn_idx", "term"])
+        .reset_index(drop=True)
+    )
+
+
+def term_vectors_sql(docs=TV_DOCS) -> str:
+    """Mirror of :func:`term_vectors` over the shared corpus CTEs."""
+    from .query import corpus_ctes
+
+    vals = ", ".join(f"('{c}', {t})" for c, t in docs)
+    return f"""
+WITH {corpus_ctes()},
+docs(conv_id, turn_idx) AS (VALUES {vals})
+SELECT t.conv_id, CAST(t.turn_idx AS INTEGER) AS turn_idx, t.term, t.tf
+FROM tfs t JOIN docs d ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx
+ORDER BY t.conv_id, t.turn_idx, t.term
+"""

@@ -1369,6 +1369,67 @@ def queries_table(queries=REFERENCE_QUERIES) -> pa.Table:
     return pa.table(cols)
 
 
+class CountScorer:
+    """Actor-pool stage: queries batch -> (query_id, n_hits) — the ES
+    ``_count`` API (match-any candidate count, no ranking work beyond
+    the accumulator; zero-hit queries still emit a row)."""
+
+    def __init__(self, index_dir: str, mode: str = "bm25"):
+        self.index = SegmentIndex(index_dir)
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_pylist()
+        counts = np.empty(len(qids), np.int64)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            ids, _ = self.index._score_mode(text, self.mode)
+            counts[i] = len(ids)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "n_hits": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def batch_count(index_dir: str, queries=REFERENCE_QUERIES, mode: str = "bm25"):
+    """Actor-pool hit counting over a query set (gate ``search_count``;
+    oracle :func:`count_sql`)."""
+    import ray.data as rd
+
+    qds = rd.from_arrow(queries_table(queries))
+    return (
+        qds.map_batches(
+            CountScorer,
+            fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=4,
+        )
+        .to_pandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+
+
+def count_sql(queries=REFERENCE_QUERIES) -> str:
+    """Mirror of :func:`batch_count`: distinct match-any candidates per
+    query, zero-hit queries kept via LEFT JOIN."""
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id) AS (SELECT query_id FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+cands AS (
+  SELECT DISTINCT q.query_id, t.conv_id, t.turn_idx
+  FROM qterms q JOIN tfs t ON t.term = q.term
+),
+counts AS (SELECT query_id, count(*) AS n FROM cands GROUP BY query_id)
+SELECT q.query_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_hits
+FROM queries q LEFT JOIN counts c ON c.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
 # Wildcard query set: trailing-* (prefix) and leading-* (suffix)
 # patterns over the same corpus — single prefix, cap-exercising prefix
 # ("s*" matches 6 vocabulary terms, MAX_EXPANSIONS=4 binds), mixed

@@ -519,3 +519,12 @@ def test_search_facets_daily_match_oracle(ray_session, index_dir, duck):
     a = got.groupby("query_id").n_hits.sum()
     b = roles.groupby("query_id").n_hits.sum()
     pd.testing.assert_series_equal(a, b)
+
+
+def test_search_count_matches_oracle(ray_session, index_dir, duck):
+    """ES _count analog: accumulator candidate counts == SQL DISTINCT
+    counts, zero-hit queries included."""
+    got = query.batch_count(index_dir)
+    want = duck.execute(query.count_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert int(got.loc[got.query_id == "q04", "n_hits"].iloc[0]) == 0

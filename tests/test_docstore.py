@@ -273,3 +273,17 @@ def test_more_like_this_matches_oracle(store, duck):
     # unknown source raises, absent text raises
     with pytest.raises(KeyError):
         idx.more_like_this("conv-99999999", 0, 5)
+
+
+def test_term_vectors_match_oracle(store, duck):
+    """ES termvectors analog: doc-store text -> index tokenizer ->
+    (term, tf) rows == the tfs CTE restricted to the same docs."""
+    import pandas as pd
+
+    d, _m = store
+    got = docstore.term_vectors(d)
+    want = duck.execute(docstore.term_vectors_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["tf"] >= 1).all()
+    # (conv, turn, term) is a key: no duplicate vector entries
+    assert not got.duplicated(["conv_id", "turn_idx", "term"]).any()
