@@ -669,6 +669,14 @@ def _q_term_vectors(sf_dir: str):
     return docstore.term_vectors(_docstore_index_for(sf_dir))
 
 
+def _q_search_facets_stats(sf_dir: str):
+    """Stats facet (the ES stats sub-aggregation): per bucket n_hits,
+    top score and the hit set's ts range — every metric commutes, so
+    the partial merge is order-independent
+    (facets.search_facets_stats; oracle facets.facets_stats_sql)."""
+    return facets.search_facets_stats(_docvalues_index_for(sf_dir))
+
+
 def _docvalues_index_for(sf_dir: str) -> str:
     """Standard index + its doc-values sidecar (docvalues.py: columnar
     per-doc role/tool/ts, the Lucene DocValues analog), built once and
@@ -890,6 +898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_federated": _q_topk_bm25_federated,
         "search_count": _q_search_count,
         "term_vectors": _q_term_vectors,
+        "search_facets_stats": _q_search_facets_stats,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -972,6 +981,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_federated": query.bm25_topk_sql(),
         "search_count": query.count_sql(),
         "term_vectors": _term_vectors_oracle_sql(),
+        "search_facets_stats": facets.facets_stats_sql(),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

@@ -46,6 +46,10 @@ def cmd_build(args) -> int:
         from . import docstore
 
         docstore.build_docstore(ds, args.index_dir)
+    if args.docvalues:
+        from . import docvalues
+
+        docvalues.build_docvalues(ds, args.index_dir)
     print(
         json.dumps(
             {
@@ -151,6 +155,21 @@ def cmd_query(args) -> int:
             )
             return 2
         df = query._topk_boosted(idx, args.query, args.k, titles)
+    elif args.sort:
+        from .docvalues import decode_clauses
+
+        df = idx.topk_sorted(
+            args.query,
+            args.k,
+            clauses=decode_clauses(args.filter) if args.filter else (),
+            desc=not args.sort.endswith(":asc"),
+        )
+    elif args.filter:
+        from .docvalues import decode_clauses
+
+        df = idx.topk_filtered(
+            args.query, args.k, decode_clauses(args.filter), args.mode
+        )
     else:
         df = idx.topk(args.query, args.k, args.mode)
     print(df.to_string(index=False))
@@ -256,6 +275,11 @@ def main(argv=None) -> int:
         help="also write the docid-sharded text store (snippet/title lookups)",
     )
     b.add_argument(
+        "--docvalues",
+        action="store_true",
+        help="also write the doc-values metadata sidecar (filter/sort/facets)",
+    )
+    b.add_argument(
         "--derive-from-documents",
         action="store_true",
         help="input is a documents table; derive transcript turns",
@@ -300,6 +324,17 @@ def main(argv=None) -> int:
     )
     q.add_argument(
         "--sf-dir", default=None, help="documents dir (faithful_boosted title map)"
+    )
+    q.add_argument(
+        "--filter",
+        default=None,
+        help='doc-values filter clauses as JSON, e.g. \'[["role","=","user"]]\' '
+        "(needs an index with build_docvalues run)",
+    )
+    q.add_argument(
+        "--sort",
+        default=None,
+        help="sort by a doc value instead of score: ts_us or ts_us:asc",
     )
     q.set_defaults(fn=cmd_query)
 

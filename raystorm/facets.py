@@ -261,6 +261,99 @@ def search_facets_dv(
     return out
 
 
+class DVFacetStatsScorer(DVFacetScorer):
+    """Stats-aggregation variant (the ES ``stats`` sub-aggregation):
+    per bucket n_hits, top score and the hit set's ts range — every
+    metric commutes (count, max, min/max), so partial merges are
+    order-independent like the base facet."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ids, sc = self.index._score_mode(text, self.mode)
+            if not len(ids):
+                continue
+            buckets, found = self._buckets(ids)
+            ts, fts = self.dv.lookup(ids, "ts_us")
+            keep = found & fts
+            g = (
+                pd.DataFrame(
+                    {
+                        self.facet: buckets[keep],
+                        "score": round_half_up(sc, SCORE_ROUND)[keep],
+                        "ts": ts[keep].astype(np.int64),
+                    }
+                )
+                .groupby(self.facet, as_index=False)
+                .agg(
+                    n_hits=("score", "size"),
+                    top_score=("score", "max"),
+                    min_ts_us=("ts", "min"),
+                    max_ts_us=("ts", "max"),
+                )
+            )
+            g.insert(0, "query_id", qid)
+            parts.append(g)
+        res = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=object),
+                    self.facet: pd.Series([], dtype=object),
+                    "n_hits": pd.Series([], dtype=np.int64),
+                    "top_score": pd.Series([], dtype=np.float64),
+                    "min_ts_us": pd.Series([], dtype=np.int64),
+                    "max_ts_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+        for c, t in (("n_hits", np.int64), ("min_ts_us", np.int64), ("max_ts_us", np.int64)):
+            res[c] = res[c].astype(t)
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def search_facets_stats(
+    index_dir: str,
+    queries=REFERENCE_QUERIES,
+    facet: str = "role",
+    mode: str = "bm25",
+) -> pd.DataFrame:
+    """Per-bucket stats over the full candidate set (n_hits, top_score,
+    ts range) resolved from the doc-values sidecar.  Oracle:
+    :func:`facets_stats_sql`."""
+    import ray.data as rd
+
+    qds = rd.from_arrow(queries_table(queries))
+    parts = qds.map_batches(
+        DVFacetStatsScorer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "facet": facet,
+            "mode": mode,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    ).to_pandas()
+    out = (
+        parts.groupby(["query_id", facet], as_index=False)
+        .agg(
+            n_hits=("n_hits", "sum"),
+            top_score=("top_score", "max"),
+            min_ts_us=("min_ts_us", "min"),
+            max_ts_us=("max_ts_us", "max"),
+        )
+        .sort_values(["query_id", facet])
+        .reset_index(drop=True)
+    )
+    for c in ("n_hits", "min_ts_us", "max_ts_us"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def facets_sql(
     queries=REFERENCE_QUERIES,
     facet: str = "role",
@@ -296,6 +389,39 @@ SELECT s.query_id, {facet_expr} AS {facet},
 FROM scores s
 JOIN transcripts tr ON tr.conv_id = s.conv_id AND tr.turn_idx = s.turn_idx
 GROUP BY s.query_id, {facet_expr}
+ORDER BY s.query_id, {facet}
+"""
+
+
+def facets_stats_sql(
+    queries=REFERENCE_QUERIES, facet: str = "role", k1=1.2, b=0.75
+) -> str:
+    """Oracle for :func:`search_facets_stats`: the facet groupby with
+    the ts-range stats added (epoch_us == the engine's int64 µs)."""
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+)
+SELECT s.query_id, tr.{facet} AS {facet},
+       CAST(count(*) AS BIGINT) AS n_hits,
+       max(round(s.score, {SCORE_ROUND})) AS top_score,
+       CAST(min(epoch_us(tr.ts)) AS BIGINT) AS min_ts_us,
+       CAST(max(epoch_us(tr.ts)) AS BIGINT) AS max_ts_us
+FROM scores s
+JOIN transcripts tr ON tr.conv_id = s.conv_id AND tr.turn_idx = s.turn_idx
+GROUP BY s.query_id, tr.{facet}
 ORDER BY s.query_id, {facet}
 """
 

@@ -34,3 +34,42 @@ def test_cli_build_and_query(tmp_path):
     lines = [l for l in q.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 4  # header + 3 result rows
     assert "conv_id" in lines[0]
+
+def test_cli_filter_and_sort(tmp_path):
+    """--docvalues build flag + --filter / --sort query flags round-trip
+    in fresh subprocesses (each owns its Ray session)."""
+    idx = str(tmp_path / "cli_dv_idx")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "raystorm.cli", "build",
+            "--input", "/root/testdata/sf0.001",
+            "--index-dir", idx,
+            "--partitions", "8",
+            "--derive-from-documents",
+            "--docvalues",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+
+    q = subprocess.run(
+        [
+            sys.executable, "-m", "raystorm.cli", "query",
+            "--index-dir", idx, "--query", "hash join", "--k", "3",
+            "--filter", '[["role","=","user"]]',
+        ],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert q.returncode == 0, q.stderr[-1000:]
+    assert "conv_id" in q.stdout
+
+    s = subprocess.run(
+        [
+            sys.executable, "-m", "raystorm.cli", "query",
+            "--index-dir", idx, "--query", "hash join", "--k", "3",
+            "--sort", "ts_us:asc",
+        ],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert s.returncode == 0, s.stderr[-1000:]
+    assert "ts_us" in s.stdout.splitlines()[0]

@@ -237,6 +237,19 @@ def test_http_filter_and_sort_routes(ray_session, dv_index):
         assert serve.stop(replicas=2, name="t-dv-http") == 2
 
 
+def test_facet_stats_match_oracle(ray_session, dv_index, duck):
+    """ES stats sub-aggregation: per-bucket n_hits / top_score / ts
+    range from the sidecar == the SQL groupby with epoch_us ranges."""
+    from raystorm import facets
+
+    got = facets.search_facets_stats(dv_index)
+    want = duck.execute(facets.facets_stats_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    assert (got["min_ts_us"] <= got["max_ts_us"]).all()
+
+
 def test_clause_roundtrip_and_sql_lockstep():
     """encode/decode preserves clauses; the SQL emitter renders every op
     the engine evaluates (one representation, two emitters)."""
