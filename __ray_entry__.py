@@ -677,6 +677,14 @@ def _q_search_facets_stats(sf_dir: str):
     return facets.search_facets_stats(_docvalues_index_for(sf_dir))
 
 
+def _q_search_top_terms(sf_dir: str):
+    """Terms aggregation over each query's full hit set (the ES terms
+    aggregation on text): hit stream ⋈ token stream, integer tf sums,
+    deterministic (sum desc, term asc) top-n cut
+    (facets.search_top_terms; oracle facets.top_terms_sql)."""
+    return facets.search_top_terms(sf_dir, _index_for(sf_dir))
+
+
 def _docvalues_index_for(sf_dir: str) -> str:
     """Standard index + its doc-values sidecar (docvalues.py: columnar
     per-doc role/tool/ts, the Lucene DocValues analog), built once and
@@ -899,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_count": _q_search_count,
         "term_vectors": _q_term_vectors,
         "search_facets_stats": _q_search_facets_stats,
+        "search_top_terms": _q_search_top_terms,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -982,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "search_count": query.count_sql(),
         "term_vectors": _term_vectors_oracle_sql(),
         "search_facets_stats": facets.facets_stats_sql(),
+        "search_top_terms": facets.top_terms_sql(),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

@@ -261,6 +261,112 @@ def search_facets_dv(
     return out
 
 
+#: top-terms cut per query (the ES terms-aggregation `size`)
+TOP_TERMS_N = 8
+
+
+def search_top_terms(
+    sf_dir: str,
+    index_dir: str,
+    queries=REFERENCE_QUERIES,
+    n: int = TOP_TERMS_N,
+    mode: str = "bm25",
+) -> pd.DataFrame:
+    """Terms aggregation over each query's FULL hit set (the ES `terms`
+    aggregation on a text field): the n terms with the largest summed
+    tf across all matching docs, ties broken term-ascending.
+
+    Shape: the no-cut hit stream ⋈ the corpus TOKEN stream (the same
+    cluster-width shuffle join as the metadata facets — token-scale,
+    the dup_spans class), per-block (query, term) partial counts bound
+    the merge at O(queries × vocab × blocks), and the driver cuts
+    top-n.  All metrics are integer sums — order-independent.
+    Oracle: :func:`top_terms_sql`."""
+    import ray.data as rd
+
+    qds = rd.from_arrow(queries_table(queries))
+    hits = qds.map_batches(
+        FacetScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    ).map_batches(
+        lambda b: b.select(["query_id", "conv_id", "turn_idx"]),
+        batch_format="pyarrow",
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks, rows = normalize.tokenize_column(b["text"], "body")
+        conv = b["conv_id"].to_numpy(zero_copy_only=False)[rows]
+        turn = b["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)[rows]
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array(turn, pa.int64()),
+                "term": pa.array(toks, pa.string()),
+            }
+        )
+
+    tokens = corpus.transcripts_from_documents(sf_dir).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    joined = hits.join(
+        tokens,
+        join_type="inner",
+        num_partitions=join_fanout(),
+        on=("conv_id", "turn_idx"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["query_id", "term"]).aggregate([("term", "count")])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (
+        parts.groupby(["query_id", "term"], as_index=False)
+        .agg(total_tf=("term_count", "sum"))
+        .sort_values(["query_id", "total_tf", "term"], ascending=[True, False, True])
+    )
+    agg["rank"] = agg.groupby("query_id").cumcount() + 1
+    out = (
+        agg[agg["rank"] <= n]
+        .reset_index(drop=True)
+        .astype({"rank": np.int32, "total_tf": np.int64})
+    )
+    return out[["query_id", "rank", "term", "total_tf"]]
+
+
+def top_terms_sql(
+    queries=REFERENCE_QUERIES, n: int = TOP_TERMS_N, k1=1.2, b=0.75
+) -> str:
+    """Mirror of :func:`search_top_terms`: candidates ⋈ tfs grouped by
+    (query, term), windowed to the top-n (sum desc, term asc)."""
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+cands AS (
+  SELECT DISTINCT q.query_id, t.conv_id, t.turn_idx
+  FROM qterms q JOIN tfs t ON t.term = q.term
+),
+hit_terms AS (
+  SELECT c.query_id, t2.term, sum(t2.tf) AS total_tf
+  FROM cands c
+  JOIN tfs t2 ON t2.conv_id = c.conv_id AND t2.turn_idx = c.turn_idx
+  GROUP BY c.query_id, t2.term
+),
+ranked AS (
+  SELECT query_id, term, CAST(total_tf AS BIGINT) AS total_tf,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY total_tf DESC, term) AS INTEGER) AS rank
+  FROM hit_terms
+)
+SELECT query_id, rank, term, total_tf
+FROM ranked WHERE rank <= {n}
+ORDER BY query_id, rank
+"""
+
+
 class DVFacetStatsScorer(DVFacetScorer):
     """Stats-aggregation variant (the ES ``stats`` sub-aggregation):
     per bucket n_hits, top score and the hit set's ts range — every

@@ -528,3 +528,17 @@ def test_search_count_matches_oracle(ray_session, index_dir, duck):
     want = duck.execute(query.count_sql()).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert int(got.loc[got.query_id == "q04", "n_hits"].iloc[0]) == 0
+
+
+def test_search_top_terms_matches_oracle(ray_session, index_dir, duck):
+    """ES terms-aggregation analog: hit stream joined to the token
+    stream, integer tf sums, deterministic (sum desc, term asc) cut."""
+    from raystorm import facets
+
+    got = facets.search_top_terms(SF, index_dir)
+    want = duck.execute(facets.top_terms_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every query's own term appears in its hit-set vocabulary when it
+    # has hits at all (the query term is in every matching doc)
+    m = got[got.query_id == "q02"]
+    assert "merge" in set(m.term)
