@@ -685,6 +685,14 @@ def _q_search_top_terms(sf_dir: str):
     return facets.search_top_terms(sf_dir, _index_for(sf_dir))
 
 
+def _q_search_percentiles(sf_dir: str):
+    """Percentiles aggregation (ES percentiles) of the ts doc value over
+    each query's full hit set — rank-exact (value at ascending rank
+    ceil(q*n)), integers compare bit-exactly
+    (facets.search_percentiles; oracle facets.percentiles_sql)."""
+    return facets.search_percentiles(_docvalues_index_for(sf_dir))
+
+
 def _docvalues_index_for(sf_dir: str) -> str:
     """Standard index + its doc-values sidecar (docvalues.py: columnar
     per-doc role/tool/ts, the Lucene DocValues analog), built once and
@@ -908,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": _q_term_vectors,
         "search_facets_stats": _q_search_facets_stats,
         "search_top_terms": _q_search_top_terms,
+        "search_percentiles": _q_search_percentiles,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -992,6 +1001,7 @@ def oracle_sql() -> dict[str, str]:
         "term_vectors": _term_vectors_oracle_sql(),
         "search_facets_stats": facets.facets_stats_sql(),
         "search_top_terms": facets.top_terms_sql(),
+        "search_percentiles": facets.percentiles_sql(),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

@@ -460,6 +460,76 @@ def search_facets_stats(
     return out
 
 
+#: percentile fractions for the percentiles gate (the ES default's core)
+PERCENTILES_Q = (0.25, 0.5, 0.9)
+
+
+def search_percentiles(
+    index_dir: str,
+    queries=REFERENCE_QUERIES,
+    fractions=PERCENTILES_Q,
+    field: str = "ts_us",
+    mode: str = "bm25",
+) -> pd.DataFrame:
+    """Percentiles aggregation (ES ``percentiles``) of a doc value over
+    each query's full hit set — defined rank-exactly (the value at
+    ascending rank ceil(q·n), 1-based) so integers compare bit-exactly
+    against the SQL mirror; no interpolation.  Candidate-bounded: the
+    sidecar lookup touches matching docs only.
+    Oracle: :func:`percentiles_sql`."""
+    from .docvalues import DocValues
+    from .query import SegmentIndex
+
+    idx = SegmentIndex(index_dir)
+    dv = DocValues(index_dir)
+    rows = []
+    for qid, text, _k in queries:
+        ids, _ = idx._score_mode(text, mode)
+        if not len(ids):
+            continue
+        vals, found = dv.lookup(ids, field)
+        vals = np.sort(vals[found].astype(np.int64))
+        n = len(vals)
+        if not n:
+            continue
+        for q in fractions:
+            r = max(1, int(np.ceil(q * n)))
+            rows.append((qid, q, int(vals[r - 1])))
+    return pd.DataFrame(
+        rows, columns=["query_id", "q", field]
+    ).astype({"q": np.float64, field: np.int64})
+
+
+def percentiles_sql(
+    queries=REFERENCE_QUERIES, fractions=PERCENTILES_Q, k1=1.2, b=0.75
+) -> str:
+    """Mirror of :func:`search_percentiles`: windowed rank selection at
+    ceil(q·n) over the ascending hit-set values."""
+    qvals = ", ".join(f"({q})" for q in fractions)
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+cands AS (
+  SELECT DISTINCT q.query_id, t.conv_id, t.turn_idx
+  FROM qterms q JOIN tfs t ON t.term = q.term
+),
+vals AS (
+  SELECT c.query_id, epoch_us(m.ts) AS v,
+         row_number() OVER (
+           PARTITION BY c.query_id ORDER BY epoch_us(m.ts)) AS rn,
+         count(*) OVER (PARTITION BY c.query_id) AS n
+  FROM cands c
+  JOIN transcripts m ON m.conv_id = c.conv_id AND m.turn_idx = c.turn_idx
+),
+fr(q) AS (VALUES {qvals})
+SELECT v.query_id, CAST(fr.q AS DOUBLE) AS q, CAST(v.v AS BIGINT) AS ts_us
+FROM vals v CROSS JOIN fr
+WHERE v.rn = greatest(1, CAST(ceil(fr.q * v.n) AS BIGINT))
+ORDER BY v.query_id, q
+"""
+
+
 def facets_sql(
     queries=REFERENCE_QUERIES,
     facet: str = "role",

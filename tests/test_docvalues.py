@@ -266,3 +266,19 @@ def test_clause_roundtrip_and_sql_lockstep():
     assert "m.tool <> 'bash'" in sql
     assert f"epoch_us(m.ts) >= {docvalues.ts_us('2025-01-03 00:00:00')}" in sql
     assert "m.role IN ('user', 'tool')" in sql
+
+
+def test_percentiles_match_oracle(ray_session, dv_index, duck):
+    """ES percentiles analog: rank-exact quantiles of the ts doc value
+    over each query's hit set == the windowed SQL selection."""
+    from raystorm import facets
+
+    got = facets.search_percentiles(dv_index)
+    want = duck.execute(facets.percentiles_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    # monotone within a query: p25 <= p50 <= p90
+    for _qid, g in got.groupby("query_id"):
+        v = g.sort_values("q")["ts_us"].to_numpy()
+        assert (np.diff(v) >= 0).all()
