@@ -685,6 +685,14 @@ def _q_search_top_terms(sf_dir: str):
     return facets.search_top_terms(sf_dir, _index_for(sf_dir))
 
 
+def _q_topk_collapsed(sf_dir: str):
+    """Field collapsing (ES collapse on the conversation key): each
+    conversation's single best turn survives, then the collapsed set
+    ranks globally — one result per conversation
+    (query.topk_collapsed; oracle query.collapsed_topk_sql)."""
+    return _run_reference_queries(sf_dir, "collapsed")
+
+
 def _q_search_percentiles(sf_dir: str):
     """Percentiles aggregation (ES percentiles) of the ts doc value over
     each query's full hit set — rank-exact (value at ascending rank
@@ -917,6 +925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets_stats": _q_search_facets_stats,
         "search_top_terms": _q_search_top_terms,
         "search_percentiles": _q_search_percentiles,
+        "topk_collapsed": _q_topk_collapsed,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -1002,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "search_facets_stats": facets.facets_stats_sql(),
         "search_top_terms": facets.top_terms_sql(),
         "search_percentiles": facets.percentiles_sql(),
+        "topk_collapsed": query.collapsed_topk_sql(),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

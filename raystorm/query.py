@@ -382,6 +382,8 @@ class SegmentIndex:
             return self.topk_pruned(query_text, k)
         if mode == "phrase":
             return self.topk_phrase(query_text, k)
+        if mode == "collapsed":
+            return self.topk_collapsed(query_text, k)
         docids, scores = self._score_mode(query_text, mode)
         return self._format_topk(docids, scores, k)
 
@@ -572,6 +574,30 @@ class SegmentIndex:
         return self._format_sorted(
             docids[keep], vals[keep], key[keep], k, field
         )
+
+    def topk_collapsed(
+        self, query_text: str, k: int, mode: str = "bm25"
+    ) -> pd.DataFrame:
+        """Field collapsing (ES ``collapse`` on the conversation key):
+        keep each conversation's single best turn — (rounded score
+        desc, turn asc) within the conversation — then rank the
+        collapsed set globally.  One result per conversation; the
+        all-turns-of-one-conv pileup a plain top-k can produce is
+        gone.  Vectorized: conversation index via one searchsorted over
+        the codec bases, best-per-conv via lexsort + run detection."""
+        docids, scores = self._score_mode(query_text, mode)
+        if not len(docids):
+            return self._format_topk(docids, scores, k)
+        ci = np.searchsorted(self.codec.bases, docids, side="right") - 1
+        r = round_half_up(scores, RANK_ROUND)
+        # within a conversation: best rounded score first, then docid
+        # (== turn) ascending; first row of each conv run wins
+        order = np.lexsort((docids, -r, ci))
+        first = np.empty(len(order), bool)
+        first[0] = True
+        first[1:] = ci[order][1:] != ci[order][:-1]
+        sel = order[first]
+        return self._format_topk(docids[sel], scores[sel], k)
 
     def _score_bm25(self, query_text: str):
         toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
@@ -1949,6 +1975,49 @@ SELECT r.query_id, CAST(r.rank - q.qk * {page - 1} AS INTEGER) AS rank,
        r.conv_id, r.turn_idx, r.ts_us
 FROM ranked r JOIN queries q ON q.query_id = r.query_id
 WHERE r.rank > q.qk * {page - 1} AND r.rank <= q.qk * {page}
+ORDER BY r.query_id, rank
+"""
+
+
+def collapsed_topk_sql(queries=REFERENCE_QUERIES, k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of :meth:`SegmentIndex.topk_collapsed`: per (query, conv)
+    the best turn — (rounded score desc, turn asc) — survives, then the
+    survivors rank globally exactly like plain BM25."""
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+best AS (
+  SELECT query_id, conv_id, turn_idx, score,
+         row_number() OVER (
+           PARTITION BY query_id, conv_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, turn_idx) AS rn
+  FROM scores
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM best WHERE rn = 1
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
 ORDER BY r.query_id, rank
 """
 

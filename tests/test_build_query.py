@@ -542,3 +542,22 @@ def test_search_top_terms_matches_oracle(ray_session, index_dir, duck):
     # has hits at all (the query term is in every matching doc)
     m = got[got.query_id == "q02"]
     assert "merge" in set(m.term)
+
+
+def test_collapsed_matches_oracle_and_invariants(ray_session, index_dir, duck):
+    """Field collapsing: one hit per conversation, each the conv's best
+    turn; globally rank-identical to the SQL mirror."""
+    idx = query.SegmentIndex(index_dir)
+    engine = _engine_topk(index_dir, "collapsed")
+    oracle = duck.execute(query.collapsed_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        engine.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
+    )
+    for _qid, text, k in query.REFERENCE_QUERIES:
+        c = idx.topk(text, 10**9, "collapsed")
+        assert c.conv_id.is_unique
+        plain = idx.topk(text, 10**9, "bm25")
+        # every collapsed hit is that conversation's best plain hit
+        best = plain.loc[plain.groupby("conv_id")["rank"].idxmin()]
+        m = c.merge(best, on="conv_id", suffixes=("_c", "_p"))
+        assert (m.turn_idx_c == m.turn_idx_p).all()
