@@ -870,6 +870,53 @@ def _q_spell_suggest(sf_dir: str):
     return idx.suggest_terms(query.MISSPELLED_TERMS)
 
 
+def _q_suggest_complete(sf_dir: str):
+    """Search-as-you-type prefix completion: top-k dictionary
+    completions per prefix by (df desc, term asc), via two binary
+    searches over the sorted term dictionary
+    (query.SegmentIndex.suggest_complete; oracle query.complete_sql)."""
+    idx = query.SegmentIndex(_index_for(sf_dir))
+    return idx.suggest_complete(query.COMPLETE_PREFIXES, k=query.COMPLETE_K)
+
+
+def _q_topk_bm25_regexp(sf_dir: str):
+    """Regexp retrieval (Lucene RegexpQuery): each pattern expands to
+    its df-capped full-match dictionary terms via one vectorized RE2
+    pass (query.SegmentIndex.expand_regex) and the union scores as
+    disjunctive BM25.  The oracle re-derives the expansion with DuckDB
+    regexp_full_match — RE2 on both sides (query.regexp_topk_sql)."""
+    return _run_reference_queries(sf_dir, "bm25_regex", queries=query.REGEX_QUERIES)
+
+
+def _q_search_cardinality(sf_dir: str):
+    """Hit-set cardinality (ES cardinality aggregation): per query the
+    exact hit count, exact distinct-conversation count, and the KMV
+    sketch estimate of the latter — deterministic via the shared
+    md5int60 hash, so the ESTIMATE itself hash-compares against the
+    oracle's re-derivation (query.batch_cardinality;
+    oracle query.cardinality_sql)."""
+    return query.batch_cardinality(_index_for(sf_dir))
+
+
+def _q_search_export(sf_dir: str):
+    """Scroll-style export: EVERY hit of every reference query, globally
+    ranked, streamed into hash-sharded resumable parquet (one query's
+    rows never split across shards) and read back — the hit-set-sized
+    path that must stay a Dataset end to end (query.export_hits;
+    oracle query.export_sql)."""
+    from raystorm import sinks
+
+    index_dir = _index_for(sf_dir)
+    out_dir = os.path.join(index_dir, "export_hits")
+    query.export_hits(index_dir, out_dir, fingerprint=index_dir)
+    return (
+        sinks.read_partitioned(out_dir)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_topk_faithful(sf_dir: str):
     return _run_reference_queries(sf_dir, "faithful")
 
@@ -936,6 +983,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_phrase_updated": _q_topk_phrase_updated,
         "topk_bm25_prox": _q_topk_bm25_prox,
         "spell_suggest": _q_spell_suggest,
+        "suggest_complete": _q_suggest_complete,
+        "topk_bm25_regexp": _q_topk_bm25_regexp,
+        "search_cardinality": _q_search_cardinality,
+        "search_export": _q_search_export,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
         "topk_faithful_deleted": _q_topk_faithful_deleted,
@@ -1022,6 +1073,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_phrase_updated": query.phrase_topk_sql(),
         "topk_bm25_prox": positional.bm25_prox_topk_sql(),
         "spell_suggest": query.suggest_sql(),
+        "suggest_complete": query.complete_sql(),
+        "topk_bm25_regexp": query.regexp_topk_sql(),
+        "search_cardinality": query.cardinality_sql(),
+        "search_export": query.export_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_faithful_deleted": query.faithful_topk_sql(mask_pred=DELETE_PRED_SQL),

@@ -366,6 +366,38 @@ class SegmentIndex:
                 rows.append((m, best[1], best[2], best[3]))
         return pd.DataFrame(rows, columns=["term", "suggestion", "dist", "df"])
 
+    def suggest_complete(
+        self, prefixes, field: str = "text", k: int = 3
+    ) -> pd.DataFrame:
+        """Search-as-you-type prefix completion: for each input prefix,
+        the top-``k`` dictionary completions by (df desc, term asc) —
+        the Lucene suggest / ES ``completion`` shape, minus the
+        dedicated FST (the sorted dictionary's two binary searches make
+        one unnecessary at this design point).
+
+        Same cost shape as :meth:`expand_prefix`: O(log V + R log R)
+        per prefix, actor-local.  Prefixes with no completion are
+        omitted.  Oracle: :func:`complete_sql`.
+        """
+        fd = self._dict.get(field)
+        rows = []
+        if fd is not None:
+            for p in sorted(set(prefixes)):
+                if not p:
+                    continue
+                lo, hi = fd.prefix_range(p)
+                if lo >= hi:
+                    continue
+                dfs = fd.df[lo:hi]
+                order = np.argsort(-dfs, kind="stable")[:k]
+                for rank, i in enumerate(order, 1):
+                    rows.append(
+                        (p, rank, fd.terms[lo + int(i)].as_py(), int(dfs[i]))
+                    )
+        return pd.DataFrame(
+            rows, columns=["prefix", "rank", "completion", "df"]
+        ).astype({"rank": np.int32, "df": np.int64}, errors="ignore")
+
     def _drop_deleted(self, docids: np.ndarray, *cols):
         """Filter tombstoned docids out of parallel arrays (no-op when
         the index has no tombstones)."""
@@ -399,6 +431,8 @@ class SegmentIndex:
             return self._score_bm25_wildcard(query_text)
         if mode == "bm25_fuzzy":
             return self._score_bm25_fuzzy(query_text)
+        if mode == "bm25_regex":
+            return self._score_bm25_regex(query_text)
         if mode == "bm25_bool":
             return self._score_bm25_boolean(query_text)
         if mode == "bm25_boost":
@@ -708,6 +742,49 @@ class SegmentIndex:
             return []
         order = np.argsort(-fd.df[idxs], kind="stable")[:cap]
         return sorted(fd.terms[int(idxs[i])].as_py() for i in order)
+
+    def expand_regex(
+        self, pattern: str, field: str = "text", max_expansions: int | None = None
+    ) -> list[str]:
+        """Vocabulary terms fully matching ``pattern`` (Lucene
+        RegexpQuery), capped to the ``max_expansions`` highest-df
+        (ties: term asc), returned sorted.
+
+        One vectorized RE2 pass over the dictionary's Arrow term array
+        (``pc.match_substring_regex`` with explicit ``^(?:…)$``
+        anchors) — actor-local, like :meth:`expand_suffix`.  Both
+        Arrow and DuckDB (``regexp_full_match``) evaluate RE2, so the
+        oracle reproduces the match set exactly.  The 100M-term design
+        point is the standard automaton-intersection walk over the
+        sorted dictionary (Lucene's approach); the vectorized scan is
+        the right trade while the dictionary is the smallest index
+        structure.
+        """
+        import pyarrow.compute as pc
+
+        cap = self.MAX_EXPANSIONS if max_expansions is None else max_expansions
+        fd = self._dict.get(field)
+        if fd is None or not pattern:
+            return []
+        mask = pc.match_substring_regex(
+            fd.terms, pattern=f"^(?:{pattern})$"
+        ).to_numpy(zero_copy_only=False)
+        idxs = np.nonzero(mask)[0]
+        if not len(idxs):
+            return []
+        order = np.argsort(-fd.df[idxs], kind="stable")[:cap]
+        return sorted(fd.terms[int(idxs[i])].as_py() for i in order)
+
+    def _score_bm25_regex(self, query_text: str):
+        """Regexp retrieval: each whitespace-separated pattern expands
+        to its df-capped full-match dictionary terms
+        (:meth:`expand_regex`); the deduped union scores disjunctively
+        with real per-term idf — the RegexpQuery→OR rewrite, mirroring
+        :meth:`_score_bm25_wildcard`."""
+        terms = set()
+        for pat in query_text.split():
+            terms.update(self.expand_regex(pat))
+        return self._score_bm25_terms(sorted(terms))
 
     #: fuzzy-match edit-distance bound (Lucene FuzzyQuery's default) and
     #: its own expansion cap — smaller than MAX_EXPANSIONS so the
@@ -1454,6 +1531,298 @@ SELECT q.query_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_hits
 FROM queries q LEFT JOIN counts c ON c.query_id = q.query_id
 ORDER BY q.query_id
 """
+
+
+class ExportScorer:
+    """Actor-pool stage: one query row -> ALL of its hits, globally
+    ranked — the ES scroll / "export every match" shape.  Unlike
+    :class:`QueryScorer` there is no k cut, so the output is
+    hit-set-sized: callers must keep it a Dataset (``export_hits``
+    streams it into resumable partitioned parquet; nothing
+    hit-set-sized ever lands on the driver)."""
+
+    def __init__(self, index_dir: str, mode: str = "bm25"):
+        self.index = SegmentIndex(index_dir)
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ids, sc = self.index._score_mode(text, self.mode)
+            if not len(ids):
+                continue
+            df = self.index._format_topk(ids, sc, len(ids))
+            df.insert(0, "query_id", qid)
+            out.append(df)
+        if not out:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.int32()),
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int32()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.Table.from_pandas(
+            pd.concat(out, ignore_index=True), preserve_index=False
+        )
+
+
+def export_hits(
+    index_dir: str,
+    out_dir: str,
+    queries=REFERENCE_QUERIES,
+    mode: str = "bm25",
+    num_shards: int = 4,
+    fingerprint: str = "",
+) -> list[dict]:
+    """Stream every hit of every query into hash-sharded, resumable
+    parquet under ``out_dir`` (gate ``search_export``; oracle
+    :func:`export_sql`).
+
+    The scorer emits per-query full hit sets with ``batch_size=1`` so
+    one corpus-sized hit set is the block unit — the streaming executor
+    pipelines scoring and shard writes and the driver only ever sees
+    shard manifests.  All rows of one query land in one shard
+    (``sinks.write_partitioned`` keys on query_id), so a failed export
+    resumes by skipping completed shards.
+    """
+    import ray.data as rd
+
+    from . import sinks
+
+    qds = rd.from_arrow(queries_table(queries))
+    hits = qds.map_batches(
+        ExportScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=1,
+    )
+    return sinks.write_partitioned(
+        hits, out_dir, "query_id", num_shards=num_shards, fingerprint=fingerprint
+    )
+
+
+def export_sql(queries=REFERENCE_QUERIES, k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of :func:`export_hits`: the full BM25 hit set per query
+    (no LIMIT), ranked exactly like :func:`bm25_topk_sql`."""
+    return f"""
+WITH {corpus_ctes()},
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+)
+SELECT query_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+       conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       round(score, {SCORE_ROUND}) AS score
+FROM scores
+ORDER BY query_id, rank
+"""
+
+
+#: per-query KMV size for hit-set cardinality — small enough that the
+#: estimator path (not just the exact small-set path) is exercised at
+#: test scale; production callers size it for their error budget
+CARDINALITY_K = 16
+
+#: REFERENCE_QUERIES plus a tail-term query whose hit set stays under
+#: CARDINALITY_K distinct conversations, pinning the sketch's exact
+#: small-set path alongside the estimator path
+CARDINALITY_QUERIES = REFERENCE_QUERIES + (("q11", "dup", 10),)
+
+
+class CardinalityScorer:
+    """Actor-pool stage: queries batch -> per-query hit-set cardinality
+    — the ES ``cardinality`` aggregation.  Emits the exact hit count,
+    the exact distinct-conversation count, and the KMV sketch estimate
+    of the latter (deterministic via the shared md5int60 hash, so even
+    the ESTIMATE is oracle-checkable bit-for-bit; the sketch is what
+    survives at 100 TB, where per-query exact distincts would be a
+    corpus-sized shuffle per query)."""
+
+    def __init__(self, index_dir: str, mode: str = "bm25", k: int = CARDINALITY_K):
+        self.index = SegmentIndex(index_dir)
+        self.mode = mode
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .analysis import md5int60_np
+        from .sketches import kmv_estimate
+
+        qids, n_hits, n_convs, ests = [], [], [], []
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ids, _ = self.index._score_mode(text, self.mode)
+            conv, _turn = self.index.codec.decode(ids)
+            u = np.unique(np.asarray(conv).astype(str))
+            qids.append(qid)
+            n_hits.append(len(ids))
+            n_convs.append(len(u))
+            h = np.unique(md5int60_np(u)) if len(u) else np.empty(0, np.int64)
+            if len(h) > self.k:
+                h = np.partition(h, self.k - 1)[: self.k]
+                h.sort()
+            ests.append(kmv_estimate(h, self.k))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "n_convs": pa.array(n_convs, pa.int64()),
+                "kmv_est": pa.array(ests, pa.float64()),
+            }
+        )
+
+
+def batch_cardinality(
+    index_dir: str, queries=CARDINALITY_QUERIES, mode: str = "bm25"
+) -> pd.DataFrame:
+    """Actor-pool hit-set cardinality over a query set (gate
+    ``search_cardinality``; oracle :func:`cardinality_sql`)."""
+    import ray.data as rd
+
+    qds = rd.from_arrow(queries_table(queries))
+    return (
+        qds.map_batches(
+            CardinalityScorer,
+            fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=4,
+        )
+        .to_pandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+
+
+def cardinality_sql(queries=CARDINALITY_QUERIES, k: int = CARDINALITY_K) -> str:
+    """Mirror of :func:`batch_cardinality`: exact hit / distinct-conv
+    counts plus the KMV estimate re-derived from the same md5int60
+    hashes ((k-1)·2^60 / h_k past k distinct hashes, exact below)."""
+    from .analysis import md5int60_sql
+
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id) AS (SELECT query_id FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+cands AS (
+  SELECT DISTINCT q.query_id, t.conv_id, t.turn_idx
+  FROM qterms q JOIN tfs t ON t.term = q.term
+),
+counts AS (
+  SELECT query_id, count(*) AS n_hits, count(DISTINCT conv_id) AS n_convs
+  FROM cands GROUP BY query_id
+),
+hashes AS (
+  SELECT DISTINCT query_id, {md5int60_sql('conv_id')} AS h
+  FROM (SELECT DISTINCT query_id, conv_id FROM cands)
+),
+ranked AS (
+  SELECT query_id, h,
+         row_number() OVER (PARTITION BY query_id ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY query_id) AS cnt
+  FROM hashes
+),
+est AS (
+  SELECT query_id,
+         CASE WHEN max(cnt) < {k} THEN CAST(max(cnt) AS DOUBLE)
+              ELSE round(({k} - 1) * 1152921504606846976.0
+                         / max(CASE WHEN rn = {k} THEN h END), 6) END AS kmv_est
+  FROM ranked GROUP BY query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(c.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(c.n_convs, 0) AS BIGINT) AS n_convs,
+       coalesce(e.kmv_est, 0.0) AS kmv_est
+FROM queries q
+LEFT JOIN counts c ON c.query_id = q.query_id
+LEFT JOIN est e ON e.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+#: prefix-completion probe set: a 6-way cap-exercising prefix ("s"),
+#: two-term and one-term prefixes, and an absent prefix (omitted)
+COMPLETE_PREFIXES = ("s", "c", "me", "qu", "zz")
+COMPLETE_K = 3
+
+
+def complete_sql(prefixes=COMPLETE_PREFIXES, k: int = COMPLETE_K) -> str:
+    """Mirror of :meth:`SegmentIndex.suggest_complete`: per-prefix
+    top-k dictionary completions by (df desc, term asc)."""
+    vals = ", ".join(f"('{p}')" for p in sorted(set(prefixes)))
+    return f"""
+WITH {corpus_ctes()},
+prefixes(prefix) AS (VALUES {vals}),
+ranked AS (
+  SELECT p.prefix, d.term AS completion, d.df,
+         row_number() OVER (PARTITION BY p.prefix
+                            ORDER BY d.df DESC, d.term ASC) AS rn
+  FROM prefixes p JOIN dfs d ON d.term LIKE p.prefix || '%'
+)
+SELECT prefix, CAST(rn AS INTEGER) AS rank, completion, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rn <= {k}
+ORDER BY prefix, rank
+"""
+
+
+# Regexp query set: prefix-shaped, infix, character-class,
+# cap-exercising ("s.*" matches 6 vocabulary terms, MAX_EXPANSIONS=4
+# binds), alternation + second pattern, and a no-match pattern.
+REGEX_QUERIES = (
+    ("r01", "mer.*", 10),
+    ("r02", ".*oin.*", 10),
+    ("r03", "s[mo].*", 10),
+    ("r04", "s.*", 10),
+    ("r05", "(hash|merge) .*dow.*", 10),
+    ("r06", "zzz.*", 10),
+)
+
+
+def regexp_topk_sql(
+    queries=REGEX_QUERIES,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_expansions: int | None = None,
+) -> str:
+    """Oracle for the ``bm25_regex`` mode: per-pattern full-match
+    dictionary expansion (DuckDB ``regexp_full_match`` == Arrow RE2
+    with explicit anchors), capped to the ``max_expansions`` highest-df
+    (ties: term asc) — the exact rule of
+    :meth:`SegmentIndex.expand_regex` — then the plain disjunctive BM25
+    chain over the deduped per-query union."""
+    cap = SegmentIndex.MAX_EXPANSIONS if max_expansions is None else max_expansions
+    pat_rows = []
+    for qid, text, _k in queries:
+        pat_rows += [f"('{qid}', '{p}')" for p in text.split()]
+    qterms_sql = f"""qpat(query_id, pattern) AS (VALUES {', '.join(pat_rows)}),
+qexpand AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, p.pattern, d.term,
+           row_number() OVER (PARTITION BY p.query_id, p.pattern
+                              ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM qpat p JOIN dfs d ON regexp_full_match(d.term, p.pattern)
+  ) WHERE rn <= {cap}
+),
+qterms AS (SELECT DISTINCT query_id, term FROM qexpand)"""
+    return bm25_topk_sql(queries=queries, k1=k1, b=b, qterms_sql=qterms_sql)
 
 
 # Wildcard query set: trailing-* (prefix) and leading-* (suffix)
