@@ -21,7 +21,7 @@ from typing import Any
 import pandas as pd
 import pyarrow as pa
 
-from raystorm import build, corpus, facets, normalize, pipelines, positional, query, snippets
+from raystorm import build, corpus, facets, hybrid, normalize, pipelines, positional, query, snippets
 
 
 def _index_for(sf_dir: str) -> str:
@@ -693,6 +693,15 @@ def _q_topk_collapsed(sf_dir: str):
     return _run_reference_queries(sf_dir, "collapsed")
 
 
+def _q_topk_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: the collapsed-BM25 lexical leg and the
+    exact-cosine dense leg (embeddings table; query vector broadcast,
+    per-block partial top-k) fused with reciprocal-rank fusion — the
+    ES/OpenSearch hybrid-search default (hybrid.hybrid_rrf_topk;
+    oracle hybrid.hybrid_rrf_sql re-derives both legs and the fusion)."""
+    return hybrid.hybrid_rrf_topk(sf_dir, _index_for(sf_dir))
+
+
 def _q_search_percentiles(sf_dir: str):
     """Percentiles aggregation (ES percentiles) of the ts doc value over
     each query's full hit set — rank-exact (value at ascending rank
@@ -973,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_top_terms": _q_search_top_terms,
         "search_percentiles": _q_search_percentiles,
         "topk_collapsed": _q_topk_collapsed,
+        "topk_hybrid_rrf": _q_topk_hybrid_rrf,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -1063,6 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         "search_top_terms": facets.top_terms_sql(),
         "search_percentiles": facets.percentiles_sql(),
         "topk_collapsed": query.collapsed_topk_sql(),
+        "topk_hybrid_rrf": hybrid.hybrid_rrf_sql(),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

@@ -1,0 +1,286 @@
+"""Hybrid lexical + dense retrieval with reciprocal-rank fusion.
+
+The modern search-engine default (ES / OpenSearch "hybrid search"):
+run the text query through the BM25 index AND an embedded form of the
+query through the vector store, then fuse the two ranked lists with
+reciprocal-rank fusion — ``rrf(conv) = Σ_leg 1/(RRF_K + rank_leg)``
+over the legs where the conversation appears inside each leg's rank
+window (Cormack/Clarke/Buettcher, SIGIR 2009).  Rank fusion needs no
+score calibration between the legs, which is exactly why engines ship
+it as the default combiner.
+
+Both legs are existing, independently-gated machinery:
+
+- the **lexical leg** is the collapsed BM25 ranking (one result per
+  conversation — ``query.SegmentIndex.topk_collapsed``) evaluated by
+  the standard ``QueryScorer`` actor pool;
+- the **dense leg** is the exact-cosine partial-top-k over the
+  embeddings table (``similarity._PartialTopK`` with the query matrix
+  broadcast once via ``ray.put``), self-match kept — the query vector
+  stands for the query, not a corpus row to hide.
+
+Each hybrid query is ``(query_id, text, vec_id, k)``: ``text`` feeds
+the lexical leg, ``embeddings[vec_id]`` is the deterministic stand-in
+for "the embedded query" (no model in this environment), and the
+fusion keys on the conversation (``vec_id v ↔ conv-%08d % v`` — the
+corpus derivation in corpus.py gives documents, embeddings and
+conversations one shared id space).
+
+Scale shape: each leg is already bounded — the lexical leg is the
+serving top-k path, the dense leg ships per-block partial top-k
+(RRF_WINDOW rows per block per query) to a driver merge, so fusion
+sees ≤ 2·RRF_WINDOW rows per query regardless of corpus size.  At
+100 TB the dense leg swaps to the IVF-bucketed variant
+(``similarity.ann_ivf_topk``) with the same (rank, conv) output
+contract; the fusion math is unchanged.
+
+Oracle: :func:`hybrid_rrf_sql` re-derives both legs in DuckDB (the
+collapsed-BM25 CTE chain and ``list_cosine_similarity`` over
+``CAST(embedding AS DOUBLE[])`` — see CLAUDE.md on float32 list math)
+and fuses with the same windows, caps and tie rules, so the gate
+hash-compares ranks AND fused scores.
+
+Reference analog: SearchServer.java's ranking is lexical-only; the
+dense leg + fusion is part of the training-data-pipeline surface this
+engine adds (brief: similarity search as a first-class component).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import query as q
+from . import similarity as sim
+from .analysis import round_half_up
+
+#: RRF smoothing constant (the literature/engine default)
+RRF_K = 60
+
+#: per-leg rank window: how deep each leg's list goes into the fusion.
+#: Small enough that window-exclusion cases exist at test scale (a conv
+#: on one leg only), large enough that fused top-k is stable.
+RRF_WINDOW = 20
+
+#: (query_id, lexical text, query vec_id, k).  Legs are deliberately
+#: heterogeneous: h04's lexical leg is empty (absent term -> dense-only
+#: fusion), h01/h02 reuse reference-query texts so the lexical leg is
+#: pinned by the existing collapsed gate, vec_ids 0-4 are the ANN
+#: gates' canonical query rows.
+HYBRID_QUERIES = (
+    ("h01", "merge", 0, 10),
+    ("h02", "hash join", 1, 10),
+    ("h03", "window agg stream", 2, 10),
+    ("h04", "zzzabsent", 3, 10),
+    ("h05", "sort merge join big", 4, 10),
+)
+
+#: cosine rank parity point (see similarity.ROUND: round-6 is the
+#: engine↔DuckDB agreement level for float64 cosine)
+COS_ROUND = sim.ROUND
+
+
+def _conv_of(vec_ids: np.ndarray) -> np.ndarray:
+    """vec_id -> conv_id under the shared corpus id space."""
+    return np.array([f"conv-{int(v):08d}" for v in vec_ids])
+
+
+def _lex_ranks(index_dir: str, queries) -> pd.DataFrame:
+    """Lexical leg: collapsed BM25 via the QueryScorer actor pool,
+    windowed to RRF_WINDOW -> (query_id, conv_id, r_lex)."""
+    import ray.data as rd
+
+    q3 = tuple((qid, text, RRF_WINDOW) for qid, text, _v, _k in queries)
+    out = (
+        rd.from_arrow(q.queries_table(q3))
+        .map_batches(
+            q.QueryScorer,
+            fn_constructor_kwargs={"index_dir": index_dir, "mode": "collapsed"},
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=4,
+        )
+        .to_pandas()
+    )
+    return out.rename(columns={"rank": "r_lex"})[["query_id", "conv_id", "r_lex"]]
+
+
+def _dense_ranks(sf_dir: str, queries) -> pd.DataFrame:
+    """Dense leg: exact cosine partial-top-k over the embeddings table
+    (query matrix broadcast once; self-match kept), windowed to
+    RRF_WINDOW -> (query_id, conv_id, r_dense)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    vec_ids = sorted({int(v) for _qid, _t, v, _k in queries})
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", vec_ids)],
+    )
+    ids = tbl["vec_id"].to_numpy()
+    qmat = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    order = np.argsort(ids)
+    ids, qmat = ids[order], qmat[order]
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qref = ray.put((ids, qmat))
+
+    cand = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .map_batches(
+            sim._PartialTopK(qref, RRF_WINDOW, exclude_self=False),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    merged = sim._merge_topk(cand, RRF_WINDOW)
+    merged["conv_id"] = _conv_of(merged["vec_id"].to_numpy())
+    # a vec_id may back several hybrid queries: fan the per-vector
+    # ranking out to each query that uses it
+    qmap = pd.DataFrame(
+        {
+            "query_id": [qid for qid, _t, _v, _k in queries],
+            "query_vec": [int(v) for _qid, _t, v, _k in queries],
+        }
+    )
+    out = qmap.merge(merged, on="query_vec")
+    out = out.rename(columns={"rank": "r_dense"})
+    return out[["query_id", "conv_id", "r_dense"]]
+
+
+def hybrid_rrf_topk(
+    sf_dir: str, index_dir: str, queries=HYBRID_QUERIES
+) -> pd.DataFrame:
+    """BM25 (collapsed) + exact-cosine legs fused with reciprocal-rank
+    fusion (gate ``topk_hybrid_rrf``; oracle :func:`hybrid_rrf_sql`).
+
+    Output per query: top-``k`` conversations by
+    ``round(rrf, RANK_ROUND) desc, conv_id asc`` with the fused score
+    and each leg's rank (0 = the conv fell outside that leg's window).
+    """
+    lex = _lex_ranks(index_dir, queries)
+    den = _dense_ranks(sf_dir, queries)
+    fused = lex.merge(den, on=["query_id", "conv_id"], how="outer")
+    r_lex = fused["r_lex"].fillna(0).to_numpy(np.int64)
+    r_den = fused["r_dense"].fillna(0).to_numpy(np.int64)
+    rrf = np.where(r_lex > 0, 1.0 / (RRF_K + r_lex), 0.0) + np.where(
+        r_den > 0, 1.0 / (RRF_K + r_den), 0.0
+    )
+    fused = fused.assign(rrf=rrf, r_lex=r_lex, r_den=r_den)
+
+    ks = {qid: int(k) for qid, _t, _v, k in queries}
+    out = []
+    for qid, g in fused.groupby("query_id", sort=True):
+        key = round_half_up(g["rrf"].to_numpy(), q.RANK_ROUND)
+        order = np.lexsort((g["conv_id"].to_numpy(), -key))[: ks[qid]]
+        sel = g.iloc[order]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                    "conv_id": sel["conv_id"].to_numpy(),
+                    "rrf_score": round_half_up(
+                        sel["rrf"].to_numpy(), q.SCORE_ROUND
+                    ),
+                    "r_lex": sel["r_lex"].to_numpy(np.int32),
+                    "r_dense": sel["r_den"].to_numpy(np.int32),
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(
+            columns=["query_id", "rank", "conv_id", "rrf_score", "r_lex", "r_dense"]
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def hybrid_rrf_sql(
+    queries=HYBRID_QUERIES, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Mirror of :func:`hybrid_rrf_topk`: the collapsed-BM25 leg and the
+    ``list_cosine_similarity`` leg, each windowed to RRF_WINDOW with the
+    engine's exact tie rules, full-outer fused on (query, conv)."""
+    q3 = tuple((qid, text, RRF_WINDOW) for qid, text, _v, _k in queries)
+    hq = ", ".join(
+        f"('{qid}', {int(v)}, {int(k)})" for qid, _t, v, k in queries
+    )
+    return f"""
+WITH {q.corpus_ctes()},
+hq(query_id, qvec, qk) AS (VALUES {hq}),
+qterms(query_id, term) AS (VALUES {q._qterms_values(q3, dedup=True)}),
+scores AS (
+  SELECT qt.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms qt
+  JOIN tfs t ON t.term = qt.term
+  JOIN dfs d ON d.term = qt.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY qt.query_id, t.conv_id, t.turn_idx
+),
+best AS (
+  SELECT query_id, conv_id, turn_idx, score,
+         row_number() OVER (
+           PARTITION BY query_id, conv_id
+           ORDER BY round(score, {q.RANK_ROUND}) DESC, turn_idx) AS rn
+  FROM scores
+),
+lex AS (
+  SELECT query_id, conv_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {q.RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS r_lex
+  FROM best WHERE rn = 1
+),
+lexw AS (SELECT * FROM lex WHERE r_lex <= {RRF_WINDOW}),
+qv AS (
+  SELECT h.query_id, e.embedding FROM hq h JOIN embeddings e ON e.vec_id = h.qvec
+),
+dscored AS (
+  SELECT v.query_id, e.vec_id,
+         round(list_cosine_similarity(
+           CAST(v.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), {COS_ROUND}) AS cosine
+  FROM qv v CROSS JOIN embeddings e
+),
+dense AS (
+  SELECT query_id,
+         'conv-' || lpad(CAST(vec_id AS VARCHAR), 8, '0') AS conv_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS r_dense
+  FROM dscored
+),
+densew AS (SELECT * FROM dense WHERE r_dense <= {RRF_WINDOW}),
+fused AS (
+  SELECT query_id, conv_id,
+         coalesce(l.r_lex, 0) AS r_lex,
+         coalesce(d.r_dense, 0) AS r_dense,
+         (CASE WHEN l.r_lex IS NULL THEN 0.0 ELSE 1.0 / ({RRF_K} + l.r_lex) END
+          + CASE WHEN d.r_dense IS NULL THEN 0.0 ELSE 1.0 / ({RRF_K} + d.r_dense) END) AS rrf
+  FROM lexw l FULL OUTER JOIN densew d USING (query_id, conv_id)
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(rrf, {q.RANK_ROUND}) DESC, conv_id) AS INTEGER) AS rank,
+         conv_id, round(rrf, {q.SCORE_ROUND}) AS rrf_score,
+         CAST(r_lex AS INTEGER) AS r_lex, CAST(r_dense AS INTEGER) AS r_dense
+  FROM fused
+)
+SELECT r.query_id, r.rank, r.conv_id, r.rrf_score, r.r_lex, r.r_dense
+FROM ranked r JOIN hq h ON h.query_id = r.query_id
+WHERE r.rank <= h.qk
+ORDER BY r.query_id, r.rank
+"""

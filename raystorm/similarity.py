@@ -88,9 +88,10 @@ def _load_queries(sf_dir: str):
 class _PartialTopK:
     """embeddings batch -> per-query partial top-k (query matrix broadcast)."""
 
-    def __init__(self, qref, k):
+    def __init__(self, qref, k, exclude_self: bool = True):
         self.qref = qref
         self.k = k
+        self.exclude_self = exclude_self
         self._q = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -105,7 +106,10 @@ class _PartialTopK:
         out_q, out_v, out_s = [], [], []
         for i, qid in enumerate(qids):
             s = sims[i]
-            mask = vids != qid  # exclude self
+            # ANN gates exclude the query's own corpus row; hybrid
+            # fusion keeps it (the query vector stands for the query,
+            # not a corpus doc to hide)
+            mask = vids != qid if self.exclude_self else np.ones(len(vids), bool)
             idx = np.nonzero(mask)[0]
             if len(idx) == 0:
                 continue

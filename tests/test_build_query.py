@@ -561,3 +561,25 @@ def test_collapsed_matches_oracle_and_invariants(ray_session, index_dir, duck):
         best = plain.loc[plain.groupby("conv_id")["rank"].idxmin()]
         m = c.merge(best, on="conv_id", suffixes=("_c", "_p"))
         assert (m.turn_idx_c == m.turn_idx_p).all()
+
+
+def test_hybrid_rrf_fusion(ray_session, index_dir, duck):
+    """Hybrid RRF: oracle parity at sf0.001, leg-exclusion semantics
+    (h04's lexical term is absent -> dense-only fusion), and the fused
+    score recomputes from the emitted leg ranks."""
+    from raystorm import hybrid
+
+    got = hybrid.hybrid_rrf_topk(SF, index_dir)
+    want = duck.execute(hybrid.hybrid_rrf_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    h04 = got[got.query_id == "h04"]
+    assert len(h04) > 0 and (h04.r_lex == 0).all()
+    assert (got[got.query_id == "h01"].r_lex > 0).any()
+    lex = np.where(got.r_lex > 0, 1.0 / (hybrid.RRF_K + got.r_lex), 0.0)
+    den = np.where(got.r_dense > 0, 1.0 / (hybrid.RRF_K + got.r_dense), 0.0)
+    assert np.allclose(got.rrf_score, lex + den, atol=1e-6)
+    # ranks never exceed each leg's fusion window
+    assert int(got.r_lex.max()) <= hybrid.RRF_WINDOW
+    assert int(got.r_dense.max()) <= hybrid.RRF_WINDOW
