@@ -685,6 +685,15 @@ def _q_search_top_terms(sf_dir: str):
     return facets.search_top_terms(sf_dir, _index_for(sf_dir))
 
 
+def _q_search_significant_terms(sf_dir: str):
+    """Significant-terms aggregation (ES significant_terms): hit-set
+    terms with the largest document-frequency lift vs the background
+    corpus, the query's own terms excluded
+    (facets.search_significant_terms; oracle
+    facets.significant_terms_sql)."""
+    return facets.search_significant_terms(sf_dir, _index_for(sf_dir))
+
+
 def _q_topk_collapsed(sf_dir: str):
     """Field collapsing (ES collapse on the conversation key): each
     conversation's single best turn survives, then the collapsed set
@@ -980,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": _q_term_vectors,
         "search_facets_stats": _q_search_facets_stats,
         "search_top_terms": _q_search_top_terms,
+        "search_significant_terms": _q_search_significant_terms,
         "search_percentiles": _q_search_percentiles,
         "topk_collapsed": _q_topk_collapsed,
         "topk_hybrid_rrf": _q_topk_hybrid_rrf,
@@ -1071,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         "term_vectors": _term_vectors_oracle_sql(),
         "search_facets_stats": facets.facets_stats_sql(),
         "search_top_terms": facets.top_terms_sql(),
+        "search_significant_terms": facets.significant_terms_sql(),
         "search_percentiles": facets.percentiles_sql(),
         "topk_collapsed": query.collapsed_topk_sql(),
         "topk_hybrid_rrf": hybrid.hybrid_rrf_sql(),

@@ -26,6 +26,7 @@ import pyarrow as pa
 from . import corpus, normalize  # noqa: F401  (normalize: SQL mirror deps)
 from .analysis import join_fanout, round_half_up
 from .query import (
+    RANK_ROUND,
     REFERENCE_QUERIES,
     SCORE_ROUND,
     SegmentIndex,
@@ -362,6 +363,191 @@ ranked AS (
   FROM hit_terms
 )
 SELECT query_id, rank, term, total_tf
+FROM ranked WHERE rank <= {n}
+ORDER BY query_id, rank
+"""
+
+
+#: significant-terms result width and foreground-support floor (terms
+#: seen in fewer hit docs than the floor are noise, per the ES default)
+SIG_TERMS_N = 5
+SIG_MIN_FG_DF = 2
+
+
+def search_significant_terms(
+    sf_dir: str,
+    index_dir: str,
+    queries=REFERENCE_QUERIES,
+    n: int = SIG_TERMS_N,
+    mode: str = "bm25",
+) -> pd.DataFrame:
+    """Significant-terms aggregation (the ES ``significant_terms``
+    heuristic): for each query's FULL hit set, the terms whose hit-set
+    document frequency is anomalously high relative to the background
+    corpus — scored by frequency lift
+    ``(fg_df / fg_n) / (bg_df / N)``, the query's own terms excluded
+    (they are trivially significant), support floor ``fg_df >=
+    SIG_MIN_FG_DF``, top-``n`` by (rounded lift desc, term asc).
+
+    Shape: identical to :func:`search_top_terms` — no-cut hit stream ⋈
+    a per-block-DISTINCT (doc, term) token stream (each turn's tokens
+    live in one corpus block, so block-local dedup is globally exact),
+    per-block (query, term) partials bound the merge at
+    O(queries × vocab × blocks).  Background df/N resolve from the
+    index dictionary on the driver for the agg's candidate terms only
+    (vocab-bounded); the foreground hit count reuses the cardinality
+    scorer wave (queries-sized).  Oracle: :func:`significant_terms_sql`.
+    """
+    import ray.data as rd
+
+    from .query import batch_cardinality
+
+    qds = rd.from_arrow(queries_table(queries))
+    hits = qds.map_batches(
+        FacetScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    ).map_batches(
+        lambda b: b.select(["query_id", "conv_id", "turn_idx"]),
+        batch_format="pyarrow",
+    )
+
+    def explode_distinct(b: pa.Table) -> pa.Table:
+        toks, rows = normalize.tokenize_column(b["text"], "body")
+        conv = b["conv_id"].to_numpy(zero_copy_only=False)[rows]
+        turn = b["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)[rows]
+        t = pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array(turn, pa.int64()),
+                "term": pa.array(toks, pa.string()),
+            }
+        )
+        # block-local (doc, term) dedup == global dedup: a turn's tokens
+        # never split across corpus blocks
+        return t.group_by(["conv_id", "turn_idx", "term"]).aggregate([])
+
+    doc_terms = corpus.transcripts_from_documents(sf_dir).map_batches(
+        explode_distinct, batch_format="pyarrow"
+    )
+    joined = hits.join(
+        doc_terms,
+        join_type="inner",
+        num_partitions=join_fanout(),
+        on=("conv_id", "turn_idx"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["query_id", "term"]).aggregate([("term", "count")])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            columns=["query_id", "rank", "term", "fg_df", "bg_df", "lift"]
+        )
+    fg = parts.groupby(["query_id", "term"], as_index=False).agg(
+        fg_df=("term_count", "sum")
+    )
+    fg = fg[fg["fg_df"] >= SIG_MIN_FG_DF]
+
+    # exclude each query's own (tokenized) terms
+    own = set()
+    for qid, text, *_ in queries:
+        toks, _rows = normalize.tokenize_column(pa.array([text]), "body")
+        own.update((qid, t) for t in set(toks.tolist()))
+    keep = [
+        (qid, t) not in own for qid, t in zip(fg["query_id"], fg["term"])
+    ]
+    fg = fg[np.asarray(keep, bool)]
+
+    # background stats from the index dictionary (candidate terms only)
+    idx = SegmentIndex(index_dir)
+    fd = idx._dict.get("text")
+    big_n = float(idx.global_stats["text"]["N"])
+    bg = np.array(
+        [
+            float(fd.df[r]) if (r := fd.rank_of(t)) >= 0 else 0.0
+            for t in fg["term"]
+        ]
+    )
+    fg = fg[bg > 0]
+    bg = bg[bg > 0]
+
+    fgn = batch_cardinality(index_dir, queries=queries, mode=mode).set_index(
+        "query_id"
+    )["n_hits"]
+    n_fg = fgn.reindex(fg["query_id"]).to_numpy(np.float64)
+    lift = (fg["fg_df"].to_numpy(np.float64) / n_fg) / (bg / big_n)
+
+    fg = fg.assign(bg_df=bg.astype(np.int64), lift=lift)
+    out = []
+    for qid, g in fg.groupby("query_id", sort=True):
+        key = round_half_up(g["lift"].to_numpy(), RANK_ROUND)
+        order = np.lexsort((g["term"].to_numpy(), -key))[:n]
+        sel = g.iloc[order]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                    "term": sel["term"].to_numpy(),
+                    "fg_df": sel["fg_df"].to_numpy(np.int64),
+                    "bg_df": sel["bg_df"].to_numpy(np.int64),
+                    "lift": round_half_up(sel["lift"].to_numpy(), SCORE_ROUND),
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(
+            columns=["query_id", "rank", "term", "fg_df", "bg_df", "lift"]
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def significant_terms_sql(
+    queries=REFERENCE_QUERIES, n: int = SIG_TERMS_N, k1=1.2, b=0.75
+) -> str:
+    """Mirror of :func:`search_significant_terms`: hit-set df per term
+    (``tfs`` is distinct per (doc, term) by construction), lift vs the
+    ``dfs``/``gstats`` background, query-term anti-join, support floor,
+    top-n per query by (rounded lift desc, term asc)."""
+    return f"""
+WITH {corpus_ctes()},
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+cands AS (
+  SELECT DISTINCT q.query_id, t.conv_id, t.turn_idx
+  FROM qterms q JOIN tfs t ON t.term = q.term
+),
+fgn AS (SELECT query_id, count(*) AS fg_n FROM cands GROUP BY query_id),
+fg AS (
+  SELECT c.query_id, t2.term, count(*) AS fg_df
+  FROM cands c
+  JOIN tfs t2 ON t2.conv_id = c.conv_id AND t2.turn_idx = c.turn_idx
+  GROUP BY c.query_id, t2.term
+),
+scored AS (
+  SELECT f.query_id, f.term,
+         CAST(f.fg_df AS BIGINT) AS fg_df,
+         CAST(d.df AS BIGINT) AS bg_df,
+         (CAST(f.fg_df AS DOUBLE) / fn.fg_n) / (CAST(d.df AS DOUBLE) / g.n) AS lift
+  FROM fg f
+  JOIN dfs d ON d.term = f.term
+  JOIN fgn fn ON fn.query_id = f.query_id
+  CROSS JOIN gstats g
+  LEFT JOIN qterms qt ON qt.query_id = f.query_id AND qt.term = f.term
+  WHERE f.fg_df >= {SIG_MIN_FG_DF} AND qt.term IS NULL
+),
+ranked AS (
+  SELECT query_id, term, fg_df, bg_df,
+         round(lift, {SCORE_ROUND}) AS lift,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(lift, {RANK_ROUND}) DESC, term) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, term, fg_df, bg_df, lift
 FROM ranked WHERE rank <= {n}
 ORDER BY query_id, rank
 """
