@@ -935,6 +935,14 @@ def _q_search_export(sf_dir: str):
     )
 
 
+def _q_search_explain(sf_dir: str):
+    """Score explanation (Lucene IndexSearcher.explain): per-term
+    tf/df/idf/contribution breakdown of each reference query's top-1
+    BM25 hit; contributions sum to the hit's score
+    (query.batch_explain; oracle query.explain_sql)."""
+    return query.batch_explain(_index_for(sf_dir))
+
+
 def _q_topk_faithful(sf_dir: str):
     return _run_reference_queries(sf_dir, "faithful")
 
@@ -1006,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_complete": _q_suggest_complete,
         "topk_bm25_regexp": _q_topk_bm25_regexp,
         "search_cardinality": _q_search_cardinality,
+        "search_explain": _q_search_explain,
         "search_export": _q_search_export,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
@@ -1098,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_complete": query.complete_sql(),
         "topk_bm25_regexp": query.regexp_topk_sql(),
         "search_cardinality": query.cardinality_sql(),
+        "search_explain": query.explain_sql(),
         "search_export": query.export_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

@@ -408,6 +408,59 @@ class SegmentIndex:
         keep = ~deleted_docid_mask(docids, self._ts_starts, self._ts_ends)
         return (docids[keep], *(c[keep] for c in cols))
 
+    def explain(self, query_text: str, conv_id: str, turn_idx: int) -> pd.DataFrame:
+        """Lucene-style score explanation: the per-term BM25 breakdown
+        of one (query, doc) pair — tf, df, idf and the term's score
+        contribution, whose sum is exactly the doc's ``bm25`` score
+        (``segments.bm25_term_scores``, the same kernel the accumulator
+        runs).  Query terms absent from the doc (or the vocabulary)
+        are omitted.  Oracle: :func:`explain_sql`."""
+        from . import normalize
+
+        toks, _rows = normalize.tokenize_column(pa.array([query_text]), "body")
+        terms = sorted(set(toks.tolist()))
+        docid = int(
+            self.codec.encode(np.array([conv_id]), np.array([turn_idx]))[0]
+        )
+        gs = self.global_stats["text"]
+        fd = self._dict.get("text")
+        rows = []
+        if fd is not None:
+            for t in terms:
+                r = fd.rank_of(t)
+                if r < 0:
+                    continue
+                parts = self._decode_runs(
+                    fd, range(int(fd.run_start[r]), int(fd.run_start[r + 1]))
+                )
+                if not parts:
+                    continue
+                docids = np.concatenate([p[0] for p in parts])
+                pos = np.nonzero(docids == docid)[0]
+                if not len(pos):
+                    continue
+                tfs = np.concatenate([p[1] for p in parts])
+                dls = np.concatenate([p[2] for p in parts])
+                i = int(pos[0])
+                contrib = segments.bm25_term_scores(
+                    tfs[i : i + 1],
+                    dls[i : i + 1],
+                    float(fd.idf[r]),
+                    gs["avgdl"],
+                    self.k1,
+                    self.b,
+                )[0]
+                rows.append(
+                    (
+                        t,
+                        int(tfs[i]),
+                        int(fd.df[r]),
+                        float(round_half_up(np.float64(fd.idf[r]), SCORE_ROUND)),
+                        float(round_half_up(np.float64(contrib), SCORE_ROUND)),
+                    )
+                )
+        return pd.DataFrame(rows, columns=["term", "tf", "df", "idf", "contrib"])
+
     # ----- scoring -----
     def topk(self, query_text: str, k: int, mode: str = "bm25") -> pd.DataFrame:
         if mode == "bm25_pruned":
@@ -2841,3 +2894,77 @@ def batch_evaluate_sharded(index_dir: str, queries=REFERENCE_QUERIES) -> pd.Data
     return (
         out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
+
+
+#: explain fixture: the reference queries whose top-1 hit is explained
+#: (q08 pins duplicate-query-term semantics: one breakdown row)
+EXPLAIN_QUERIES = tuple(
+    s for s in REFERENCE_QUERIES if s[0] in ("q02", "q05", "q06", "q08", "q10")
+)
+
+
+def batch_explain(index_dir: str, queries=EXPLAIN_QUERIES) -> pd.DataFrame:
+    """Score explanation for each query's top-1 BM25 hit (gate
+    ``search_explain``; oracle :func:`explain_sql`): the per-term tf /
+    df / idf / contribution breakdown, contributions summing to the
+    hit's score.  Driver-local over the warm index — explain is a
+    per-document debug API (Lucene ``IndexSearcher.explain``), not a
+    fleet operation."""
+    idx = SegmentIndex(index_dir)
+    out = []
+    for qid, text, _k in queries:
+        top = idx.topk(text, 1, "bm25")
+        if not len(top):
+            continue
+        conv, turn = str(top.conv_id.iloc[0]), int(top.turn_idx.iloc[0])
+        ex = idx.explain(text, conv, turn)
+        ex.insert(0, "turn_idx", np.int32(turn))
+        ex.insert(0, "conv_id", conv)
+        ex.insert(0, "query_id", qid)
+        out.append(ex)
+    if not out:
+        return pd.DataFrame(
+            columns=["query_id", "conv_id", "turn_idx", "term", "tf", "df", "idf", "contrib"]
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def explain_sql(queries=EXPLAIN_QUERIES, k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of :func:`batch_explain`: the BM25 chain picks each
+    query's top-1 doc (same rank tie rule), then the per-term breakdown
+    recomputes tf/df/idf/contribution for exactly that doc."""
+    return f"""
+WITH {corpus_ctes()},
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+contribs AS MATERIALIZED (
+  -- referenced by both the top-1 pick and the breakdown: MATERIALIZED
+  -- so the token chain evaluates once (see CLAUDE.md on CTE inlining)
+  SELECT q.query_id, t.conv_id, t.turn_idx, q.term,
+         CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+         ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5)) AS idf_raw,
+         ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) AS contrib_raw
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+),
+top1 AS (
+  SELECT query_id, conv_id, turn_idx FROM (
+    SELECT query_id, conv_id, turn_idx,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(sum(contrib_raw), {RANK_ROUND}) DESC, conv_id, turn_idx) AS rn
+    FROM contribs GROUP BY query_id, conv_id, turn_idx
+  ) WHERE rn = 1
+)
+SELECT c.query_id, c.conv_id, CAST(c.turn_idx AS INTEGER) AS turn_idx,
+       c.term, c.tf, c.df,
+       round(c.idf_raw, {SCORE_ROUND}) AS idf,
+       round(c.contrib_raw, {SCORE_ROUND}) AS contrib
+FROM top1 t1
+JOIN contribs c ON c.query_id = t1.query_id
+ AND c.conv_id = t1.conv_id AND c.turn_idx = t1.turn_idx
+ORDER BY c.query_id, c.term
+"""

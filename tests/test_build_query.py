@@ -583,3 +583,18 @@ def test_hybrid_rrf_fusion(ray_session, index_dir, duck):
     # ranks never exceed each leg's fusion window
     assert int(got.r_lex.max()) <= hybrid.RRF_WINDOW
     assert int(got.r_dense.max()) <= hybrid.RRF_WINDOW
+
+
+def test_explain_contribs_sum_to_score(ray_session, index_dir, duck):
+    """Explain breakdown: oracle parity, and per-term contributions sum
+    to the explained hit's own BM25 score (round-6)."""
+    got = query.batch_explain(index_dir)
+    want = duck.execute(query.explain_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    idx = query.SegmentIndex(index_dir)
+    for (qid, conv, turn), g in got.groupby(["query_id", "conv_id", "turn_idx"]):
+        text = dict((q[0], q[1]) for q in query.EXPLAIN_QUERIES)[qid]
+        top = idx.topk(text, 1, "bm25")
+        assert abs(g.contrib.sum() - float(top.score.iloc[0])) < 2e-6
