@@ -935,6 +935,15 @@ def _q_search_export(sf_dir: str):
     )
 
 
+def _q_topk_bm25_synonyms(sf_dir: str):
+    """Query-time synonym expansion (ES search-time synonym filter):
+    each query token pulls in its whole synonym group; the deduped
+    union scores as disjunctive BM25 — expansion is ONE shared
+    function, query.expand_synonyms, on both the engine and oracle
+    sides (oracle query.synonyms_topk_sql)."""
+    return _run_reference_queries(sf_dir, "bm25_syn", queries=query.SYNONYM_QUERIES)
+
+
 def _q_search_explain(sf_dir: str):
     """Score explanation (Lucene IndexSearcher.explain): per-term
     tf/df/idf/contribution breakdown of each reference query's top-1
@@ -1015,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_regexp": _q_topk_bm25_regexp,
         "search_cardinality": _q_search_cardinality,
         "search_explain": _q_search_explain,
+        "topk_bm25_synonyms": _q_topk_bm25_synonyms,
         "search_export": _q_search_export,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
@@ -1108,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_regexp": query.regexp_topk_sql(),
         "search_cardinality": query.cardinality_sql(),
         "search_explain": query.explain_sql(),
+        "topk_bm25_synonyms": query.synonyms_topk_sql(),
         "search_export": query.export_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

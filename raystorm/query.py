@@ -486,6 +486,8 @@ class SegmentIndex:
             return self._score_bm25_fuzzy(query_text)
         if mode == "bm25_regex":
             return self._score_bm25_regex(query_text)
+        if mode == "bm25_syn":
+            return self._score_bm25_terms(expand_synonyms(query_text))
         if mode == "bm25_bool":
             return self._score_bm25_boolean(query_text)
         if mode == "bm25_boost":
@@ -2968,3 +2970,55 @@ JOIN contribs c ON c.query_id = t1.query_id
  AND c.conv_id = t1.conv_id AND c.turn_idx = t1.turn_idx
 ORDER BY c.query_id, c.term
 """
+
+
+#: query-time synonym map (the Lucene SynonymGraphFilter / ES
+#: search-time ``synonym`` filter shape): groups are symmetric — any
+#: member of a group pulls in the whole group.  Deliberately includes
+#: out-of-vocabulary members ("combine", "rapid", "frame") to pin the
+#: absent-synonym path (they expand, then score nothing).
+SYNONYM_GROUPS = (
+    ("merge", "join", "combine"),
+    ("big", "large"),
+    ("fast", "quick", "rapid"),
+    ("window", "frame"),
+)
+
+#: y03 has no synonyms (identical to plain bm25 — pinned in pytest);
+#: y04 expands one term into a multi-term disjunction
+SYNONYM_QUERIES = (
+    ("y01", "merge window", 10),
+    ("y02", "big fast stream", 10),
+    ("y03", "customer", 10),
+    ("y04", "join", 10),
+)
+
+
+def expand_synonyms(query_text: str) -> list[str]:
+    """ONE shared expansion function (engine scoring AND the oracle-SQL
+    generator — per the repo rule that query parsing never re-derives
+    inside SQL): tokenize, then union each token's synonym group; the
+    deduped sorted result feeds the disjunctive BM25 accumulator (the
+    SynonymQuery -> OR rewrite, like the wildcard/fuzzy modes)."""
+    toks, _rows = normalize.tokenize_column(pa.array([query_text]), "body")
+    terms = set(toks.tolist())
+    out = set(terms)
+    for grp in SYNONYM_GROUPS:
+        if terms & set(grp):
+            out.update(grp)
+    return sorted(out)
+
+
+def synonyms_topk_sql(
+    queries=SYNONYM_QUERIES, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Oracle for the ``bm25_syn`` mode: the per-query term list IS the
+    engine's own :func:`expand_synonyms` output (the map is query-time
+    config, not corpus data), then the plain disjunctive BM25 chain;
+    out-of-vocabulary synonyms join nothing, exactly like the engine's
+    ``rank_of == -1`` skip."""
+    rows = []
+    for qid, text, _k in queries:
+        rows += [f"('{qid}', '{t}')" for t in expand_synonyms(text)]
+    qterms_sql = f"qterms(query_id, term) AS (VALUES {', '.join(rows)})"
+    return bm25_topk_sql(queries=queries, k1=k1, b=b, qterms_sql=qterms_sql)

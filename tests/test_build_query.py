@@ -598,3 +598,25 @@ def test_explain_contribs_sum_to_score(ray_session, index_dir, duck):
         text = dict((q[0], q[1]) for q in query.EXPLAIN_QUERIES)[qid]
         top = idx.topk(text, 1, "bm25")
         assert abs(g.contrib.sum() - float(top.score.iloc[0])) < 2e-6
+
+
+def test_synonyms_mode_semantics(ray_session, index_dir, duck):
+    """Synonym mode: oracle parity; a no-synonym query scores exactly
+    like plain bm25; a group member expands to the whole group."""
+    from raystorm.query import SYNONYM_QUERIES, expand_synonyms
+
+    idx = query.SegmentIndex(index_dir)
+    rows = []
+    for qid, text, k in SYNONYM_QUERIES:
+        df = idx.topk(text, k, "bm25_syn")
+        df.insert(0, "query_id", qid)
+        rows.append(df)
+    got = pd.concat(rows, ignore_index=True)
+    want = duck.execute(query.synonyms_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    pd.testing.assert_frame_equal(
+        idx.topk("customer", 10, "bm25_syn"), idx.topk("customer", 10, "bm25")
+    )
+    assert expand_synonyms("join") == ["combine", "join", "merge"]
