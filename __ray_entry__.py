@@ -935,6 +935,17 @@ def _q_search_export(sf_dir: str):
     )
 
 
+def _q_topk_rescored(sf_dir: str):
+    """Two-phase rescoring (ES rescore + recency function_score): the
+    BM25 top-RESCORE_WINDOW window re-ranks by base + W·exp-decay of
+    the ts_us doc value against the window's own max; doc values
+    resolve by point lookup for the window only
+    (query.SegmentIndex.topk_rescored; oracle query.rescored_topk_sql)."""
+    return _run_reference_queries(
+        sf_dir, "bm25_rescore", index_dir=_docvalues_index_for(sf_dir)
+    )
+
+
 def _q_topk_bm25_synonyms(sf_dir: str):
     """Query-time synonym expansion (ES search-time synonym filter):
     each query token pulls in its whole synonym group; the deduped
@@ -1025,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_cardinality": _q_search_cardinality,
         "search_explain": _q_search_explain,
         "topk_bm25_synonyms": _q_topk_bm25_synonyms,
+        "topk_rescored": _q_topk_rescored,
         "search_export": _q_search_export,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
@@ -1119,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "search_cardinality": query.cardinality_sql(),
         "search_explain": query.explain_sql(),
         "topk_bm25_synonyms": query.synonyms_topk_sql(),
+        "topk_rescored": query.rescored_topk_sql(),
         "search_export": query.export_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

@@ -319,7 +319,7 @@ def main(argv=None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=("bm25", "bm25_pruned", "bm25_and", "bm25_wild", "bm25_fuzzy", "bm25_regex", "bm25_syn", "bm25_bool", "bm25_boost", "bm25f", "phrase", "collapsed", "faithful", "faithful_boosted"),
+        choices=("bm25", "bm25_pruned", "bm25_and", "bm25_wild", "bm25_fuzzy", "bm25_regex", "bm25_syn", "bm25_rescore", "bm25_bool", "bm25_boost", "bm25f", "phrase", "collapsed", "faithful", "faithful_boosted"),
         default="bm25",
     )
     q.add_argument(
@@ -355,7 +355,7 @@ def main(argv=None) -> int:
     s.add_argument("--k", type=int, default=10)
     s.add_argument(
         "--mode",
-        choices=("bm25", "bm25_pruned", "bm25_and", "bm25_wild", "bm25_fuzzy", "bm25_regex", "bm25_syn", "bm25_bool", "bm25_boost", "bm25f", "phrase", "collapsed", "faithful", "faithful_boosted"),
+        choices=("bm25", "bm25_pruned", "bm25_and", "bm25_wild", "bm25_fuzzy", "bm25_regex", "bm25_syn", "bm25_rescore", "bm25_bool", "bm25_boost", "bm25f", "phrase", "collapsed", "faithful", "faithful_boosted"),
         default="bm25",
     )
     s.set_defaults(fn=cmd_serve)

@@ -469,6 +469,8 @@ class SegmentIndex:
             return self.topk_phrase(query_text, k)
         if mode == "collapsed":
             return self.topk_collapsed(query_text, k)
+        if mode == "bm25_rescore":
+            return self.topk_rescored(query_text, k)
         docids, scores = self._score_mode(query_text, mode)
         return self._format_topk(docids, scores, k)
 
@@ -578,6 +580,62 @@ class SegmentIndex:
             keep = self.docvalues().mask(docids, clauses)
             docids, scores = docids[keep], scores[keep]
         return self._format_topk(docids, scores, k)
+
+    #: rescore defaults: window depth, recency weight, decay scale (7d)
+    RESCORE_WINDOW = 30
+    RESCORE_W = 2.0
+    RESCORE_TAU_US = 7 * 86_400 * 1_000_000
+
+    def topk_rescored(
+        self,
+        query_text: str,
+        k: int,
+        window: int | None = None,
+        w: float | None = None,
+        tau_us: int | None = None,
+        mode: str = "bm25",
+    ) -> pd.DataFrame:
+        """Two-phase rescoring (the ES ``rescore`` + recency
+        ``function_score`` shape): phase 1 takes the top-``window``
+        candidates under the standard rank rule, phase 2 re-ranks ONLY
+        that window by ``score + w * exp(-(t_ref - ts)/tau)`` where
+        ``ts`` is the candidate's ts_us doc value and ``t_ref`` the
+        window's own max — window-relative, so no corpus-wide clock is
+        needed.  Doc values resolve by point lookup for the ≤window
+        candidates (the serving shape: rescore never touches postings
+        again).  Oracle: :func:`rescored_topk_sql`.
+
+        The phase-2 base is the phase-1 score at SCORE_ROUND — the
+        emitted contract, so engine and SQL rescore identical inputs.
+        """
+        window = self.RESCORE_WINDOW if window is None else window
+        w = self.RESCORE_W if w is None else w
+        tau_us = self.RESCORE_TAU_US if tau_us is None else tau_us
+        top = self.topk(query_text, window, mode)
+        if not len(top):
+            top["base_score"] = top["score"]
+            return top
+        docids = self.codec.encode(
+            top["conv_id"].to_numpy(), top["turn_idx"].to_numpy(np.int64)
+        )
+        vals, found = self.docvalues().lookup(docids, "ts_us")
+        if not found.all():
+            raise KeyError("rescore candidate missing its ts_us doc value")
+        ts = vals.astype(np.float64)
+        rec = np.exp(-(ts.max() - ts) / float(tau_us))
+        base = top["score"].to_numpy(np.float64)
+        comb = base + w * rec
+        key = round_half_up(comb, RANK_ROUND)
+        order = np.lexsort((docids, -key))[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+                "conv_id": top["conv_id"].to_numpy()[order],
+                "turn_idx": top["turn_idx"].to_numpy()[order],
+                "score": round_half_up(comb[order], SCORE_ROUND),
+                "base_score": base[order],
+            }
+        )
 
     def topk_sorted(
         self,
@@ -3022,3 +3080,63 @@ def synonyms_topk_sql(
         rows += [f"('{qid}', '{t}')" for t in expand_synonyms(text)]
     qterms_sql = f"qterms(query_id, term) AS (VALUES {', '.join(rows)})"
     return bm25_topk_sql(queries=queries, k1=k1, b=b, qterms_sql=qterms_sql)
+
+
+def rescored_topk_sql(
+    queries=REFERENCE_QUERIES, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Mirror of :meth:`SegmentIndex.topk_rescored`: the plain BM25
+    chain picks the top-RESCORE_WINDOW candidates (same rank rule),
+    then ONLY those re-rank by round6-base + W·exp(-(t_max - ts)/TAU)
+    with the window's own max ts_us as t_ref."""
+    window = SegmentIndex.RESCORE_WINDOW
+    w = SegmentIndex.RESCORE_W
+    tau = SegmentIndex.RESCORE_TAU_US
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+wind AS (
+  SELECT query_id, conv_id, turn_idx, round(score, {SCORE_ROUND}) AS base_score
+  FROM (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS rn
+    FROM scores
+  ) WHERE rn <= {window}
+),
+resc AS (
+  SELECT w2.query_id, w2.conv_id, w2.turn_idx, w2.base_score,
+         w2.base_score + {w} * exp(
+           -(max(epoch_us(m.ts)) OVER (PARTITION BY w2.query_id) - epoch_us(m.ts))
+           / {tau}.0) AS comb
+  FROM wind w2
+  JOIN transcripts m ON m.conv_id = w2.conv_id AND m.turn_idx = w2.turn_idx
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(comb, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(comb, {SCORE_ROUND}) AS score, base_score
+  FROM resc
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score, r.base_score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""

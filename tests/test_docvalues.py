@@ -282,3 +282,28 @@ def test_percentiles_match_oracle(ray_session, dv_index, duck):
     for _qid, g in got.groupby("query_id"):
         v = g.sort_values("q")["ts_us"].to_numpy()
         assert (np.diff(v) >= 0).all()
+
+
+def test_rescore_window_and_degenerate_weight(ray_session, dv_index, duck):
+    """Rescore: oracle parity at sf0.001; every rescored hit comes from
+    the bm25 top-window; w=0 reduces to the plain bm25 ranking."""
+    idx = query.SegmentIndex(dv_index)
+    rows = []
+    for qid, text, k in query.REFERENCE_QUERIES:
+        df = idx.topk(text, k, "bm25_rescore")
+        df.insert(0, "query_id", qid)
+        rows.append(df)
+    got = pd.concat(rows, ignore_index=True)
+    want = duck.execute(query.rescored_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    for _qid, text, k in query.REFERENCE_QUERIES[:3]:
+        wind = idx.topk(text, query.SegmentIndex.RESCORE_WINDOW, "bm25")
+        resc = idx.topk_rescored(text, k)
+        wkeys = set(zip(wind.conv_id, wind.turn_idx))
+        assert all((c, t) in wkeys for c, t in zip(resc.conv_id, resc.turn_idx))
+        flat = idx.topk_rescored(text, k, w=0.0)
+        plain = idx.topk(text, k, "bm25")
+        assert list(flat.conv_id) == list(plain.conv_id)
+        assert list(flat.turn_idx) == list(plain.turn_idx)
