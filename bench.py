@@ -145,6 +145,8 @@ def run_suite(
             (query.FUZZY_QUERIES, "bm25_fuzzy"),
             (query.BOOLEAN_QUERIES, "bm25_bool"),
             (query.BOOST_QUERIES, "bm25_boost"),
+            (query.REGEX_QUERIES, "bm25_regex"),
+            (query.SYNONYM_QUERIES, "bm25_syn"),
         ):
             for _qid, text, k in qs:
                 idx.topk(text, int(k), mode)
@@ -155,6 +157,7 @@ def run_suite(
                 idx.topk_after(text, int(k), (last.conv_id, int(last.turn_idx)))
         for _qid, conv, turn, k in query.MLT_SOURCES:
             idx.more_like_this(conv, turn, int(k))
+        idx.suggest_complete(query.COMPLETE_PREFIXES, k=query.COMPLETE_K)
         timings["query_modes_expanded"] = time.perf_counter() - t0
 
         # doc-values sidecar: build, then filtered + sorted retrieval on
@@ -172,7 +175,17 @@ def run_suite(
             idx.topk_filtered(text, int(k), clauses)
         for _qid, text, k, clauses, desc in query.SORT_QUERIES:
             idx.topk_sorted(text, int(k), clauses=clauses, desc=desc)
+        for _qid, text, k in query.REFERENCE_QUERIES:
+            idx.topk_rescored(text, int(k))
         timings["query_docvalues_modes"] = time.perf_counter() - t0
+
+        # hybrid lexical+dense fusion: collapsed-BM25 leg on the warm
+        # index + exact-cosine leg over the sf embeddings table
+        from raystorm import hybrid as _hybrid
+
+        t0 = time.perf_counter()
+        _hybrid.hybrid_rrf_topk(sf_dir, idx_sf)
+        timings["hybrid_rrf"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         _facets.search_facets_dv(idx_sf)
         timings["facets_docvalues"] = time.perf_counter() - t0
