@@ -946,6 +946,16 @@ def _q_topk_rescored(sf_dir: str):
     )
 
 
+def _q_topk_has_child(sf_dir: str):
+    """Parent-child conversation retrieval (ES has_child over the
+    transcript hierarchy): a conversation matches when some USER turn
+    matches clause 1 AND some ASSISTANT turn matches clause 2; score =
+    sum of each clause's best-turn BM25 (score_mode=max), roles from
+    the role doc value (query.SegmentIndex.topk_has_child; oracle
+    query.has_child_topk_sql)."""
+    return query.batch_has_child(_docvalues_index_for(sf_dir))
+
+
 def _q_topk_bm25_synonyms(sf_dir: str):
     """Query-time synonym expansion (ES search-time synonym filter):
     each query token pulls in its whole synonym group; the deduped
@@ -1037,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_explain": _q_search_explain,
         "topk_bm25_synonyms": _q_topk_bm25_synonyms,
         "topk_rescored": _q_topk_rescored,
+        "topk_has_child": _q_topk_has_child,
         "search_export": _q_search_export,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
@@ -1132,6 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         "search_explain": query.explain_sql(),
         "topk_bm25_synonyms": query.synonyms_topk_sql(),
         "topk_rescored": query.rescored_topk_sql(),
+        "topk_has_child": query.has_child_topk_sql(),
         "search_export": query.export_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

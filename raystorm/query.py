@@ -637,6 +637,72 @@ class SegmentIndex:
             }
         )
 
+    def _conv_best(self, docids: np.ndarray, scores: np.ndarray):
+        """Per-conversation best turn (rounded score desc, turn asc) —
+        the collapsed-mode kernel, returned as (conv index into the
+        codec, best turn docid, best rounded score), conv-ascending."""
+        ci = np.searchsorted(self.codec.bases, docids, side="right") - 1
+        r = round_half_up(scores, RANK_ROUND)
+        order = np.lexsort((docids, -r, ci))
+        first = np.empty(len(order), bool)
+        first[0] = True
+        first[1:] = ci[order][1:] != ci[order][:-1]
+        sel = order[first]
+        return ci[sel], docids[sel], r[sel]
+
+    def topk_has_child(
+        self, user_text: str, assistant_text: str, k: int
+    ) -> pd.DataFrame:
+        """Conversation-level retrieval from two child clauses (the ES
+        parent-child ``has_child`` shape over the transcript hierarchy):
+        a conversation matches when SOME user turn matches
+        ``user_text`` AND SOME assistant turn matches
+        ``assistant_text``; its score is the sum of each clause's best
+        matching-turn BM25 (``score_mode=max`` per clause).  Roles
+        resolve from the ``role`` doc value, so the clause filter is
+        engine metadata, not a corpus-layout assumption.  Candidate-
+        bounded throughout (two accumulator passes + per-conv run
+        maxima); ties break conv-ascending.  Oracle:
+        :func:`has_child_topk_sql`."""
+        dv = self.docvalues()
+        legs = []
+        for text, role in ((user_text, "user"), (assistant_text, "assistant")):
+            docids, scores = self._score_bm25(text)
+            if len(docids):
+                roles, found = dv.lookup(docids, "role")
+                keep = found & (roles == role)
+                docids, scores = docids[keep], scores[keep]
+            if not len(docids):
+                legs = None
+                break
+            legs.append(self._conv_best(docids, scores))
+        if legs is None:
+            return pd.DataFrame(
+                {
+                    "rank": np.empty(0, np.int32),
+                    "conv_id": [],
+                    "score": np.empty(0, np.float64),
+                    "user_score": np.empty(0, np.float64),
+                    "assistant_score": np.empty(0, np.float64),
+                }
+            )
+        (ci1, d1, r1), (ci2, _d2, r2) = legs
+        _common, i1, i2 = np.intersect1d(
+            ci1, ci2, assume_unique=True, return_indices=True
+        )
+        total = r1[i1] + r2[i2]
+        conv, _turn = self.codec.decode(d1[i1])
+        order = np.lexsort((conv, -total))[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+                "conv_id": conv[order],
+                "score": round_half_up(total[order], SCORE_ROUND),
+                "user_score": round_half_up(r1[i1][order], SCORE_ROUND),
+                "assistant_score": round_half_up(r2[i2][order], SCORE_ROUND),
+            }
+        )
+
     def topk_sorted(
         self,
         query_text: str,
@@ -3136,6 +3202,93 @@ ranked AS (
   FROM resc
 )
 SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score, r.base_score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""
+
+
+#: has_child fixture: (query_id, user clause, assistant clause, k).
+#: hc04 pins the empty-leg path (absent user term -> no conversations).
+HAS_CHILD_QUERIES = (
+    ("hc01", "merge", "window", 10),
+    ("hc02", "hash join", "stream", 10),
+    ("hc03", "customer", "the", 10),
+    ("hc04", "zzzabsent", "merge", 10),
+    ("hc05", "big fast", "sort merge", 10),
+)
+
+
+def batch_has_child(index_dir: str, queries=HAS_CHILD_QUERIES) -> pd.DataFrame:
+    """Conversation-level has_child evaluation over the fixture set
+    (gate ``topk_has_child``; oracle :func:`has_child_topk_sql`)."""
+    idx = SegmentIndex(index_dir)
+    out = []
+    for qid, utext, atext, k in queries:
+        df = idx.topk_has_child(utext, atext, int(k))
+        df.insert(0, "query_id", qid)
+        out.append(df)
+    return pd.concat(out, ignore_index=True)
+
+
+def has_child_topk_sql(
+    queries=HAS_CHILD_QUERIES, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Mirror of :meth:`SegmentIndex.topk_has_child`: per-clause BM25
+    over role-filtered turns, per-conversation max of the round-9
+    score, clause inner join on (query, conv), sum, conv-ascending
+    ties."""
+    rows = []
+    for qid, utext, atext, _k in queries:
+        for clause, text in (("u", utext), ("a", atext)):
+            toks, _r = normalize.tokenize_column(pa.array([text]), "body")
+            rows += [
+                f"('{qid}', '{clause}', '{t}')" for t in sorted(set(toks.tolist()))
+            ]
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (VALUES {", ".join(f"('{q[0]}', {int(q[3])})" for q in queries)}),
+qc(query_id, clause, term) AS (VALUES {", ".join(rows)}),
+scores AS (
+  SELECT q.query_id, q.clause,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qc q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, q.clause, t.conv_id, t.turn_idx
+),
+role_ok AS (
+  SELECT s.query_id, s.clause, s.conv_id, s.score
+  FROM scores s
+  JOIN transcripts m ON m.conv_id = s.conv_id AND m.turn_idx = s.turn_idx
+  WHERE m.role = CASE s.clause WHEN 'u' THEN 'user' ELSE 'assistant' END
+),
+best AS (
+  SELECT query_id, clause, conv_id, max(round(score, {RANK_ROUND})) AS best
+  FROM role_ok GROUP BY query_id, clause, conv_id
+),
+paired AS (
+  SELECT u.query_id, u.conv_id, u.best AS u_best, a.best AS a_best
+  FROM (SELECT * FROM best WHERE clause = 'u') u
+  JOIN (SELECT * FROM best WHERE clause = 'a') a
+    ON a.query_id = u.query_id AND a.conv_id = u.conv_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (u_best + a_best) DESC, conv_id) AS INTEGER) AS rank,
+         conv_id,
+         round(u_best + a_best, {SCORE_ROUND}) AS score,
+         round(u_best, {SCORE_ROUND}) AS user_score,
+         round(a_best, {SCORE_ROUND}) AS assistant_score
+  FROM paired
+)
+SELECT r.query_id, r.rank, r.conv_id, r.score, r.user_score, r.assistant_score
 FROM ranked r JOIN queries q ON q.query_id = r.query_id
 WHERE r.rank <= q.qk
 ORDER BY r.query_id, r.rank

@@ -307,3 +307,23 @@ def test_rescore_window_and_degenerate_weight(ray_session, dv_index, duck):
         plain = idx.topk(text, k, "bm25")
         assert list(flat.conv_id) == list(plain.conv_id)
         assert list(flat.turn_idx) == list(plain.turn_idx)
+
+
+def test_has_child_semantics(ray_session, dv_index, duck):
+    """has_child: oracle parity at sf0.001; every result conv has a
+    user-turn match for clause 1 AND an assistant-turn match for
+    clause 2; absent leg yields no results."""
+    got = query.batch_has_child(dv_index)
+    want = duck.execute(query.has_child_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    assert not len(got[got.query_id == "hc04"])
+    idx = query.SegmentIndex(dv_index)
+    res = idx.topk_has_child("merge", "window", 10)
+    u = set(idx.topk_filtered("merge", 10**9, (("role", "=", "user"),)).conv_id)
+    a = set(
+        idx.topk_filtered("window", 10**9, (("role", "=", "assistant"),)).conv_id
+    )
+    for conv in res.conv_id:
+        assert conv in u and conv in a
