@@ -711,6 +711,15 @@ def _q_topk_hybrid_rrf(sf_dir: str):
     return hybrid.hybrid_rrf_topk(sf_dir, _index_for(sf_dir))
 
 
+def _q_topk_hybrid_rrf_ivf(sf_dir: str):
+    """Hybrid RRF with the IVF cell-probed dense leg — the 100 TB
+    scale path, same output contract and fusion math as the exact
+    variant (hybrid.hybrid_rrf_topk(dense="ivf"); oracle
+    hybrid.hybrid_rrf_sql(dense="ivf") re-derives the cell assignment,
+    probes and fusion)."""
+    return hybrid.hybrid_rrf_topk(sf_dir, _index_for(sf_dir), dense="ivf")
+
+
 def _q_search_percentiles(sf_dir: str):
     """Percentiles aggregation (ES percentiles) of the ts doc value over
     each query's full hit set — rank-exact (value at ascending rank
@@ -1031,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_percentiles": _q_search_percentiles,
         "topk_collapsed": _q_topk_collapsed,
         "topk_hybrid_rrf": _q_topk_hybrid_rrf,
+        "topk_hybrid_rrf_ivf": _q_topk_hybrid_rrf_ivf,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -1127,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
         "search_percentiles": facets.percentiles_sql(),
         "topk_collapsed": query.collapsed_topk_sql(),
         "topk_hybrid_rrf": hybrid.hybrid_rrf_sql(),
+        "topk_hybrid_rrf_ivf": hybrid.hybrid_rrf_sql(dense="ivf"),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

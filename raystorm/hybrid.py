@@ -108,13 +108,10 @@ def _lex_ranks(index_dir: str, queries) -> pd.DataFrame:
     return out.rename(columns={"rank": "r_lex"})[["query_id", "conv_id", "r_lex"]]
 
 
-def _dense_ranks(sf_dir: str, queries) -> pd.DataFrame:
-    """Dense leg: exact cosine partial-top-k over the embeddings table
-    (query matrix broadcast once; self-match kept), windowed to
-    RRF_WINDOW -> (query_id, conv_id, r_dense)."""
+def _query_matrix(sf_dir: str, queries):
+    """(sorted unique vec_ids, normalized query matrix) for the dense
+    leg — predicate-pushed read of only the query rows."""
     import pyarrow.parquet as pq
-    import ray
-    import ray.data as rd
 
     vec_ids = sorted({int(v) for _qid, _t, v, _k in queries})
     tbl = pq.read_table(
@@ -128,9 +125,33 @@ def _dense_ranks(sf_dir: str, queries) -> pd.DataFrame:
     )
     order = np.argsort(ids)
     ids, qmat = ids[order], qmat[order]
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    qref = ray.put((ids, qmat))
+    return ids, qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
 
+
+def _fan_to_queries(merged: pd.DataFrame, queries) -> pd.DataFrame:
+    """Per-vector dense ranking -> per-query (a vec_id may back several
+    hybrid queries), conv-keyed."""
+    merged = merged.copy()
+    merged["conv_id"] = _conv_of(merged["vec_id"].to_numpy())
+    qmap = pd.DataFrame(
+        {
+            "query_id": [qid for qid, _t, _v, _k in queries],
+            "query_vec": [int(v) for _qid, _t, v, _k in queries],
+        }
+    )
+    out = qmap.merge(merged, on="query_vec").rename(columns={"rank": "r_dense"})
+    return out[["query_id", "conv_id", "r_dense"]]
+
+
+def _dense_ranks(sf_dir: str, queries) -> pd.DataFrame:
+    """Dense leg, exact path: cosine partial-top-k over the embeddings
+    table (query matrix broadcast once; self-match kept), windowed to
+    RRF_WINDOW -> (query_id, conv_id, r_dense)."""
+    import ray
+    import ray.data as rd
+
+    ids, qmat = _query_matrix(sf_dir, queries)
+    qref = ray.put((ids, qmat))
     cand = (
         rd.read_parquet(
             os.path.join(sf_dir, "embeddings.parquet"),
@@ -142,33 +163,34 @@ def _dense_ranks(sf_dir: str, queries) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    merged = sim._merge_topk(cand, RRF_WINDOW)
-    merged["conv_id"] = _conv_of(merged["vec_id"].to_numpy())
-    # a vec_id may back several hybrid queries: fan the per-vector
-    # ranking out to each query that uses it
-    qmap = pd.DataFrame(
-        {
-            "query_id": [qid for qid, _t, _v, _k in queries],
-            "query_vec": [int(v) for _qid, _t, v, _k in queries],
-        }
-    )
-    out = qmap.merge(merged, on="query_vec")
-    out = out.rename(columns={"rank": "r_dense"})
-    return out[["query_id", "conv_id", "r_dense"]]
+    return _fan_to_queries(sim._merge_topk(cand, RRF_WINDOW), queries)
+
+
+def _dense_ranks_ivf(sf_dir: str, queries) -> pd.DataFrame:
+    """Dense leg, IVF path (the 100 TB shape): cell-probed candidate
+    generation + exact re-rank (``similarity.ivf_topk``), same output
+    contract as :func:`_dense_ranks` — fusion math is unchanged."""
+    ids, qmat = _query_matrix(sf_dir, queries)
+    merged = sim.ivf_topk(sf_dir, ids, qmat, RRF_WINDOW, exclude_self=False)
+    return _fan_to_queries(merged, queries)
 
 
 def hybrid_rrf_topk(
-    sf_dir: str, index_dir: str, queries=HYBRID_QUERIES
+    sf_dir: str, index_dir: str, queries=HYBRID_QUERIES, dense: str = "exact"
 ) -> pd.DataFrame:
-    """BM25 (collapsed) + exact-cosine legs fused with reciprocal-rank
-    fusion (gate ``topk_hybrid_rrf``; oracle :func:`hybrid_rrf_sql`).
+    """BM25 (collapsed) + cosine legs fused with reciprocal-rank
+    fusion (gates ``topk_hybrid_rrf`` / ``topk_hybrid_rrf_ivf``;
+    oracle :func:`hybrid_rrf_sql`).  ``dense`` picks the exact
+    brute-force leg or the IVF cell-probed leg (the scale path).
 
     Output per query: top-``k`` conversations by
     ``round(rrf, RANK_ROUND) desc, conv_id asc`` with the fused score
     and each leg's rank (0 = the conv fell outside that leg's window).
     """
     lex = _lex_ranks(index_dir, queries)
-    den = _dense_ranks(sf_dir, queries)
+    den = (_dense_ranks if dense == "exact" else _dense_ranks_ivf)(
+        sf_dir, queries
+    )
     fused = lex.merge(den, on=["query_id", "conv_id"], how="outer")
     r_lex = fused["r_lex"].fillna(0).to_numpy(np.int64)
     r_den = fused["r_dense"].fillna(0).to_numpy(np.int64)
@@ -205,15 +227,61 @@ def hybrid_rrf_topk(
 
 
 def hybrid_rrf_sql(
-    queries=HYBRID_QUERIES, k1: float = 1.2, b: float = 0.75
+    queries=HYBRID_QUERIES, k1: float = 1.2, b: float = 0.75, dense: str = "exact"
 ) -> str:
     """Mirror of :func:`hybrid_rrf_topk`: the collapsed-BM25 leg and the
-    ``list_cosine_similarity`` leg, each windowed to RRF_WINDOW with the
-    engine's exact tie rules, full-outer fused on (query, conv)."""
+    ``list_cosine_similarity`` leg (exact cross-product, or the IVF
+    cell-probe chain when ``dense="ivf"`` — same centroid stride, probe
+    count and tie rules as ``similarity.ivf_topk``), each windowed to
+    RRF_WINDOW with the engine's exact tie rules, full-outer fused on
+    (query, conv)."""
     q3 = tuple((qid, text, RRF_WINDOW) for qid, text, _v, _k in queries)
     hq = ", ".join(
         f"('{qid}', {int(v)}, {int(k)})" for qid, _t, v, k in queries
     )
+    if dense == "exact":
+        dense_chain = f"""qv AS (
+  SELECT h.query_id, e.embedding FROM hq h JOIN embeddings e ON e.vec_id = h.qvec
+),
+dscored AS (
+  SELECT v.query_id, e.vec_id,
+         round(list_cosine_similarity(
+           CAST(v.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), {COS_ROUND}) AS cosine
+  FROM qv v CROSS JOIN embeddings e
+)"""
+    else:
+        dense_chain = f"""cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % {sim.IVF_STRIDE} = 0
+),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), {COS_ROUND}) DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+qv AS (
+  SELECT h.query_id, e.embedding FROM hq h JOIN embeddings e ON e.vec_id = h.qvec
+),
+qprobe AS (
+  SELECT v.query_id, c.cid AS cell,
+         row_number() OVER (PARTITION BY v.query_id
+           ORDER BY round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), {COS_ROUND}) DESC, c.cid) AS rn
+  FROM qv v CROSS JOIN cents c
+),
+dcand AS (
+  SELECT p.query_id, m.vec_id
+  FROM (SELECT * FROM qprobe WHERE rn <= {sim.N_PROBE}) p
+  JOIN cells m ON m.cell = p.cell
+),
+dscored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_cosine_similarity(
+           CAST(v.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), {COS_ROUND}) AS cosine
+  FROM dcand c
+  JOIN qv v ON v.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+)"""
     return f"""
 WITH {q.corpus_ctes()},
 hq(query_id, qvec, qk) AS (VALUES {hq}),
@@ -245,15 +313,7 @@ lex AS (
   FROM best WHERE rn = 1
 ),
 lexw AS (SELECT * FROM lex WHERE r_lex <= {RRF_WINDOW}),
-qv AS (
-  SELECT h.query_id, e.embedding FROM hq h JOIN embeddings e ON e.vec_id = h.qvec
-),
-dscored AS (
-  SELECT v.query_id, e.vec_id,
-         round(list_cosine_similarity(
-           CAST(v.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), {COS_ROUND}) AS cosine
-  FROM qv v CROSS JOIN embeddings e
-),
+{dense_chain},
 dense AS (
   SELECT query_id,
          'conv-' || lpad(CAST(vec_id AS VARCHAR), 8, '0') AS conv_id,

@@ -371,9 +371,26 @@ def _assign_cells(mat_norm: np.ndarray, cids: np.ndarray, cmat: np.ndarray) -> n
 
 
 def ann_ivf_topk(sf_dir: str):
-    """IVF approximate top-10: vectors bucketed by nearest coarse
-    centroid; each query probes its N_PROBE closest cells and re-ranks
-    candidates by exact cosine.
+    """IVF approximate top-10 over the canonical ANN query set
+    (vec_id < N_QUERIES, self excluded) — see :func:`ivf_topk`."""
+    qids, qmat = _load_queries(sf_dir)
+    return ivf_topk(sf_dir, qids, qmat, TOP_K)
+
+
+def ivf_topk(
+    sf_dir: str,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    k: int,
+    exclude_self: bool = True,
+    n_probe: int = N_PROBE,
+):
+    """IVF approximate top-k for an arbitrary (normalized) query
+    matrix: vectors bucketed by nearest coarse centroid; each query
+    probes its ``n_probe`` closest cells and re-ranks candidates by
+    exact cosine.  Also the hybrid fusion's dense-leg scale path
+    (``exclude_self=False`` there — the query vector stands for the
+    query).
 
     Scale shape: the codebook is broadcast; cell assignment is one
     matmul per batch; candidate generation is a cell-membership filter,
@@ -385,14 +402,13 @@ def ann_ivf_topk(sf_dir: str):
     import ray.data as rd
 
     cids, cmat = _load_centroids(sf_dir)
-    qids, qmat = _load_queries(sf_dir)
     # query -> probed cells (top-N_PROBE centroids by rounded cosine)
     qsims = round_half_up(qmat @ cmat.T, ROUND)
     probe = {}
     for i, qid in enumerate(qids):
-        order = np.lexsort((cids, -qsims[i]))[:N_PROBE]
+        order = np.lexsort((cids, -qsims[i]))[:n_probe]
         probe[int(qid)] = set(int(c) for c in cids[order])
-    ref = ray.put((qids, qmat, probe, cids, cmat))
+    ref = ray.put((qids, qmat, probe, cids, cmat, exclude_self))
 
     class IvfPartial:
         def __init__(self, ref, k):
@@ -404,14 +420,16 @@ def ann_ivf_topk(sf_dir: str):
             if self._m is None:
                 obj = self.ref
                 self._m = _get_ref(obj) if not isinstance(obj, tuple) else obj
-            qids, qmat, probe, cids, cmat = self._m
+            qids, qmat, probe, cids, cmat, excl = self._m
             vids = batch["vec_id"].to_numpy(zero_copy_only=False)
             m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
             norm = m / np.linalg.norm(m, axis=1, keepdims=True)
             cells = _assign_cells(norm, cids, cmat)
             out_q, out_v, out_s = [], [], []
             for i, qid in enumerate(qids):
-                member = np.isin(cells, list(probe[int(qid)])) & (vids != qid)
+                member = np.isin(cells, list(probe[int(qid)]))
+                if excl:
+                    member &= vids != qid
                 idx = np.nonzero(member)[0]
                 if len(idx) == 0:
                     continue
@@ -436,10 +454,10 @@ def ann_ivf_topk(sf_dir: str):
         rd.read_parquet(
             os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
         )
-        .map_batches(IvfPartial(ref, TOP_K), batch_format="pyarrow")
+        .map_batches(IvfPartial(ref, k), batch_format="pyarrow")
         .to_pandas()
     )
-    return _merge_topk(cand, TOP_K)
+    return _merge_topk(cand, k)
 
 
 ANN_IVF_TOPK_SQL = f"""

@@ -583,6 +583,14 @@ def test_hybrid_rrf_fusion(ray_session, index_dir, duck):
     # ranks never exceed each leg's fusion window
     assert int(got.r_lex.max()) <= hybrid.RRF_WINDOW
     assert int(got.r_dense.max()) <= hybrid.RRF_WINDOW
+    # IVF dense-leg variant (the scale path): parity vs its own oracle
+    got_ivf = hybrid.hybrid_rrf_topk(SF, index_dir, dense="ivf")
+    want_ivf = duck.execute(hybrid.hybrid_rrf_sql(dense="ivf")).df()
+    pd.testing.assert_frame_equal(
+        got_ivf.reset_index(drop=True),
+        want_ivf.reset_index(drop=True),
+        check_dtype=False,
+    )
 
 
 def test_explain_contribs_sum_to_score(ray_session, index_dir, duck):
