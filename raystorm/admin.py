@@ -77,6 +77,61 @@ def swap_index(candidate: str, live: str) -> str | None:
     return backup
 
 
+def snapshot_index(path: str, repo: str, name: str) -> dict:
+    """Point-in-time snapshot into a content-addressed repository (the
+    ES snapshot shape): every index file is stored once under its
+    md5 in ``repo/files/``, and the snapshot itself is one JSON
+    manifest mapping relative paths to hashes.
+
+    Because index files are immutable once written (parts are
+    write-once; updates add new parts / sidecar generations), repeated
+    snapshots after incremental updates copy ONLY the new files — the
+    incremental behaviour that makes backup affordable at 100 TB.  The
+    manifest write is atomic (tmp + rename), so a crashed snapshot
+    never registers; re-running resumes (existing blobs are skipped).
+    Returns {"files": total, "copied": newly-stored}.
+    """
+    import hashlib
+
+    _require_index(path)
+    blob_dir = os.path.join(repo, "files")
+    snap_dir = os.path.join(repo, "snapshots")
+    os.makedirs(blob_dir, exist_ok=True)
+    os.makedirs(snap_dir, exist_ok=True)
+    entries, copied = {}, 0
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            fp = os.path.join(root, f)
+            rel = os.path.relpath(fp, path)
+            h = hashlib.md5(open(fp, "rb").read()).hexdigest()
+            blob = os.path.join(blob_dir, h)
+            if not os.path.exists(blob):
+                shutil.copyfile(fp, blob + ".tmp." + name)
+                os.replace(blob + ".tmp." + name, blob)
+                copied += 1
+            entries[rel] = h
+    tmp = os.path.join(snap_dir, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "files": entries}, fh)
+    os.replace(tmp, os.path.join(snap_dir, name + ".json"))
+    return {"files": len(entries), "copied": copied}
+
+
+def restore_index(repo: str, name: str, dst: str) -> dict:
+    """Materialize a snapshot into a fresh directory (refuses to
+    clobber).  Every file comes from the content-addressed store, so a
+    restore is pure copying — no index machinery involved."""
+    if os.path.exists(dst):
+        raise FileExistsError(dst)
+    snap = json.load(open(os.path.join(repo, "snapshots", name + ".json")))
+    for rel, h in snap["files"].items():
+        out = os.path.join(dst, rel)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        shutil.copyfile(os.path.join(repo, "files", h), out)
+    _require_index(dst)
+    return {"files": len(snap["files"])}
+
+
 def index_info(path: str) -> dict:
     """Manifest-level counts: the ``KVSClient.count()`` analog."""
     _require_index(path)

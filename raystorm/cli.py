@@ -257,6 +257,12 @@ def cmd_admin(args) -> int:
         report = admin.verify_index(args.src)
         print(json.dumps(report))
         return 0 if report["ok"] else 1
+    elif args.op == "snapshot":
+        # src=index dir, dst=repo, --name=snapshot name
+        print(json.dumps(admin.snapshot_index(args.src, args.dst, args.name)))
+    elif args.op == "restore":
+        # src=repo, dst=target dir, --name=snapshot name
+        print(json.dumps(admin.restore_index(args.src, args.name, args.dst)))
     return 0
 
 
@@ -371,9 +377,15 @@ def main(argv=None) -> int:
     a = sub.add_parser(
         "admin", help="index lifecycle: rename/delete/swap/info"
     )
-    a.add_argument("op", choices=("rename", "delete", "swap", "info", "verify"))
-    a.add_argument("src", help="index dir (or swap candidate)")
-    a.add_argument("dst", nargs="?", default=None, help="target dir (rename/swap)")
+    a.add_argument(
+        "op",
+        choices=("rename", "delete", "swap", "info", "verify", "snapshot", "restore"),
+    )
+    a.add_argument("src", help="index dir (or swap candidate / snapshot repo)")
+    a.add_argument(
+        "dst", nargs="?", default=None, help="target dir (rename/swap/snapshot repo)"
+    )
+    a.add_argument("--name", default="snap", help="snapshot name")
     a.set_defaults(fn=cmd_admin)
 
     args = ap.parse_args(argv)

@@ -123,3 +123,47 @@ def test_http_front_matches_direct_actor(index_pair):
             urllib.request.urlopen(f"http://{host}:{port}/nope", timeout=30)
     finally:
         assert serve.stop(replicas=2, name="t-http") == 2
+
+
+def test_snapshot_restore_roundtrip_and_incremental(ray_session, tmp_path_factory):
+    """Snapshot/restore: restored index is byte-identical and
+    query-identical; a second snapshot after a tombstone delete copies
+    only the files the delete touched (content-addressed dedup)."""
+    from raystorm import deletes
+
+    root = tmp_path_factory.mktemp("snap")
+    idx = str(root / "idx")
+    ds = corpus.transcripts_from_documents(SF)
+    build.build_index(
+        ds, idx, input_fingerprint=SF,
+        cfg=build.BuildConfig(num_partitions=4, split_target=500),
+    )
+    repo = str(root / "repo")
+    s1 = admin.snapshot_index(idx, repo, "s1")
+    assert s1["copied"] == s1["files"] > 0
+
+    # restore -> byte identity with the source tree
+    rest = str(root / "restored")
+    admin.restore_index(repo, "s1", rest)
+    for r, _d, files in os.walk(idx):
+        for f in files:
+            src_f = os.path.join(r, f)
+            dst_f = os.path.join(rest, os.path.relpath(src_f, idx))
+            assert open(src_f, "rb").read() == open(dst_f, "rb").read()
+    a = query.SegmentIndex(idx).topk("hash join", 10, "bm25")
+    b = query.SegmentIndex(rest).topk("hash join", 10, "bm25")
+    pd.testing.assert_frame_equal(a, b)
+
+    # incremental: a small mutation re-copies only what changed
+    deletes.delete_convs(idx, ["conv-00000003"])
+    s2 = admin.snapshot_index(idx, repo, "s2")
+    assert 0 < s2["copied"] < s2["files"]
+    rest2 = str(root / "restored2")
+    admin.restore_index(repo, "s2", rest2)
+    c = query.SegmentIndex(rest2).topk("the", 10, "bm25")
+    d = query.SegmentIndex(idx).topk("the", 10, "bm25")
+    pd.testing.assert_frame_equal(c, d)
+
+    # restore refuses to clobber
+    with pytest.raises(FileExistsError):
+        admin.restore_index(repo, "s1", rest)
