@@ -955,6 +955,14 @@ def _q_topk_rescored(sf_dir: str):
     )
 
 
+def _q_analyze_text(sf_dir: str):
+    """Analyzer probe (ES _analyze): kept tokens + 0-based kept-stream
+    positions for edge-case inputs across all four field modes, driven
+    through the exact tokenizer every indexing path uses
+    (normalize.analyze_texts; oracle normalize.analyze_sql)."""
+    return normalize.analyze_texts()
+
+
 def _q_topk_has_child(sf_dir: str):
     """Parent-child conversation retrieval (ES has_child over the
     transcript hierarchy): a conversation matches when some USER turn
@@ -1058,6 +1066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_synonyms": _q_topk_bm25_synonyms,
         "topk_rescored": _q_topk_rescored,
         "topk_has_child": _q_topk_has_child,
+        "analyze_text": _q_analyze_text,
         "search_export": _q_search_export,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
@@ -1155,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_synonyms": query.synonyms_topk_sql(),
         "topk_rescored": query.rescored_topk_sql(),
         "topk_has_child": query.has_child_topk_sql(),
+        "analyze_text": normalize.analyze_sql(),
         "search_export": query.export_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

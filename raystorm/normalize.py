@@ -208,3 +208,69 @@ def tokens_keep_sql(term_col: str, mode: str = "body") -> str:
         stop = ", ".join(f"'{t}'" for t in stoplist)
         cond += f" AND {term_col} NOT IN ({stop})"
     return cond
+
+
+#: analyzer-probe fixture (the ES ``_analyze`` API shape): edge-case
+#: inputs per mode — casing, URLs, digit tokens, html entities, tags,
+#: stoplisted tokens, empty/whitespace-only strings (no rows emitted)
+ANALYZE_TEXTS = (
+    ("t01", "Sort-Merge JOIN beats hash join", "body"),
+    ("t02", "  UPPER Case   MiXeD  ", "body"),
+    ("t03", "see https://example.com/x?q=1 now abc123 42", "body"),
+    ("t04", "", "body"),
+    ("t05", "Stream &amp; Window Aggregation 2.0", "title"),
+    ("t06", "https://api.example.com/search?q=merge&utm=x", "tool"),
+    ("t07", "<b>diagram</b> of a spacer merge tree logo", "alt"),
+)
+
+
+def analyze_texts(texts=ANALYZE_TEXTS) -> "pd.DataFrame":
+    """Run the analyzer chain over arbitrary strings and return each
+    kept token with its 0-based kept-stream position — the ES
+    ``_analyze`` debug API, driving ``tokenize_with_positions`` (the
+    exact function every indexing path uses) so what this reports IS
+    what the index would store.  Oracle: :func:`analyze_sql` (gate
+    ``analyze_text``)."""
+    import pandas as pd
+
+    out = []
+    for tid, text, mode in texts:
+        toks, _rows, pos = tokenize_with_positions(pa.array([text]), mode)
+        out.append(
+            pd.DataFrame(
+                {
+                    "text_id": tid,
+                    "mode": mode,
+                    "pos": pos.astype(np.int32),
+                    "token": toks,
+                }
+            )
+        )
+    return (
+        pd.concat(out, ignore_index=True)
+        .sort_values(["text_id", "pos"])
+        .reset_index(drop=True)
+    )
+
+
+def analyze_sql(texts=ANALYZE_TEXTS) -> str:
+    """Mirror of :func:`analyze_texts`: per mode, the shared
+    ``norm_expr_sql`` + ordered unnest + ``tokens_keep_sql`` chain over
+    a VALUES table — one UNION ALL branch per mode present."""
+    branches = []
+    for mode in MODES:
+        rows = [f"('{tid}', '{t}')" for tid, t, m in texts if m == mode]
+        if not rows:
+            continue
+        expr = norm_expr_sql("text", mode)
+        keep = tokens_keep_sql("term", mode)
+        branches.append(f"""
+SELECT text_id, '{mode}' AS mode,
+       CAST(row_number() OVER (PARTITION BY text_id ORDER BY u.ord) - 1 AS INTEGER) AS pos,
+       u.term AS token
+FROM (SELECT text_id, string_split(trim({expr}), ' ') AS parts
+      FROM (VALUES {', '.join(rows)}) v(text_id, text)) t,
+     LATERAL (SELECT unnest(t.parts) AS term,
+              unnest(generate_series(1, len(t.parts))) AS ord) u
+WHERE {keep}""")
+    return " UNION ALL ".join(branches) + "\nORDER BY text_id, pos"
