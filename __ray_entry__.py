@@ -955,6 +955,24 @@ def _q_topk_rescored(sf_dir: str):
     )
 
 
+def _q_reindexed_topk(sf_dir: str):
+    """Reindex-from-docstore (ES _reindex): rebuild a text-only index
+    from another index's doc-store (no original corpus), then run the
+    reference BM25 queries over the rebuild — the oracle is the plain
+    from-corpus bm25 SQL, so the gate proves reindex == rebuild
+    (docstore.reindex_from_docstore)."""
+    import json
+
+    from raystorm import docstore
+
+    src = _docstore_index_for(sf_dir)
+    fp = json.load(open(os.path.join(src, "manifest.json")))["build_fingerprint"]
+    key = hashlib.sha256(f"reindex|{fp}".encode()).hexdigest()[:16]
+    dst = os.path.join("/tmp", "raystorm_index", key)
+    docstore.reindex_from_docstore(src, dst)
+    return _run_reference_queries(sf_dir, "bm25", index_dir=dst)
+
+
 def _q_analyze_text(sf_dir: str):
     """Analyzer probe (ES _analyze): kept tokens + 0-based kept-stream
     positions for edge-case inputs across all four field modes, driven
@@ -1067,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_rescored": _q_topk_rescored,
         "topk_has_child": _q_topk_has_child,
         "analyze_text": _q_analyze_text,
+        "reindexed_topk": _q_reindexed_topk,
         "search_export": _q_search_export,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
@@ -1165,6 +1184,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_rescored": query.rescored_topk_sql(),
         "topk_has_child": query.has_child_topk_sql(),
         "analyze_text": normalize.analyze_sql(),
+        "reindexed_topk": query.bm25_topk_sql(),
         "search_export": query.export_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

@@ -375,3 +375,64 @@ SELECT t.conv_id, CAST(t.turn_idx AS INTEGER) AS turn_idx, t.term, t.tf
 FROM tfs t JOIN docs d ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx
 ORDER BY t.conv_id, t.turn_idx, t.term
 """
+
+
+def reindex_from_docstore(
+    src_index: str, dst_index: str, cfg=None
+) -> dict:
+    """Rebuild a fresh index from another index's doc-store — the ES
+    ``_reindex`` shape: change analyzer/partitioning config without the
+    original corpus.  The doc-store holds only the ``text`` column, so
+    the destination config must index text-only fields (enforced); a
+    text-only reindex is BM25-identical to a from-corpus build, which
+    the ``reindexed_topk`` gate proves against the plain bm25 oracle.
+
+    Shape: docstore shards stream through one decode ``map_batches``
+    (codec broadcast once) straight into the standard ``build_index``
+    pipeline — no driver materialization; resumability is build_index's
+    own (partition manifests).
+    """
+    import ray
+    import ray.data as rd
+
+    for col, _mode in (cfg.fields if cfg else (("text", "body"),)):
+        if col != "text":
+            raise ValueError(
+                f"doc-store carries only 'text'; cannot reindex field {col!r}"
+            )
+    if cfg is None:
+        cfg = build.BuildConfig(fields=(("text", "body"),))
+    manifest = json.load(open(os.path.join(src_index, "manifest.json")))
+    store_dir = os.path.join(src_index, DIRNAME)
+    if not os.path.isfile(os.path.join(store_dir, "_manifest.json")):
+        raise FileNotFoundError(f"no doc-store under {src_index}")
+    codec = DocIdCodec.from_table(
+        pq.read_table(os.path.join(src_index, "convmap.parquet"))
+    )
+    codec_ref = ray.put(codec)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        c = build._get_ref(codec_ref)
+        conv, turn = c.decode(batch["docid"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array(turn.astype(np.int32), pa.int32()),
+                "text": batch["text"],
+            }
+        )
+
+    files = sorted(
+        os.path.join(store_dir, f)
+        for f in os.listdir(store_dir)
+        if f.startswith("shard-") and f.endswith(".parquet")
+    )
+    tds = rd.read_parquet(files, columns=["docid", "text"]).map_batches(
+        decode, batch_format="pyarrow"
+    )
+    return build.build_index(
+        tds,
+        dst_index,
+        input_fingerprint=f"reindex|{manifest['build_fingerprint']}",
+        cfg=cfg,
+    )

@@ -287,3 +287,26 @@ def test_term_vectors_match_oracle(store, duck):
     assert (got["tf"] >= 1).all()
     # (conv, turn, term) is a key: no duplicate vector entries
     assert not got.duplicated(["conv_id", "turn_idx", "term"]).any()
+
+
+def test_reindex_from_docstore_query_identity(store, tmp_path):
+    """Reindex from the doc-store: BM25 and collapsed rankings are
+    identical to the source index's (text-field parity); non-text
+    field configs are refused."""
+    import pandas as pd
+
+    d, _m = store
+    dst = str(tmp_path / "reidx")
+    m2 = docstore.reindex_from_docstore(d, dst)
+    assert m2["status"] == "complete"
+    src_idx, new_idx = query.SegmentIndex(d), query.SegmentIndex(dst)
+    for _qid, text, k in query.REFERENCE_QUERIES:
+        for mode in ("bm25", "collapsed"):
+            pd.testing.assert_frame_equal(
+                src_idx.topk(text, k, mode), new_idx.topk(text, k, mode)
+            )
+    with pytest.raises(ValueError):
+        docstore.reindex_from_docstore(
+            d, str(tmp_path / "bad"),
+            cfg=build.BuildConfig(fields=(("text", "body"), ("tool", "tool"))),
+        )
