@@ -74,6 +74,13 @@ class IndexServer:
             query_text, k, clauses=decode_clauses(clauses_json), desc=desc
         )
 
+    def has_child(
+        self, user_text: str, assistant_text: str, k: int = 10
+    ) -> pd.DataFrame:
+        """Parent-child conversation search (needs the doc-values
+        sidecar for the role column)."""
+        return self.index.topk_has_child(user_text, assistant_text, k)
+
     def info(self) -> dict:
         return {
             "n_terms": self.index.manifest["n_terms"],
@@ -107,6 +114,13 @@ class ServeHandle:
         a = self.actors[self._i % len(self.actors)]
         self._i += 1
         return ray.get(a.topk_sorted.remote(query_text, k, clauses_json, desc))
+
+    def has_child(
+        self, user_text: str, assistant_text: str, k: int = 10
+    ) -> pd.DataFrame:
+        a = self.actors[self._i % len(self.actors)]
+        self._i += 1
+        return ray.get(a.has_child.remote(user_text, assistant_text, k))
 
     def info(self) -> dict:
         return ray.get(self.actors[0].info.remote())
@@ -197,6 +211,14 @@ class HttpFrontend:
                             df = handle.topk_filtered(q, k, flt, mode)
                         else:
                             df = handle.topk(q, k, mode)
+                        self._send(200, df.to_json(orient="records"))
+                    elif u.path == "/has_child":
+                        qs = parse_qs(u.query)
+                        df = handle.has_child(
+                            qs.get("u", [""])[0],
+                            qs.get("a", [""])[0],
+                            int(qs.get("k", ["10"])[0]),
+                        )
                         self._send(200, df.to_json(orient="records"))
                     elif u.path == "/info":
                         self._send(200, json.dumps(handle.info()))

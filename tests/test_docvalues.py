@@ -327,3 +327,18 @@ def test_has_child_semantics(ray_session, dv_index, duck):
     )
     for conv in res.conv_id:
         assert conv in u and conv in a
+
+
+def test_serve_has_child_matches_direct(ray_session, dv_index):
+    """has_child over the replica pool == the direct index answer."""
+    from raystorm import serve
+
+    handle = serve.start(dv_index, replicas=1, name="t-hc")
+    try:
+        direct = query.SegmentIndex(dv_index).topk_has_child("merge", "window", 10)
+        got = handle.has_child("merge", "window", 10)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), direct.reset_index(drop=True)
+        )
+    finally:
+        assert serve.stop(replicas=1, name="t-hc") == 1
