@@ -29,12 +29,23 @@ import ray
 class IndexServer:
     """One serving replica: index (+ optional title map) loaded once."""
 
+    #: request-cache capacity (the ES shard-request-cache shape): plain
+    #: topk answers keyed by (text, k, mode), LRU-evicted.  Safe by
+    #: construction — a replica's index is immutable for its lifetime
+    #: (updates/compaction swap in a NEW directory and a new pool), so
+    #: there is no invalidation path to get wrong.
+    CACHE_MAX = 256
+
     def __init__(self, index_dir: str, sf_dir: str | None = None):
         import os
+        from collections import OrderedDict
 
         from .query import LazyTitles, SegmentIndex, conv_titles
 
         self.index = SegmentIndex(index_dir)
+        self._cache: OrderedDict = OrderedDict()
+        self._cache_hits = 0
+        self._cache_misses = 0
         if os.path.isdir(os.path.join(index_dir, "docstore")):
             # self-contained serving: titles resolved per candidate from
             # the index-local doc-store (<=CAND_K point lookups per
@@ -52,7 +63,18 @@ class IndexServer:
             from .query import _topk_boosted
 
             return _topk_boosted(self.index, query_text, k, self.titles)
-        return self.index.topk(query_text, k, mode)
+        key = (query_text, int(k), mode)
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            self._cache_hits += 1
+            return hit.copy()
+        self._cache_misses += 1
+        df = self.index.topk(query_text, k, mode)
+        self._cache[key] = df.copy()
+        if len(self._cache) > self.CACHE_MAX:
+            self._cache.popitem(last=False)
+        return df
 
     def topk_filtered(
         self, query_text: str, k: int = 10, clauses_json: str = "", mode: str = "bm25"
@@ -86,6 +108,11 @@ class IndexServer:
             "n_terms": self.index.manifest["n_terms"],
             "global_stats": self.index.global_stats,
             "partitions": self.index.manifest["num_partitions"],
+            "cache": {
+                "entries": len(self._cache),
+                "hits": self._cache_hits,
+                "misses": self._cache_misses,
+            },
         }
 
 

@@ -167,3 +167,26 @@ def test_snapshot_restore_roundtrip_and_incremental(ray_session, tmp_path_factor
     # restore refuses to clobber
     with pytest.raises(FileExistsError):
         admin.restore_index(repo, "s1", rest)
+
+
+def test_request_cache_hits_and_identity(index_pair):
+    """Serving request cache: the second identical request on a
+    single-replica pool is a hit and byte-identical; wire serialization
+    means caller mutation can never poison the cache."""
+    from raystorm import serve
+
+    _root, live, _cand = index_pair
+    handle = serve.start(live, replicas=1, name="t-cache")
+    try:
+        a = handle.topk("hash join", 10, "bm25")
+        b = handle.topk("hash join", 10, "bm25")
+        pd.testing.assert_frame_equal(a, b)
+        st = handle.info()["cache"]
+        assert st["hits"] == 1 and st["misses"] == 1
+        b.loc[:, "score"] = -1.0
+        c = handle.topk("hash join", 10, "bm25")
+        pd.testing.assert_frame_equal(a, c)
+        handle.topk("the", 5, "bm25")
+        assert handle.info()["cache"]["entries"] == 2
+    finally:
+        assert serve.stop(replicas=1, name="t-cache") == 1
