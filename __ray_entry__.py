@@ -114,6 +114,32 @@ def _deleted_index_for(sf_dir: str) -> str:
     return index_dir
 
 
+#: delete-by-query probe: two terms -> any-term candidate semantics
+DBQ_TEXT = "customer window"
+
+
+def _dbq_index_for(sf_dir: str) -> str:
+    """Copy of the standard index with every conversation matching
+    DBQ_TEXT tombstoned via deletes.delete_by_query (ES
+    _delete_by_query at the conversation grain)."""
+    import json
+
+    from raystorm import deletes
+
+    base = _index_for(sf_dir)
+    base_fp = json.load(open(os.path.join(base, "manifest.json")))["build_fingerprint"]
+    key = hashlib.sha256(f"{base_fp}|dbq|{DBQ_TEXT}".encode()).hexdigest()[:16]
+    index_dir = os.path.join("/tmp", "raystorm_index", key)
+    tag = os.path.join(index_dir, "_delete_tag.json")
+    if os.path.isfile(tag) and json.load(open(tag)).get("key") == key:
+        return index_dir
+    deletes.copy_index(base, index_dir)
+    deletes.delete_by_query(index_dir, DBQ_TEXT)
+    with open(tag, "w") as fh:
+        json.dump({"key": key}, fh)
+    return index_dir
+
+
 def _vacuumed_index_for(sf_dir: str) -> str:
     """The tombstoned index physically vacuumed (deletes.vacuum_index):
     stats recomputed exactly, so gates compare against the
@@ -447,6 +473,14 @@ def _q_topk_bm25_deleted(sf_dir: str):
     not vacuumed): candidates mask, stats stay full-corpus — Lucene
     delete semantics, oracle = full-stats SQL with the ranking filter."""
     return _run_reference_queries(sf_dir, "bm25", index_dir=_deleted_index_for(sf_dir))
+
+
+def _q_topk_bm25_dbq(sf_dir: str):
+    """BM25 after deletes.delete_by_query (ES _delete_by_query):
+    conversations with a turn matching DBQ_TEXT are tombstoned; the
+    oracle masks the same conv set via a shared-tokenizer any-term
+    subquery (query.dbq_deleted_sql), full-corpus stats kept."""
+    return _run_reference_queries(sf_dir, "bm25", index_dir=_dbq_index_for(sf_dir))
 
 
 def _q_topk_bm25_deleted_pruned(sf_dir: str):
@@ -1088,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reindexed_topk": _q_reindexed_topk,
         "search_export": _q_search_export,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
+        "topk_bm25_dbq": _q_topk_bm25_dbq,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
         "topk_faithful_deleted": _q_topk_faithful_deleted,
         "topk_bm25_vacuumed": _q_topk_bm25_vacuumed,
@@ -1187,6 +1222,9 @@ def oracle_sql() -> dict[str, str]:
         "reindexed_topk": query.bm25_topk_sql(),
         "search_export": query.export_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
+        "topk_bm25_dbq": query.bm25_topk_sql(
+            deleted_sql=query.dbq_deleted_sql(DBQ_TEXT)
+        ),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_faithful_deleted": query.faithful_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_vacuumed": query.bm25_topk_sql(corpus_pred=DELETE_PRED_SQL),

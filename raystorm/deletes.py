@@ -349,3 +349,31 @@ def copy_index(src_dir: str, dst_dir: str) -> None:
     if os.path.isdir(dst_dir):
         shutil.rmtree(dst_dir)
     shutil.copytree(src_dir, dst_dir)
+
+
+def delete_by_query(
+    index_dir: str, query_text: str, mode: str = "bm25", delete_fingerprint: str = ""
+) -> dict:
+    """Tombstone every conversation with a turn matching ``query_text``
+    (the ES ``_delete_by_query`` shape, at the conversation grain the
+    tombstones use): evaluate the query's full candidate set on the
+    warm index, decode to conversations, delete.  Idempotent — the
+    delete fingerprint derives from (query, mode, caller tag), so a
+    replay is a no-op.  Oracle mirror: :func:`raystorm.query.dbq_deleted_sql`
+    feeds ``bm25_topk_sql(deleted_sql=...)``.
+    """
+    import numpy as np
+
+    from .query import SegmentIndex  # lazy: query imports this module
+
+    idx = SegmentIndex(index_dir)
+    docids, _scores = idx._score_mode(query_text, mode)
+    conv, _turn = idx.codec.decode(docids)
+    victims = sorted(set(np.asarray(conv).astype(str).tolist()))
+    res = delete_convs(
+        index_dir,
+        victims,
+        delete_fingerprint=f"dbq|{mode}|{query_text}|{delete_fingerprint}",
+    )
+    res["n_convs_matched"] = len(victims)
+    return res

@@ -2386,6 +2386,7 @@ def bm25_topk_sql(
     page: int = 1,
     weighted: bool = False,
     meta_case: str | None = None,
+    deleted_sql: str | None = None,
 ) -> str:
     """Full oracle query for the BM25 reference-query evaluation.
 
@@ -2413,9 +2414,17 @@ def bm25_topk_sql(
     where_parts = []
     if mask_pred:
         where_parts.append(f"NOT ({mask_pred.replace('conv_id', 't.conv_id')})")
+    if deleted_sql:
+        # ``deleted_sql`` is a full SELECT yielding one conv_id column —
+        # the delete-by-query mask (subqueries can't ride mask_pred,
+        # whose textual conv_id -> t.conv_id rewrite would mangle them)
+        where_parts.append("t.conv_id NOT IN (SELECT conv_id FROM dbq_deleted)")
     if meta_case:
         where_parts.append(meta_case)
     mask = ("WHERE " + " AND ".join(where_parts)) if where_parts else ""
+    deleted_cte = (
+        f"dbq_deleted AS MATERIALIZED ({deleted_sql})," if deleted_sql else ""
+    )
     meta_join = (
         "JOIN transcripts m ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx"
         if meta_case
@@ -2437,6 +2446,7 @@ def bm25_topk_sql(
 WITH {corpus_ctes(corpus_pred)},
 queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
 {qterms_clause},
+{deleted_cte}
 scores AS (
   SELECT q.query_id,
          t.conv_id, t.turn_idx,
@@ -3293,3 +3303,13 @@ FROM ranked r JOIN queries q ON q.query_id = r.query_id
 WHERE r.rank <= q.qk
 ORDER BY r.query_id, r.rank
 """
+
+
+def dbq_deleted_sql(query_text: str) -> str:
+    """SELECT yielding the conv_ids a ``deletes.delete_by_query`` of
+    ``query_text`` (mode bm25) tombstones — any-term candidate
+    semantics over the same tokenizer, for
+    ``bm25_topk_sql(deleted_sql=...)``."""
+    toks, _rows = normalize.tokenize_column(pa.array([query_text]), "body")
+    terms = ", ".join(f"'{t}'" for t in sorted(set(toks.tolist())))
+    return f"SELECT DISTINCT conv_id FROM tfs WHERE term IN ({terms})"

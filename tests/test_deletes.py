@@ -198,3 +198,27 @@ def test_delete_entry_rolls_forward_pending_update(
     # update replay after the delete is a no-op, not a re-application
     m3 = update.update_index(delta, d, delta_fingerprint="delp-delta")
     assert m3["generations"] == 2
+
+
+def test_delete_by_query_semantics(ray_session, tmp_path):
+    """delete_by_query: every conv with a matching turn is tombstoned
+    (its hits vanish; non-matching convs untouched); replay is a no-op."""
+    from raystorm import build, corpus, deletes, query
+
+    d = str(tmp_path / "idx")
+    ds = corpus.transcripts_from_documents("/root/testdata/sf0.001")
+    build.build_index(
+        ds, d, input_fingerprint="sf0.001",
+        cfg=build.BuildConfig(num_partitions=4, split_target=500),
+    )
+    before = query.SegmentIndex(d).topk("customer", 10**9, "bm25")
+    res = deletes.delete_by_query(d, "customer")
+    assert res["n_convs_matched"] == before.conv_id.nunique() > 0
+    idx = query.SegmentIndex(d)
+    assert len(idx.topk("customer", 10**9, "bm25")) == 0
+    # unrelated convs still serve
+    assert len(idx.topk("the", 10, "bm25")) > 0
+    # replay no-op: the survivors contain no match, so nothing to delete
+    res2 = deletes.delete_by_query(d, "customer")
+    assert res2["n_convs_matched"] == 0
+    assert len(query.SegmentIndex(d).topk("customer", 10**9, "bm25")) == 0
