@@ -978,6 +978,15 @@ def _q_search_export(sf_dir: str):
     )
 
 
+def _q_topk_bm25_msm(sf_dir: str):
+    """Boolean retrieval with minimum_should_match: MUST/MUST_NOT
+    algebra plus a per-query floor on matched SHOULD terms; floor 0
+    reduces to plain bm25_bool, a floor above the SHOULD count matches
+    nothing (query.SegmentIndex.topk_min_should; oracle
+    query.msm_topk_sql)."""
+    return query.batch_min_should(_index_for(sf_dir))
+
+
 def _q_topk_rescored(sf_dir: str):
     """Two-phase rescoring (ES rescore + recency function_score): the
     BM25 top-RESCORE_WINDOW window re-ranks by base + W·exp-decay of
@@ -1123,6 +1132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_export": _q_search_export,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_dbq": _q_topk_bm25_dbq,
+        "topk_bm25_msm": _q_topk_bm25_msm,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
         "topk_faithful_deleted": _q_topk_faithful_deleted,
         "topk_bm25_vacuumed": _q_topk_bm25_vacuumed,
@@ -1225,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_dbq": query.bm25_topk_sql(
             deleted_sql=query.dbq_deleted_sql(DBQ_TEXT)
         ),
+        "topk_bm25_msm": query.msm_topk_sql(),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_faithful_deleted": query.faithful_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_vacuumed": query.bm25_topk_sql(corpus_pred=DELETE_PRED_SQL),

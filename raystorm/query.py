@@ -1125,7 +1125,7 @@ class SegmentIndex:
         terms = sorted(boosts)
         return self._score_bm25_terms(terms, [boosts[t] for t in terms])
 
-    def _score_bm25_boolean(self, query_text: str):
+    def _score_bm25_boolean(self, query_text: str, min_should_match: int = 0):
         """Lucene-BooleanQuery semantics: ``+term`` MUST, ``-term``
         MUST_NOT, bare terms SHOULD.  A document qualifies when it
         contains every MUST term and no MUST_NOT term; it scores the
@@ -1152,7 +1152,25 @@ class SegmentIndex:
             post = self.postings(t, "text")
             if post is not None:
                 keep &= ~np.isin(ids, post[0], assume_unique=True)
+        if min_should_match > 0:
+            cnt = np.zeros(len(ids), np.int64)
+            for t in should:
+                post = self.postings(t, "text")
+                if post is not None:
+                    cnt += np.isin(ids, post[0], assume_unique=True)
+            keep &= cnt >= min_should_match
         return ids[keep], totals[keep]
+
+    def topk_min_should(
+        self, query_text: str, k: int, min_should_match: int
+    ) -> pd.DataFrame:
+        """Boolean retrieval with ES ``minimum_should_match``: on top of
+        the MUST / MUST_NOT algebra, a document must also match at
+        least ``min_should_match`` of the SHOULD terms.  0 reduces to
+        the plain ``bm25_bool`` mode (pytest-pinned); a floor above the
+        SHOULD count matches nothing.  Oracle: :func:`msm_topk_sql`."""
+        docids, scores = self._score_bm25_boolean(query_text, min_should_match)
+        return self._format_topk(docids, scores, k)
 
     #: BM25F field weights (text is the body; tool hits count double —
     #: the structured field is the stronger signal)
@@ -3313,3 +3331,95 @@ def dbq_deleted_sql(query_text: str) -> str:
     toks, _rows = normalize.tokenize_column(pa.array([query_text]), "body")
     terms = ", ".join(f"'{t}'" for t in sorted(set(toks.tolist())))
     return f"SELECT DISTINCT conv_id FROM tfs WHERE term IN ({terms})"
+
+
+#: minimum_should_match fixture: (query_id, boolean text, msm, k).
+#: ms03 requires all three SHOULDs (conjunctive via the floor), ms04's
+#: floor of 0 reduces to plain bm25_bool, ms05's floor exceeds the
+#: SHOULD count (empty).
+MSM_QUERIES = (
+    ("ms01", "merge window stream", 2, 10),
+    ("ms02", "+merge sort window fast", 2, 10),
+    ("ms03", "hash join window", 3, 10),
+    ("ms04", "merge window", 0, 10),
+    ("ms05", "merge window", 3, 10),
+)
+
+
+def batch_min_should(index_dir: str, queries=MSM_QUERIES) -> pd.DataFrame:
+    """minimum_should_match evaluation over the fixture set (gate
+    ``topk_bm25_msm``; oracle :func:`msm_topk_sql`)."""
+    idx = SegmentIndex(index_dir)
+    out = []
+    for qid, text, msm, k in queries:
+        df = idx.topk_min_should(text, int(k), int(msm))
+        df.insert(0, "query_id", qid)
+        out.append(df)
+    return pd.concat(out, ignore_index=True)
+
+
+def msm_topk_sql(queries=MSM_QUERIES, k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of :meth:`SegmentIndex.topk_min_should`: the boolean
+    oracle's HAVING algebra plus a per-query SHOULD-match floor
+    (count of distinct matched SHOULD terms >= msm)."""
+    must_rows, not_rows, should_rows, pos_rows, msm_rows = [], [], [], [], []
+    for qid, text, msm, _k in queries:
+        must, must_not, should = parse_boolean_query(text)
+        must_rows += [f"('{qid}', '{t}')" for t in must]
+        not_rows += [f"('{qid}', '{t}')" for t in must_not]
+        should_rows += [f"('{qid}', '{t}')" for t in should]
+        pos_rows += [f"('{qid}', '{t}')" for t in sorted(set(must) | set(should))]
+        msm_rows.append(f"('{qid}', {int(msm)})")
+
+    def _rel(name, rows):
+        if rows:
+            return f"{name}(query_id, term) AS (VALUES {', '.join(rows)})"
+        return f"{name}(query_id, term) AS (SELECT NULL, NULL WHERE false)"
+
+    q3 = tuple((qid, text, k) for qid, text, _m, k in queries)
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(q3)}) v(query_id, qtext, k)),
+{_rel('qmust', must_rows)},
+{_rel('qnot', not_rows)},
+{_rel('qshould', should_rows)},
+qmsm(query_id, msm) AS (VALUES {', '.join(msm_rows)}),
+{_rel('qterms', pos_rows)},
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tfs x JOIN qnot n ON n.query_id = q.query_id AND n.term = x.term
+    WHERE x.conv_id = t.conv_id AND x.turn_idx = t.turn_idx
+  )
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+  HAVING count(DISTINCT CASE WHEN t.term IN
+           (SELECT term FROM qmust m WHERE m.query_id = q.query_id)
+         THEN t.term END)
+       = (SELECT count(*) FROM qmust m2 WHERE m2.query_id = q.query_id)
+     AND count(DISTINCT CASE WHEN t.term IN
+           (SELECT term FROM qshould s WHERE s.query_id = q.query_id)
+         THEN t.term END)
+       >= (SELECT msm FROM qmsm mm WHERE mm.query_id = q.query_id)
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""

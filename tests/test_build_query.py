@@ -628,3 +628,29 @@ def test_synonyms_mode_semantics(ray_session, index_dir, duck):
         idx.topk("customer", 10, "bm25_syn"), idx.topk("customer", 10, "bm25")
     )
     assert expand_synonyms("join") == ["combine", "join", "merge"]
+
+
+def test_min_should_match_semantics(ray_session, index_dir, duck):
+    """MSM: oracle parity; floor 0 == plain bm25_bool; floor above the
+    SHOULD count is empty; every ms01 hit really matches >=2 terms."""
+    from raystorm.query import MSM_QUERIES, batch_min_should, msm_topk_sql
+
+    got = batch_min_should(index_dir, MSM_QUERIES)
+    want = duck.execute(msm_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    idx = query.SegmentIndex(index_dir)
+    pd.testing.assert_frame_equal(
+        idx.topk_min_should("merge window", 10, 0),
+        idx.topk("merge window", 10, "bm25_bool"),
+    )
+    assert len(got[got.query_id == "ms05"]) == 0
+    hits = idx.topk_min_should("merge window stream", 10**9, 2)
+    posts = {
+        t: set(idx.postings(t, "text")[0])
+        for t in ("merge", "window", "stream")
+    }
+    dids = idx.codec.encode(hits.conv_id.to_numpy(), hits.turn_idx.to_numpy(np.int64))
+    for d in dids:
+        assert sum(int(d) in p for p in posts.values()) >= 2
