@@ -711,6 +711,15 @@ def _q_search_facets_stats(sf_dir: str):
     return facets.search_facets_stats(_docvalues_index_for(sf_dir))
 
 
+def _q_search_facets_composite(sf_dir: str):
+    """Composite facet (ES composite aggregation): (role, day) tuple
+    buckets over each query's full hit set, resolved from the
+    doc-values sidecar — candidate-bounded, no corpus join
+    (facets.search_facets_composite; oracle
+    facets.facets_composite_sql)."""
+    return facets.search_facets_composite(_docvalues_index_for(sf_dir))
+
+
 def _q_search_top_terms(sf_dir: str):
     """Terms aggregation over each query's full hit set (the ES terms
     aggregation on text): hit stream ⋈ token stream, integer tf sums,
@@ -1105,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": _q_term_vectors,
         "search_facets_stats": _q_search_facets_stats,
         "search_top_terms": _q_search_top_terms,
+        "search_facets_composite": _q_search_facets_composite,
         "search_significant_terms": _q_search_significant_terms,
         "search_percentiles": _q_search_percentiles,
         "topk_collapsed": _q_topk_collapsed,
@@ -1206,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
         "term_vectors": _term_vectors_oracle_sql(),
         "search_facets_stats": facets.facets_stats_sql(),
         "search_top_terms": facets.top_terms_sql(),
+        "search_facets_composite": facets.facets_composite_sql(),
         "search_significant_terms": facets.significant_terms_sql(),
         "search_percentiles": facets.percentiles_sql(),
         "topk_collapsed": query.collapsed_topk_sql(),

@@ -185,13 +185,16 @@ class DVFacetScorer:
         self.facet = facet
         self.mode = mode
 
-    def _buckets(self, docids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def _buckets(
+        self, docids: np.ndarray, facet: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Facet bucket per candidate docid (+ found mask)."""
-        if self.facet == "day":
+        facet = self.facet if facet is None else facet
+        if facet == "day":
             ts, found = self.dv.lookup(docids, "ts_us")
             days = np.datetime64(0, "D") + ts // 86_400_000_000
             return days.astype(str).astype(object), found
-        return self.dv.lookup(docids, self.facet)
+        return self.dv.lookup(docids, facet)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         parts = []
@@ -260,6 +263,117 @@ def search_facets_dv(
     )
     out["n_hits"] = out["n_hits"].astype(np.int64)
     return out
+
+
+class DVCompositeScorer(DVFacetScorer):
+    """Composite (multi-source) facet: buckets are TUPLES of doc-value
+    columns (the ES ``composite`` aggregation) — same candidate-bounded
+    partial shape as the single-key scorer, one lookup per source."""
+
+    def __init__(self, index_dir: str, facets=("role", "day"), mode: str = "bm25"):
+        super().__init__(index_dir, facet=facets[0], mode=mode)
+        self.facets = tuple(facets)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ids, sc = self.index._score_mode(text, self.mode)
+            if not len(ids):
+                continue
+            cols, found = {}, np.ones(len(ids), bool)
+            for f in self.facets:
+                vals, ok = self._buckets(ids, f)
+                cols[f] = vals
+                found &= ok
+            sc = round_half_up(sc, SCORE_ROUND)[found]
+            g = (
+                pd.DataFrame({f: cols[f][found] for f in self.facets})
+                .assign(score=sc)
+                .groupby(list(self.facets), as_index=False)
+                .agg(n_hits=("score", "size"), top_score=("score", "max"))
+            )
+            g.insert(0, "query_id", qid)
+            parts.append(g)
+        if parts:
+            res = pd.concat(parts, ignore_index=True)
+        else:
+            res = pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=object),
+                    **{f: pd.Series([], dtype=object) for f in self.facets},
+                    "n_hits": pd.Series([], dtype=np.int64),
+                    "top_score": pd.Series([], dtype=np.float64),
+                }
+            )
+        res["n_hits"] = res["n_hits"].astype(np.int64)
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def search_facets_composite(
+    index_dir: str,
+    queries=REFERENCE_QUERIES,
+    facets=("role", "day"),
+    mode: str = "bm25",
+) -> pd.DataFrame:
+    """Composite facet aggregation over the FULL hit set (gate
+    ``search_facets_composite``; oracle :func:`facets_composite_sql`):
+    per (query, facet-tuple) bucket, hit count + top rounded score.
+    Same merge bound as the single-key path — O(queries × buckets)."""
+    import ray.data as rd
+
+    keys = list(facets)
+    qds = rd.from_arrow(queries_table(queries))
+    parts = qds.map_batches(
+        DVCompositeScorer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "facets": tuple(facets),
+            "mode": mode,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    ).to_pandas()
+    out = (
+        parts.groupby(["query_id"] + keys, as_index=False)
+        .agg(n_hits=("n_hits", "sum"), top_score=("top_score", "max"))
+        .sort_values(["query_id"] + keys)
+        .reset_index(drop=True)
+    )
+    out["n_hits"] = out["n_hits"].astype(np.int64)
+    return out
+
+
+def facets_composite_sql(
+    queries=REFERENCE_QUERIES, k1=1.2, b=0.75
+) -> str:
+    """Mirror of :func:`search_facets_composite` for (role, day): the
+    no-cut scores CTE joined to transcripts, grouped by both buckets."""
+    return f"""
+WITH {corpus_ctes()},
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+)
+SELECT s.query_id, tr.role, strftime(tr.ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       max(round(s.score, {SCORE_ROUND})) AS top_score
+FROM scores s
+JOIN transcripts tr ON tr.conv_id = s.conv_id AND tr.turn_idx = s.turn_idx
+GROUP BY s.query_id, tr.role, strftime(tr.ts, '%Y-%m-%d')
+ORDER BY s.query_id, tr.role, day
+"""
 
 
 #: top-terms cut per query (the ES terms-aggregation `size`)

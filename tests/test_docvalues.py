@@ -342,3 +342,23 @@ def test_serve_has_child_matches_direct(ray_session, dv_index):
         )
     finally:
         assert serve.stop(replicas=1, name="t-hc") == 1
+
+
+def test_composite_facet_consistency(ray_session, dv_index, duck):
+    """Composite (role, day) facet: oracle parity; marginalizing the
+    composite over day reproduces the single-key role facet exactly."""
+    from raystorm import facets
+
+    comp = facets.search_facets_composite(dv_index)
+    want = duck.execute(facets.facets_composite_sql()).df()
+    pd.testing.assert_frame_equal(
+        comp.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    marg = (
+        comp.groupby(["query_id", "role"], as_index=False)
+        .agg(n_hits=("n_hits", "sum"), top_score=("top_score", "max"))
+        .sort_values(["query_id", "role"])
+        .reset_index(drop=True)
+    )
+    single = facets.search_facets_dv(dv_index)
+    pd.testing.assert_frame_equal(marg, single, check_dtype=False)
