@@ -711,6 +711,14 @@ def _q_search_facets_stats(sf_dir: str):
     return facets.search_facets_stats(_docvalues_index_for(sf_dir))
 
 
+def _q_search_top_hits(sf_dir: str):
+    """top_hits sub-aggregation (ES top_hits inside a terms bucket):
+    the k best actual hits of each (query, role bucket), ranked within
+    the bucket by the standard rule — candidate-bounded partials, k per
+    bucket (facets.search_top_hits; oracle facets.top_hits_sql)."""
+    return facets.search_top_hits(_docvalues_index_for(sf_dir))
+
+
 def _q_search_facets_composite(sf_dir: str):
     """Composite facet (ES composite aggregation): (role, day) tuple
     buckets over each query's full hit set, resolved from the
@@ -1115,6 +1123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets_stats": _q_search_facets_stats,
         "search_top_terms": _q_search_top_terms,
         "search_facets_composite": _q_search_facets_composite,
+        "search_top_hits": _q_search_top_hits,
         "search_significant_terms": _q_search_significant_terms,
         "search_percentiles": _q_search_percentiles,
         "topk_collapsed": _q_topk_collapsed,
@@ -1217,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "search_facets_stats": facets.facets_stats_sql(),
         "search_top_terms": facets.top_terms_sql(),
         "search_facets_composite": facets.facets_composite_sql(),
+        "search_top_hits": facets.top_hits_sql(),
         "search_significant_terms": facets.significant_terms_sql(),
         "search_percentiles": facets.percentiles_sql(),
         "topk_collapsed": query.collapsed_topk_sql(),

@@ -311,6 +311,167 @@ class DVCompositeScorer(DVFacetScorer):
         return pa.Table.from_pandas(res, preserve_index=False)
 
 
+#: per-bucket hit cut for the top_hits sub-aggregation
+TOP_HITS_K = 2
+
+
+class DVTopHitsScorer(DVFacetScorer):
+    """top_hits sub-aggregation (ES ``top_hits`` inside a terms
+    bucket): per (query, facet bucket) the top-k actual hits by the
+    standard rank rule.  Candidate-bounded: the per-batch partial is
+    already cut to k per bucket, so the driver merge handles
+    O(queries × buckets × k) rows."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        facet: str = "role",
+        mode: str = "bm25",
+        k: int = TOP_HITS_K,
+    ):
+        super().__init__(index_dir, facet=facet, mode=mode)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ids, sc = self.index._score_mode(text, self.mode)
+            if not len(ids):
+                continue
+            buckets, found = self._buckets(ids)
+            ids, sc, buckets = ids[found], sc[found], buckets[found]
+            r = round_half_up(sc, 9)
+            order = np.lexsort((ids, -r, buckets.astype(str)))
+            b_sorted = buckets[order].astype(str)
+            first = np.empty(len(order), bool)
+            if len(order):
+                first[0] = True
+                first[1:] = b_sorted[1:] != b_sorted[:-1]
+            starts = np.nonzero(first)[0]
+            keep = []
+            for i, s0 in enumerate(starts):
+                e0 = starts[i + 1] if i + 1 < len(starts) else len(order)
+                keep.extend(order[s0 : min(s0 + self.k, e0)])
+            keep = np.array(keep, np.int64)
+            conv, turn = self.index.codec.decode(ids[keep])
+            g = pd.DataFrame(
+                {
+                    self.facet: buckets[keep].astype(str),
+                    "conv_id": conv,
+                    "turn_idx": turn.astype(np.int64),
+                    "score": round_half_up(sc[keep], SCORE_ROUND),
+                }
+            )
+            g.insert(0, "query_id", qid)
+            parts.append(g)
+        if parts:
+            res = pd.concat(parts, ignore_index=True)
+        else:
+            res = pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=object),
+                    self.facet: pd.Series([], dtype=object),
+                    "conv_id": pd.Series([], dtype=object),
+                    "turn_idx": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def search_top_hits(
+    index_dir: str,
+    queries=REFERENCE_QUERIES,
+    facet: str = "role",
+    mode: str = "bm25",
+    k: int = TOP_HITS_K,
+) -> pd.DataFrame:
+    """top_hits per facet bucket (gate ``search_top_hits``; oracle
+    :func:`top_hits_sql`): the k best hits of each (query, bucket),
+    ranked 1..k within the bucket by (rounded score desc, conv, turn)."""
+    import ray.data as rd
+
+    qds = rd.from_arrow(queries_table(queries))
+    parts = qds.map_batches(
+        DVTopHitsScorer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "facet": facet,
+            "mode": mode,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    ).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            columns=["query_id", facet, "rank", "conv_id", "turn_idx", "score"]
+        )
+    out = []
+    for (qid, b), g in parts.groupby(["query_id", facet], sort=True):
+        r = round_half_up(g["score"].to_numpy(), 9)
+        order = np.lexsort(
+            (g["turn_idx"].to_numpy(), g["conv_id"].to_numpy(), -r)
+        )[:k]
+        sel = g.iloc[order]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": qid,
+                    facet: b,
+                    "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                    "conv_id": sel["conv_id"].to_numpy(),
+                    "turn_idx": sel["turn_idx"].to_numpy(np.int32),
+                    "score": sel["score"].to_numpy(),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def top_hits_sql(
+    queries=REFERENCE_QUERIES,
+    facet: str = "role",
+    k: int = TOP_HITS_K,
+    k1=1.2,
+    b=0.75,
+) -> str:
+    """Mirror of :func:`search_top_hits`: scores CTE ⋈ transcripts,
+    row_number per (query, bucket) by the standard rank rule, cut k."""
+    return f"""
+WITH {corpus_ctes()},
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+ranked AS (
+  SELECT s.query_id, tr.{facet} AS {facet},
+         CAST(row_number() OVER (
+           PARTITION BY s.query_id, tr.{facet}
+           ORDER BY round(s.score, 9) DESC, s.conv_id, s.turn_idx) AS INTEGER) AS rank,
+         s.conv_id, CAST(s.turn_idx AS INTEGER) AS turn_idx,
+         round(s.score, {SCORE_ROUND}) AS score
+  FROM scores s
+  JOIN transcripts tr ON tr.conv_id = s.conv_id AND tr.turn_idx = s.turn_idx
+)
+SELECT query_id, {facet}, rank, conv_id, turn_idx, score
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, {facet}, rank
+"""
+
+
 def search_facets_composite(
     index_dir: str,
     queries=REFERENCE_QUERIES,

@@ -362,3 +362,21 @@ def test_composite_facet_consistency(ray_session, dv_index, duck):
     )
     single = facets.search_facets_dv(dv_index)
     pd.testing.assert_frame_equal(marg, single, check_dtype=False)
+
+
+def test_top_hits_per_bucket(ray_session, dv_index, duck):
+    """top_hits: oracle parity; each bucket's rank-1 hit is the global
+    best hit of that bucket (cross-checked via the filtered mode)."""
+    from raystorm import facets
+
+    got = facets.search_top_hits(dv_index)
+    want = duck.execute(facets.top_hits_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    idx = query.SegmentIndex(dv_index)
+    for (qid, role), g in got[got["rank"] == 1].groupby(["query_id", "role"]):
+        text = dict((q[0], q[1]) for q in query.REFERENCE_QUERIES)[qid]
+        best = idx.topk_filtered(text, 1, (("role", "=", role),))
+        assert best.conv_id.iloc[0] == g.conv_id.iloc[0]
+        assert int(best.turn_idx.iloc[0]) == int(g.turn_idx.iloc[0])
