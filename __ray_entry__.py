@@ -1033,6 +1033,15 @@ def _q_reindexed_topk(sf_dir: str):
     return _run_reference_queries(sf_dir, "bm25", index_dir=dst)
 
 
+def _q_search_profile(sf_dir: str):
+    """Query-execution profile (deterministic core of ES profile=true):
+    per query the distinct-term / matched-term counts, Σ df postings
+    coverage, distinct candidate count, and top rounded score — exact
+    corpus-derived counters, hash-compared against SQL
+    (query.batch_profile; oracle query.profile_sql)."""
+    return query.batch_profile(_index_for(sf_dir))
+
+
 def _q_analyze_text(sf_dir: str):
     """Analyzer probe (ES _analyze): kept tokens + 0-based kept-stream
     positions for edge-case inputs across all four field modes, driven
@@ -1147,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_rescored": _q_topk_rescored,
         "topk_has_child": _q_topk_has_child,
         "analyze_text": _q_analyze_text,
+        "search_profile": _q_search_profile,
         "reindexed_topk": _q_reindexed_topk,
         "search_export": _q_search_export,
         "topk_bm25_deleted": _q_topk_bm25_deleted,
@@ -1250,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_rescored": query.rescored_topk_sql(),
         "topk_has_child": query.has_child_topk_sql(),
         "analyze_text": normalize.analyze_sql(),
+        "search_profile": query.profile_sql(),
         "reindexed_topk": query.bm25_topk_sql(),
         "search_export": query.export_sql(),
         "topk_bm25_deleted": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

@@ -3423,3 +3423,89 @@ FROM ranked r JOIN queries q ON q.query_id = r.query_id
 WHERE r.rank <= q.qk
 ORDER BY r.query_id, r.rank
 """
+
+
+def batch_profile(index_dir: str, queries=REFERENCE_QUERIES) -> pd.DataFrame:
+    """Query-execution profile (the deterministic core of ES
+    ``profile: true``): per query the tokenized distinct term count,
+    how many survived the dictionary, the total postings those terms
+    cover (Σ df — the work an exhaustive evaluation decodes), the
+    distinct candidate count, and the top rounded score.  Every
+    counter is exact and corpus-derived, so the profile itself
+    hash-compares against SQL (gate ``search_profile``; oracle
+    :func:`profile_sql`)."""
+    idx = SegmentIndex(index_dir)
+    fd = idx._dict.get("text")
+    rows = []
+    for qid, text, _k in queries:
+        toks, _r = normalize.tokenize_column(pa.array([text]), "body")
+        terms = sorted(set(toks.tolist()))
+        matched = [t for t in terms if fd is not None and fd.rank_of(t) >= 0]
+        n_postings = sum(int(fd.df[fd.rank_of(t)]) for t in matched)
+        docids, scores = idx._score_bm25_terms(matched)
+        top = (
+            float(round_half_up(np.float64(scores.max()), SCORE_ROUND))
+            if len(scores)
+            else 0.0
+        )
+        rows.append(
+            (qid, len(terms), len(matched), n_postings, len(docids), top)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "query_id", "n_terms", "n_matched", "n_postings", "n_candidates", "top_score",
+        ],
+    ).astype(
+        {
+            "n_terms": np.int64,
+            "n_matched": np.int64,
+            "n_postings": np.int64,
+            "n_candidates": np.int64,
+        }
+    )
+
+
+def profile_sql(queries=REFERENCE_QUERIES, k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of :func:`batch_profile`: term counts from the qterms
+    VALUES, df sums and candidate counts from the corpus CTEs, top
+    score from the BM25 chain."""
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id) AS (SELECT query_id FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+nterms AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
+matched AS (
+  SELECT q.query_id, count(*) AS n_matched, CAST(sum(d.df) AS BIGINT) AS n_postings
+  FROM qterms q JOIN dfs d ON d.term = q.term GROUP BY q.query_id
+),
+cands AS (
+  SELECT q.query_id, count(DISTINCT (t.conv_id, t.turn_idx)) AS n_candidates
+  FROM qterms q JOIN tfs t ON t.term = q.term GROUP BY q.query_id
+),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+tops AS (SELECT query_id, round(max(score), {SCORE_ROUND}) AS top_score FROM scores GROUP BY query_id)
+SELECT q.query_id,
+       CAST(n.n_terms AS BIGINT) AS n_terms,
+       CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+       coalesce(m.n_postings, 0) AS n_postings,
+       CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+       coalesce(t.top_score, 0.0) AS top_score
+FROM queries q
+JOIN nterms n ON n.query_id = q.query_id
+LEFT JOIN matched m ON m.query_id = q.query_id
+LEFT JOIN cands c ON c.query_id = q.query_id
+LEFT JOIN tops t ON t.query_id = q.query_id
+ORDER BY q.query_id
+"""

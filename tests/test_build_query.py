@@ -654,3 +654,22 @@ def test_min_should_match_semantics(ray_session, index_dir, duck):
     dids = idx.codec.encode(hits.conv_id.to_numpy(), hits.turn_idx.to_numpy(np.int64))
     for d in dids:
         assert sum(int(d) in p for p in posts.values()) >= 2
+
+
+def test_profile_counters_consistent(ray_session, index_dir, duck):
+    """Profile: oracle parity; candidate counts equal the uncut hit-set
+    size; the absent-term query profiles to zeros past n_terms."""
+    got = query.batch_profile(index_dir)
+    want = duck.execute(query.profile_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    idx = query.SegmentIndex(index_dir)
+    for row in got.itertuples():
+        text = dict((q[0], q[1]) for q in query.REFERENCE_QUERIES)[row.query_id]
+        hits = idx.topk(text, 10**9, "bm25")
+        assert row.n_candidates == len(hits)
+        if len(hits):
+            assert abs(row.top_score - float(hits.score.iloc[0])) < 1e-9
+    q04 = got[got.query_id == "q04"].iloc[0]
+    assert q04.n_terms == 1 and q04.n_matched == 0 == q04.n_candidates
