@@ -1069,6 +1069,16 @@ def _q_topk_bm25_synonyms(sf_dir: str):
     return _run_reference_queries(sf_dir, "bm25_syn", queries=query.SYNONYM_QUERIES)
 
 
+def _q_topk_phrase_prefix(sf_dir: str):
+    """match_phrase_prefix (ES autocomplete phrase query): the final
+    token expands to its df-capped dictionary completions, each
+    completes the phrase; docs matching ANY completion score the max of
+    the matching completions' phrase scores
+    (query.SegmentIndex.topk_phrase_prefix over the doc-store index;
+    oracle query.phrase_prefix_topk_sql)."""
+    return query.batch_phrase_prefix(_docstore_index_for(sf_dir))
+
+
 def _q_search_explain(sf_dir: str):
     """Score explanation (Lucene IndexSearcher.explain): per-term
     tf/df/idf/contribution breakdown of each reference query's top-1
@@ -1144,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets_docstore": _q_search_snippets_docstore,
         "search_snippets_updated": _q_search_snippets_updated,
         "topk_phrase": _q_topk_phrase,
+        "topk_phrase_prefix": _q_topk_phrase_prefix,
         "topk_phrase_positional": _q_topk_phrase_positional,
         "topk_phrase_updated": _q_topk_phrase_updated,
         "topk_bm25_prox": _q_topk_bm25_prox,
@@ -1248,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "search_snippets_docstore": snippets.snippets_sql(),
         "search_snippets_updated": snippets.snippets_sql(),
         "topk_phrase": query.phrase_topk_sql(),
+        "topk_phrase_prefix": query.phrase_prefix_topk_sql(),
         "topk_phrase_positional": query.phrase_topk_sql(),
         "topk_phrase_updated": query.phrase_topk_sql(),
         "topk_bm25_prox": positional.bm25_prox_topk_sql(),

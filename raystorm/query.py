@@ -812,6 +812,50 @@ class SegmentIndex:
         sel = order[first]
         return self._format_topk(docids[sel], scores[sel], k)
 
+    def topk_phrase_prefix(
+        self, query_text: str, k: int, max_expansions: int | None = None
+    ) -> pd.DataFrame:
+        """match_phrase_prefix (the ES autocomplete phrase query): the
+        final token is a prefix — it expands to its df-capped
+        dictionary terms (:meth:`expand_prefix`, (df desc, term asc))
+        and each expansion completes the phrase; a document matches
+        when ANY completed phrase occurs (adjacent, in order) and
+        scores the MAX over its matching completions' phrase scores
+        (each the conjunctive BM25 of that completion's terms at
+        SCORE_ROUND — :meth:`topk_phrase`'s emitted contract, so the
+        two modes agree by construction).  No expansion, or an
+        unmatched fixed part, yields no results.  Requires a doc-store.
+        Oracle: :func:`phrase_prefix_topk_sql`."""
+        toks, _r = normalize.tokenize_column(pa.array([query_text]), "body")
+        toks = toks.tolist()
+        empty = pd.DataFrame(
+            {
+                "rank": np.empty(0, np.int32),
+                "conv_id": [],
+                "turn_idx": np.empty(0, np.int32),
+                "score": [],
+            }
+        )
+        if not toks:
+            return empty
+        fixed, last = toks[:-1], toks[-1]
+        parts = []
+        for e in self.expand_prefix(last, max_expansions=max_expansions):
+            hit = self.topk_phrase(" ".join(fixed + [e]), 10**9)
+            if len(hit):
+                parts.append(hit[["conv_id", "turn_idx", "score"]])
+        if not parts:
+            return empty
+        best = (
+            pd.concat(parts, ignore_index=True)
+            .groupby(["conv_id", "turn_idx"], as_index=False)["score"]
+            .max()
+        )
+        docids = self.codec.encode(
+            best["conv_id"].to_numpy(), best["turn_idx"].to_numpy(np.int64)
+        )
+        return self._format_topk(docids, best["score"].to_numpy(np.float64), k)
+
     def _score_bm25(self, query_text: str):
         toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
         return self._score_bm25_terms(sorted(set(toks.tolist())))
@@ -3508,4 +3552,130 @@ LEFT JOIN matched m ON m.query_id = q.query_id
 LEFT JOIN cands c ON c.query_id = q.query_id
 LEFT JOIN tops t ON t.query_id = q.query_id
 ORDER BY q.query_id
+"""
+
+
+#: match_phrase_prefix fixture: trailing token is the prefix.  pp03 is
+#: a bare prefix (single-token phrases), pp04's prefix has no
+#: completion (empty), pp05's prefix exercises the expansion cap.
+PHRASE_PREFIX_QUERIES = (
+    ("pp01", "sort mer", 10),
+    ("pp02", "hash jo", 10),
+    ("pp03", "windo", 10),
+    ("pp04", "merge zzz", 10),
+    ("pp05", "s", 10),
+)
+
+
+def batch_phrase_prefix(
+    index_dir: str, queries=PHRASE_PREFIX_QUERIES
+) -> pd.DataFrame:
+    """match_phrase_prefix over the fixture set (gate
+    ``topk_phrase_prefix``; oracle :func:`phrase_prefix_topk_sql`)."""
+    idx = SegmentIndex(index_dir)
+    out = []
+    for qid, text, k in queries:
+        df = idx.topk_phrase_prefix(text, int(k))
+        df.insert(0, "query_id", qid)
+        out.append(df)
+    return pd.concat(out, ignore_index=True)
+
+
+def phrase_prefix_topk_sql(
+    queries=PHRASE_PREFIX_QUERIES,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_expansions: int | None = None,
+) -> str:
+    """Mirror of :meth:`SegmentIndex.topk_phrase_prefix`: the prefix
+    expansion re-derives from the ``dfs`` CTE ((df desc, term asc)
+    windowed cap — :meth:`expand_prefix`'s exact rule), each completion
+    forms a phrase whose conjunctive-BM25 + adjacency chain follows
+    :func:`phrase_topk_sql` verbatim, and documents take the MAX over
+    matching completions' round-6 phrase scores."""
+    cap = SegmentIndex.MAX_EXPANSIONS if max_expansions is None else max_expansions
+    fixed_rows, term_rows, pre_rows, q_rows = [], [], [], []
+    for qid, text, k in queries:
+        toks, _r = normalize.tokenize_column(pa.array([text]), "body")
+        toks = toks.tolist()
+        fixed = toks[:-1]
+        q_rows.append(f"('{qid}', {int(k)})")
+        pre_rows.append(f"('{qid}', '{toks[-1]}')")
+        fixed_rows.append(f"('{qid}', '{' '.join(fixed)}')")
+        term_rows += [f"('{qid}', '{t}')" for t in sorted(set(fixed))]
+    fixed_terms_rel = (
+        f"qfixed(query_id, term) AS (VALUES {', '.join(term_rows)})"
+        if term_rows
+        else "qfixed(query_id, term) AS (SELECT NULL, NULL WHERE false)"
+    )
+    keep = normalize.tokens_keep_sql("t", "body")
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (VALUES {', '.join(q_rows)}),
+qpre(query_id, prefix) AS (VALUES {', '.join(pre_rows)}),
+qfp(query_id, fixed) AS (VALUES {', '.join(fixed_rows)}),
+{fixed_terms_rel},
+eterms AS (
+  SELECT query_id, term AS eterm FROM (
+    SELECT p.query_id, d.term,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM qpre p JOIN dfs d ON d.term LIKE p.prefix || '%'
+  ) WHERE rn <= {cap}
+),
+xterms AS (
+  SELECT e.query_id, e.eterm, f.term
+  FROM eterms e JOIN qfixed f ON f.query_id = e.query_id
+  UNION
+  SELECT query_id, eterm, eterm FROM eterms
+),
+xcnt AS (
+  SELECT query_id, eterm, count(DISTINCT term) AS n FROM xterms GROUP BY query_id, eterm
+),
+streams AS (
+  SELECT conv_id, turn_idx,
+         array_to_string(list_filter(string_split(trim({normalize.norm_expr_sql('text', 'body')}), ' '),
+                                     t -> {keep}), ' ') AS stream
+  FROM transcripts
+),
+escores AS (
+  SELECT x.query_id, x.eterm,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM xterms x
+  JOIN tfs t ON t.term = x.term
+  JOIN dfs d ON d.term = x.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY x.query_id, x.eterm, t.conv_id, t.turn_idx
+  HAVING count(DISTINCT t.term) =
+         (SELECT n FROM xcnt c WHERE c.query_id = x.query_id AND c.eterm = x.eterm)
+),
+ematch AS (
+  SELECT s.query_id, s.conv_id, s.turn_idx, s.score
+  FROM escores s
+  JOIN qfp f ON f.query_id = s.query_id
+  JOIN streams st ON st.conv_id = s.conv_id AND st.turn_idx = s.turn_idx
+  WHERE strpos(' ' || st.stream || ' ',
+               ' ' || CASE WHEN f.fixed = '' THEN s.eterm
+                           ELSE f.fixed || ' ' || s.eterm END || ' ') > 0
+),
+best AS (
+  SELECT query_id, conv_id, turn_idx, max(round(score, {SCORE_ROUND})) AS score
+  FROM ematch GROUP BY query_id, conv_id, turn_idx
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM best
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
 """

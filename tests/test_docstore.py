@@ -310,3 +310,26 @@ def test_reindex_from_docstore_query_identity(store, tmp_path):
             d, str(tmp_path / "bad"),
             cfg=build.BuildConfig(fields=(("text", "body"), ("tool", "tool"))),
         )
+
+
+def test_phrase_prefix_semantics(store, duck):
+    """match_phrase_prefix: oracle parity at sf0.001; a completed
+    prefix equals the exact phrase's result restricted to that
+    completion; no completion -> empty."""
+    import pandas as pd
+
+    d, _m = store
+    res = query.batch_phrase_prefix(d)
+    want = duck.execute(query.phrase_prefix_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        res.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    idx = query.SegmentIndex(d)
+    assert len(idx.topk_phrase_prefix("merge zzz", 10)) == 0
+    # single-completion prefix == the exact phrase of the completion
+    exps = idx.expand_prefix("custome")
+    if len(exps) == 1:
+        pd.testing.assert_frame_equal(
+            idx.topk_phrase_prefix("custome", 10),
+            idx.topk_phrase(exps[0], 10),
+        )
