@@ -921,6 +921,24 @@ def _q_topk_phrase_updated(sf_dir: str):
     )
 
 
+def _q_topk_span_near(sf_dir: str):
+    """Ordered span-near (Lucene SpanNearQuery inOrder=true): query
+    terms in order with each consecutive gap within the per-query
+    slop, resolved from the positional index; slop 0 == adjacency
+    (positional.topk_span_near; oracle positional.span_near_topk_sql)."""
+    index_dir = _index_for(sf_dir)
+    positional.build_positional_index(sf_dir, index_dir, num_parts=8)
+    return query_batch_sort(
+        positional.batch_span_near(
+            query.SegmentIndex(index_dir), positional.PositionalIndex(index_dir)
+        )
+    )
+
+
+def query_batch_sort(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_topk_bm25_prox(sf_dir: str):
     """Proximity-boosted BM25: disjunctive BM25 plus a
     PROX_W/(1+mindist) bonus per consecutive query-term pair, min
@@ -1158,6 +1176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_phrase_positional": _q_topk_phrase_positional,
         "topk_phrase_updated": _q_topk_phrase_updated,
         "topk_bm25_prox": _q_topk_bm25_prox,
+        "topk_span_near": _q_topk_span_near,
         "spell_suggest": _q_spell_suggest,
         "suggest_complete": _q_suggest_complete,
         "topk_bm25_regexp": _q_topk_bm25_regexp,
@@ -1263,6 +1282,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_phrase_positional": query.phrase_topk_sql(),
         "topk_phrase_updated": query.phrase_topk_sql(),
         "topk_bm25_prox": positional.bm25_prox_topk_sql(),
+        "topk_span_near": positional.span_near_topk_sql(),
         "spell_suggest": query.suggest_sql(),
         "suggest_complete": query.complete_sql(),
         "topk_bm25_regexp": query.regexp_topk_sql(),

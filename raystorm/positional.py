@@ -843,3 +843,183 @@ def update_positional_index(sf_dir_delta_ds, index_dir: str) -> dict:
         json.dump(m2, fh, indent=1)
     os.replace(tmp, mpath)
     return m2
+
+
+# ---------------------------------------------------------------------------
+# ordered span-near: terms in order, each consecutive gap within slop
+# ---------------------------------------------------------------------------
+
+def _pair_ordered_within(pos_index: PositionalIndex, ta: str, tb: str, slop: int):
+    """Docids where some b-occurrence follows some a-occurrence with
+    gap ``pos_b - pos_a`` in [1, slop+1] — the ordered window probe.
+    Packed-key range check: for each a-occurrence key ka, any kb in
+    (ka, ka+slop+1] is the same doc by construction (positions are
+    bounded at 2^POS_SHIFT by the build guard, so the window cannot
+    cross a docid boundary)."""
+    pa_ = pos_index.positions(ta)
+    pb = pos_index.positions(tb)
+    if pa_ is None or pb is None:
+        return np.empty(0, np.int64)
+    da, ppa = pa_
+    db, ppb = pb
+    ka = np.sort((da << POS_SHIFT) | ppa)
+    kb = np.sort((db << POS_SHIFT) | ppb)
+    lo = np.searchsorted(kb, ka + 1)
+    hi = np.searchsorted(kb, ka + slop + 2)
+    return np.unique((ka >> POS_SHIFT)[hi > lo])
+
+
+def topk_span_near(
+    index, pos_index: PositionalIndex, query_text: str, slop: int, k: int
+) -> pd.DataFrame:
+    """Ordered span-near top-k (the Lucene SpanNearQuery
+    ``inOrder=true`` shape): the query's tokens must appear in order
+    with every CONSECUTIVE pair's gap within ``slop`` (gap ≤ slop+1
+    positions; slop 0 == exact adjacency, so a 2-term span-near at
+    slop 0 equals the phrase modes — pytest-pinned).  For 3+ terms
+    each consecutive pair is checked independently (the standard
+    relaxation; exact for 2 clauses).  Candidates and scores come from
+    the conjunctive BM25 chain, exactly like the phrase modes.
+    Oracle: :func:`span_near_topk_sql`."""
+    from .analysis import round_half_up
+    from .query import RANK_ROUND, SCORE_ROUND
+
+    empty = pd.DataFrame(
+        {
+            "rank": np.empty(0, np.int32),
+            "conv_id": [],
+            "turn_idx": np.empty(0, np.int32),
+            "score": [],
+        }
+    )
+    toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
+    terms = toks.tolist()
+    if len(terms) < 2:
+        raise ValueError("span_near needs at least two terms")
+    docids, scores = index._score_bm25_conjunctive(query_text)
+    if not len(docids):
+        return empty
+    ok = None
+    for ta, tb in zip(terms[:-1], terms[1:]):
+        d = _pair_ordered_within(pos_index, ta, tb, slop)
+        ok = d if ok is None else np.intersect1d(ok, d, assume_unique=True)
+        if not len(ok):
+            return empty
+    keep = np.isin(docids, ok, assume_unique=True)
+    docids, scores = docids[keep], scores[keep]
+    if not len(docids):
+        return empty
+    r = round_half_up(scores, RANK_ROUND)
+    order = np.lexsort((docids, -r))[:k]
+    conv, turn = index.codec.decode(docids[order])
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+            "conv_id": conv,
+            "turn_idx": turn,
+            "score": round_half_up(scores[order], SCORE_ROUND),
+        }
+    )
+
+
+#: span-near fixture: (query_id, text, slop, k).  sn01 at slop 0 is
+#: 2-term adjacency (== phrase); sn03/sn04 pin that order matters.
+SPAN_NEAR_QUERIES = (
+    ("sn01", "sort merge", 0, 10),
+    ("sn02", "hash join", 2, 10),
+    ("sn03", "merge window", 3, 10),
+    ("sn04", "window merge", 3, 10),
+    ("sn05", "sort merge join", 1, 10),
+)
+
+
+def batch_span_near(index, pos_index, queries=SPAN_NEAR_QUERIES) -> pd.DataFrame:
+    """Span-near evaluation over the fixture set (gate
+    ``topk_span_near``; oracle :func:`span_near_topk_sql`)."""
+    out = []
+    for qid, text, slop, k in queries:
+        df = topk_span_near(index, pos_index, text, int(slop), int(k))
+        df.insert(0, "query_id", qid)
+        out.append(df)
+    return pd.concat(out, ignore_index=True)
+
+
+def span_near_topk_sql(
+    queries=SPAN_NEAR_QUERIES, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Mirror of :func:`topk_span_near`: per consecutive pair an
+    ordered-window EXISTS over the positional kept stream, all pairs
+    required per doc, conjunctive BM25 scores."""
+    from . import query as _q
+    from .query import RANK_ROUND, SCORE_ROUND, _qterms_values, _queries_values
+
+    pair_rows = []
+    q3 = tuple((qid, text, k) for qid, text, _s, k in queries)
+    for qid, text, slop, _k in queries:
+        toks, _ = normalize.tokenize_column(pa.array([text]), "body")
+        terms = toks.tolist()
+        for i, (ta, tb) in enumerate(zip(terms[:-1], terms[1:])):
+            pair_rows.append(f"('{qid}', {i}, '{ta}', '{tb}', {int(slop)})")
+    return f"""
+WITH {_q.corpus_ctes()},
+kept AS MATERIALIZED (
+  SELECT t2.conv_id, t2.turn_idx, u.term,
+         row_number() OVER (PARTITION BY t2.conv_id, t2.turn_idx ORDER BY u.ord) - 1 AS pos
+  FROM (SELECT conv_id, turn_idx,
+               string_split(trim({normalize.norm_expr_sql('text', 'body')}), ' ') AS parts
+        FROM transcripts) t2,
+       LATERAL (SELECT unnest(t2.parts) AS term,
+                       unnest(generate_series(1, len(t2.parts))) AS ord) u
+  WHERE {normalize.tokens_keep_sql('u.term', 'body')}
+),
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(q3)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(q3, dedup=True)}),
+qpairs(query_id, seq, ta, tb, slop) AS (VALUES {', '.join(pair_rows)}),
+pairdocs AS (
+  SELECT DISTINCT p.query_id, p.seq, a.conv_id, a.turn_idx
+  FROM qpairs p
+  JOIN kept a ON a.term = p.ta
+  JOIN kept b ON b.term = p.tb AND b.conv_id = a.conv_id
+   AND b.turn_idx = a.turn_idx
+   AND b.pos - a.pos BETWEEN 1 AND p.slop + 1
+),
+okdocs AS (
+  SELECT pd.query_id, pd.conv_id, pd.turn_idx
+  FROM pairdocs pd
+  GROUP BY pd.query_id, pd.conv_id, pd.turn_idx
+  HAVING count(DISTINCT pd.seq) =
+         (SELECT count(*) FROM qpairs p2 WHERE p2.query_id = pd.query_id)
+),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+  HAVING count(DISTINCT t.term) = (SELECT count(*) FROM qterms q2 WHERE q2.query_id = q.query_id)
+),
+final AS (
+  SELECT s.query_id, s.conv_id, s.turn_idx, s.score
+  FROM scores s
+  JOIN okdocs o ON o.query_id = s.query_id
+   AND o.conv_id = s.conv_id AND o.turn_idx = s.turn_idx
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM final
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""

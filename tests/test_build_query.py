@@ -673,3 +673,31 @@ def test_profile_counters_consistent(ray_session, index_dir, duck):
             assert abs(row.top_score - float(hits.score.iloc[0])) < 1e-9
     q04 = got[got.query_id == "q04"].iloc[0]
     assert q04.n_terms == 1 and q04.n_matched == 0 == q04.n_candidates
+
+
+def test_span_near_semantics(ray_session, index_dir, duck):
+    """Span-near: oracle parity at sf0.001; slop 0 on a 2-term query
+    equals the exact phrase; order matters; widening slop only grows
+    the result set."""
+    from raystorm import positional
+
+    positional.build_positional_index(SF, index_dir, num_parts=4)
+    idx = query.SegmentIndex(index_dir)
+    pidx = positional.PositionalIndex(index_dir)
+    got = positional.batch_span_near(idx, pidx)
+    want = duck.execute(positional.span_near_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        want.reset_index(drop=True),
+        check_dtype=False,
+    )
+    sn0 = positional.topk_span_near(idx, pidx, "sort merge", 0, 10)
+    phrase_pos = positional.topk_phrase_positional(idx, pidx, "sort merge", 10)
+    pd.testing.assert_frame_equal(sn0, phrase_pos)
+    a = positional.topk_span_near(idx, pidx, "merge window", 3, 10**9)
+    b = positional.topk_span_near(idx, pidx, "window merge", 3, 10**9)
+    assert not a.merge(b, on=["conv_id", "turn_idx"]).equals(a)  # order-sensitive
+    wide = positional.topk_span_near(idx, pidx, "merge window", 10, 10**9)
+    assert len(wide) >= len(a)
+    keys = set(zip(a.conv_id, a.turn_idx))
+    assert keys <= set(zip(wide.conv_id, wide.turn_idx))
