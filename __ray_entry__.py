@@ -1013,6 +1013,22 @@ def _q_search_export(sf_dir: str):
     )
 
 
+def _q_topk_boosting(sf_dir: str):
+    """Boosting query (ES boosting): rank by the positive clause's
+    BM25, demoted by negative_boost for docs also matching any
+    negative-clause term — never excluded, only pushed down
+    (query.batch_boosting; oracle query.boosting_topk_sql)."""
+    return query.batch_boosting(_index_for(sf_dir))
+
+
+def _q_topk_random_score(sf_dir: str):
+    """Seeded random scoring (function_score random_score): candidates
+    rank by md5int60(seed|conv|turn)/2^60 — deterministic, so the
+    'random' order itself hash-compares (query.batch_random_score;
+    oracle query.random_score_sql)."""
+    return query.batch_random_score(_index_for(sf_dir))
+
+
 def _q_topk_bm25_msm(sf_dir: str):
     """Boolean retrieval with minimum_should_match: MUST/MUST_NOT
     algebra plus a per-query floor on matched SHOULD terms; floor 0
@@ -1192,6 +1208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_dbq": _q_topk_bm25_dbq,
         "topk_bm25_msm": _q_topk_bm25_msm,
+        "topk_boosting": _q_topk_boosting,
+        "topk_random_score": _q_topk_random_score,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
         "topk_faithful_deleted": _q_topk_faithful_deleted,
         "topk_bm25_vacuumed": _q_topk_bm25_vacuumed,
@@ -1300,6 +1318,8 @@ def oracle_sql() -> dict[str, str]:
             deleted_sql=query.dbq_deleted_sql(DBQ_TEXT)
         ),
         "topk_bm25_msm": query.msm_topk_sql(),
+        "topk_boosting": query.boosting_topk_sql(),
+        "topk_random_score": query.random_score_sql(),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_faithful_deleted": query.faithful_topk_sql(mask_pred=DELETE_PRED_SQL),
         "topk_bm25_vacuumed": query.bm25_topk_sql(corpus_pred=DELETE_PRED_SQL),

@@ -3679,3 +3679,170 @@ FROM ranked r JOIN queries q ON q.query_id = r.query_id
 WHERE r.rank <= q.qk
 ORDER BY r.query_id, r.rank
 """
+
+
+#: boosting-query fixture: (query_id, positive text, negative text,
+#: demote factor, k).  bq03's negative leg is absent (no demotion).
+BOOSTING_QUERIES = (
+    ("bq01", "merge", "window", 0.5, 10),
+    ("bq02", "hash join", "sort", 0.25, 10),
+    ("bq03", "customer", "zzzabsent", 0.5, 10),
+)
+
+
+def batch_boosting(index_dir: str, queries=BOOSTING_QUERIES) -> pd.DataFrame:
+    """Boosting query (the ES ``boosting`` query): rank by the positive
+    clause's BM25, DEMOTED by ``negative_boost`` for documents that
+    also match any negative-clause term — documents are never excluded,
+    only pushed down (gate ``topk_boosting``; oracle
+    :func:`boosting_topk_sql`)."""
+    idx = SegmentIndex(index_dir)
+    out = []
+    for qid, pos_text, neg_text, demote, k in queries:
+        docids, scores = idx._score_bm25(pos_text)
+        if len(docids):
+            toks, _r = normalize.tokenize_column(pa.array([neg_text]), "body")
+            neg = np.zeros(len(docids), bool)
+            for t in sorted(set(toks.tolist())):
+                post = idx.postings(t, "text")
+                if post is not None:
+                    neg |= np.isin(docids, post[0], assume_unique=True)
+            scores = np.where(neg, scores * float(demote), scores)
+        df = idx._format_topk(docids, scores, int(k))
+        df.insert(0, "query_id", qid)
+        out.append(df)
+    return pd.concat(out, ignore_index=True)
+
+
+def boosting_topk_sql(
+    queries=BOOSTING_QUERIES, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Mirror of :func:`batch_boosting`: the positive BM25 chain, a
+    negative-match EXISTS over tfs, demote factor applied pre-rounding."""
+    pos_rows, neg_rows, dem_rows = [], [], []
+    for qid, pos_text, neg_text, demote, k in queries:
+        ptoks, _ = normalize.tokenize_column(pa.array([pos_text]), "body")
+        ntoks, _ = normalize.tokenize_column(pa.array([neg_text]), "body")
+        pos_rows += [f"('{qid}', '{t}')" for t in sorted(set(ptoks.tolist()))]
+        neg_rows += [f"('{qid}', '{t}')" for t in sorted(set(ntoks.tolist()))]
+        dem_rows.append(f"('{qid}', {float(demote)}, {int(k)})")
+    neg_rel = (
+        f"qneg(query_id, term) AS (VALUES {', '.join(neg_rows)})"
+        if neg_rows
+        else "qneg(query_id, term) AS (SELECT NULL, NULL WHERE false)"
+    )
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, demote, qk) AS (VALUES {', '.join(dem_rows)}),
+qterms(query_id, term) AS (VALUES {', '.join(pos_rows)}),
+{neg_rel},
+scores0 AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+scores AS (
+  SELECT s.query_id, s.conv_id, s.turn_idx,
+         s.score * CASE WHEN EXISTS (
+           SELECT 1 FROM tfs x JOIN qneg n
+             ON n.query_id = s.query_id AND n.term = x.term
+           WHERE x.conv_id = s.conv_id AND x.turn_idx = s.turn_idx
+         ) THEN q.demote ELSE 1.0 END AS score
+  FROM scores0 s JOIN queries q ON q.query_id = s.query_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""
+
+
+#: seeded random-score fixture (the function_score random_score shape):
+#: candidates of the text, ranked by a seed-keyed deterministic hash
+RANDOM_QUERIES = (
+    ("rs01", "merge", 7, 10),
+    ("rs02", "the", 42, 10),
+    ("rs03", "hash join", 7, 10),
+)
+
+
+def batch_random_score(index_dir: str, queries=RANDOM_QUERIES) -> pd.DataFrame:
+    """Seeded random scoring (ES ``function_score`` / ``random_score``
+    with a seed): the query's candidates rank by the shared md5int60
+    hash of (seed, conv, turn) scaled to [0, 1) — deterministic, so
+    even the "random" order hash-compares against SQL (gate
+    ``topk_random_score``; oracle :func:`random_score_sql`).  The
+    serving use is unbiased hit-set sampling with stable pagination."""
+    idx = SegmentIndex(index_dir)
+    from .analysis import md5int60_np
+
+    out = []
+    for qid, text, seed, k in queries:
+        docids, _sc = idx._score_bm25(text)
+        conv, turn = idx.codec.decode(docids)
+        keys = np.array(
+            [f"{seed}|{c}|{t}" for c, t in zip(conv, turn)], object
+        )
+        rnd = md5int60_np(keys) / float(1 << 60) if len(keys) else np.empty(0)
+        df = idx._format_topk(docids, rnd, int(k))
+        df.insert(0, "query_id", qid)
+        out.append(df)
+    return pd.concat(out, ignore_index=True)
+
+
+def random_score_sql(queries=RANDOM_QUERIES) -> str:
+    """Mirror of :func:`batch_random_score`: candidate set from tfs,
+    score = md5int60(seed|conv|turn) / 2^60."""
+    from .analysis import md5int60_sql
+
+    q_rows, term_rows = [], []
+    for qid, text, seed, k in queries:
+        toks, _ = normalize.tokenize_column(pa.array([text]), "body")
+        q_rows.append(f"('{qid}', {int(seed)}, {int(k)})")
+        term_rows += [f"('{qid}', '{t}')" for t in sorted(set(toks.tolist()))]
+    expr = md5int60_sql(
+        "CAST(q.seed AS VARCHAR) || '|' || c.conv_id || '|' || CAST(c.turn_idx AS VARCHAR)"
+    )
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, seed, qk) AS (VALUES {', '.join(q_rows)}),
+qterms(query_id, term) AS (VALUES {', '.join(term_rows)}),
+cands AS (
+  SELECT DISTINCT qt.query_id, t.conv_id, t.turn_idx
+  FROM qterms qt JOIN tfs t ON t.term = qt.term
+),
+scored AS (
+  SELECT c.query_id, c.conv_id, c.turn_idx,
+         {expr} / 1152921504606846976.0 AS score
+  FROM cands c JOIN queries q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM scored
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""

@@ -701,3 +701,34 @@ def test_span_near_semantics(ray_session, index_dir, duck):
     assert len(wide) >= len(a)
     keys = set(zip(a.conv_id, a.turn_idx))
     assert keys <= set(zip(wide.conv_id, wide.turn_idx))
+
+
+def test_boosting_and_random_score(ray_session, index_dir, duck):
+    """Boosting: oracle parity; demoted docs keep exactly
+    demote x their plain score and none disappear.  Random score:
+    oracle parity; same seed reproduces, different seed reorders."""
+    got_b = query.batch_boosting(index_dir)
+    want_b = duck.execute(query.boosting_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        got_b.reset_index(drop=True), want_b.reset_index(drop=True), check_dtype=False
+    )
+    idx = query.SegmentIndex(index_dir)
+    plain = idx.topk("merge", 10**9, "bm25")
+    boosted = query.batch_boosting(
+        index_dir, (("x", "merge", "window", 0.5, 10**9),)
+    )
+    assert len(boosted) == len(plain)  # demotion never excludes
+    m = boosted.merge(plain, on=["conv_id", "turn_idx"], suffixes=("_b", "_p"))
+    ratio = m.score_b / m.score_p
+    assert set(np.round(ratio, 6)).issubset({0.5, 1.0})
+
+    got_r = query.batch_random_score(index_dir)
+    want_r = duck.execute(query.random_score_sql()).df()
+    pd.testing.assert_frame_equal(
+        got_r.reset_index(drop=True), want_r.reset_index(drop=True), check_dtype=False
+    )
+    r1 = query.batch_random_score(index_dir, (("a", "the", 7, 10),))
+    r2 = query.batch_random_score(index_dir, (("a", "the", 7, 10),))
+    r3 = query.batch_random_score(index_dir, (("a", "the", 8, 10),))
+    pd.testing.assert_frame_equal(r1, r2)
+    assert not r1.conv_id.tolist() == r3.conv_id.tolist()
