@@ -14,6 +14,7 @@ from . import (
     events,
     multimodal,
     ngrams,
+    percolate,
     positional,
     relational,
     similarity,
@@ -77,6 +78,8 @@ def registry() -> dict:
         "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ann_lsh_topk_sql()),
         "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_TOPK_SQL),
         "kmeans_cells": (similarity.kmeans_cells, similarity.kmeans_cells_sql()),
+        # --- percolation (reverse search: stored queries vs doc stream) ---
+        "percolate_docs": (percolate.percolate, percolate.percolate_sql()),
         # --- positional postings (AnchorTextIndexer path) ---
         "positional_postings": (positional.positional_postings, positional.positional_postings_sql()),
         "phrase_search": (positional.phrase_search, positional.phrase_search_sql()),

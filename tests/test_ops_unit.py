@@ -497,3 +497,41 @@ def test_connected_components_joined_matches_broadcast(ray_session, monkeypatch)
     monkeypatch.setattr(dedup, "CC_BROADCAST_MAX_NODES", 0)
     forced = dedup.dup_clusters("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(base, forced)
+
+
+def test_percolator_mode_semantics():
+    from raystorm import percolate
+
+    batch = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2", "c3"],
+            "turn_idx": pa.array([0, 1, 0, 0], pa.int32()),
+            "text": [
+                "alpha beta gamma",
+                "beta alpha",          # both terms, wrong order
+                "alpha delta beta",    # both terms, not adjacent
+                "Gamma!! only",        # normalization: Gamma -> gamma
+            ],
+        }
+    )
+    queries = (
+        ("any1", "alpha zeta", "any"),
+        ("all1", "alpha beta", "all"),
+        ("ph1", "alpha beta", "phrase"),
+        ("ph2", "gamma", "phrase"),     # single-term phrase == containment
+        ("none", "zzzmissing", "all"),
+        ("empty", "??? !!!", "any"),    # zero kept tokens -> dropped
+    )
+    p = percolate.Percolator(percolate.compile_queries(queries))
+    out = p(batch).to_pandas()
+    hits = {
+        qid: set(zip(g["conv_id"], g["turn_idx"]))
+        for qid, g in out.groupby("query_id")
+    }
+    assert hits["any1"] == {("c1", 0), ("c1", 1), ("c2", 0)}
+    assert hits["all1"] == {("c1", 0), ("c1", 1), ("c2", 0)}
+    # phrase requires adjacency in order; only c1 turn 0 has "alpha beta"
+    assert hits["ph1"] == {("c1", 0)}
+    assert hits["ph1"] <= hits["all1"]
+    assert hits["ph2"] == {("c1", 0), ("c3", 0)}
+    assert "none" not in hits and "empty" not in hits
