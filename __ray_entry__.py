@@ -21,7 +21,7 @@ from typing import Any
 import pandas as pd
 import pyarrow as pa
 
-from raystorm import build, corpus, facets, hybrid, normalize, pipelines, positional, query, snippets
+from raystorm import build, corpus, evaluation, facets, hybrid, normalize, pipelines, positional, query, snippets
 
 
 def _index_for(sf_dir: str) -> str:
@@ -1142,6 +1142,13 @@ def _term_vectors_oracle_sql() -> str:
     return docstore.term_vectors_sql()
 
 
+def _q_rank_eval(sf_dir: str):
+    """IR-metric evaluation of the engine's own BM25 rankings against
+    conjunctive-containment qrels (evaluation.rank_eval; oracle
+    evaluation.rank_eval_sql)."""
+    return evaluation.rank_eval(_index_for(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out = {
         "transcripts": _q_transcripts,
@@ -1216,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_vacuumed": _q_term_stats_vacuumed,
         "topk_faithful": _q_topk_faithful,
         "topk_faithful_boosted": _q_topk_faithful_boosted,
+        "rank_eval": _q_rank_eval,
     }
     for name, (fn, _sql) in pipelines.registry().items():
         out[name] = fn
@@ -1330,6 +1338,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "topk_faithful": query.faithful_topk_sql(),
         "topk_faithful_boosted": query.faithful_boosted_sql(),
+        "rank_eval": evaluation.rank_eval_sql(),
         **{
             name: sql
             for name, (_fn, sql) in pipelines.registry().items()

@@ -732,3 +732,30 @@ def test_boosting_and_random_score(ray_session, index_dir, duck):
     r3 = query.batch_random_score(index_dir, (("a", "the", 8, 10),))
     pd.testing.assert_frame_equal(r1, r2)
     assert not r1.conv_id.tolist() == r3.conv_id.tolist()
+
+
+def test_rank_eval_metric_invariants(index_dir):
+    from raystorm import evaluation
+
+    df = evaluation.rank_eval(index_dir)
+    assert list(df["query_id"]) == [q[0] for q in evaluation.RANK_EVAL_QUERIES]
+    # bounds
+    assert ((df["precision_at_k"] >= 0) & (df["precision_at_k"] <= 1)).all()
+    assert ((df["recall_at_k"] >= 0) & (df["recall_at_k"] <= 1)).all()
+    assert ((df["mrr"] >= 0) & (df["mrr"] <= 1)).all()
+    assert ((df["ndcg"] >= 0) & (df["ndcg"] <= 1)).all()
+    assert (df["hits"] <= np.minimum(df["n_rel"], df["retrieved"])).all()
+    # the absent-term query is the all-zero row
+    z = df[df["query_id"] == "q04"].iloc[0]
+    assert z["n_rel"] == 0 and z["retrieved"] == 0 and z["ndcg"] == 0.0
+    # recall at full depth: retrieved >= n_rel implies every relevant doc
+    # scores (it matches every query term), so recall must be 1
+    deep = df[(df["retrieved"] >= df["n_rel"]) & (df["n_rel"] > 0)]
+    assert (deep["recall_at_k"] == 1.0).all()
+    # recall is monotone in evaluation depth
+    shallow = evaluation.rank_eval(
+        index_dir, queries=tuple((q, t, 10) for q, t, _ in query.REFERENCE_QUERIES)
+    )
+    assert (df["recall_at_k"].to_numpy() >= shallow["recall_at_k"].to_numpy()).all()
+    # a first hit at rank 1 (every non-empty query here) means mrr == 1
+    assert (shallow.loc[shallow["hits"] > 0, "mrr"] <= 1.0).all()
