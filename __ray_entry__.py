@@ -610,6 +610,14 @@ def _q_search_facets_daily(sf_dir: str):
     return facets.search_facets_daily(sf_dir, _index_for(sf_dir))
 
 
+def _q_search_daily_pipeline(sf_dir: str):
+    """Pipeline aggregations (ES cumulative_sum / moving_fn /
+    derivative) over the date-histogram buckets: running hit totals,
+    trailing 3-bucket moving average, first difference
+    (facets.search_daily_pipeline; oracle facets.daily_pipeline_sql)."""
+    return facets.search_daily_pipeline(sf_dir, _index_for(sf_dir))
+
+
 def _q_search_facets_docvalues(sf_dir: str):
     """Facet aggregation via the doc-values sidecar: buckets resolve
     per candidate inside the scorer actor (candidate-bounded lookups,
@@ -1173,6 +1181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_page2": _q_topk_bm25_page2,
         "search_facets": _q_search_facets,
         "search_facets_daily": _q_search_facets_daily,
+        "search_daily_pipeline": _q_search_daily_pipeline,
         "topk_bm25_filtered": _q_topk_bm25_filtered,
         "topk_sorted_recency": _q_topk_sorted_recency,
         "search_facets_docvalues": _q_search_facets_docvalues,
@@ -1282,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_page2": query.bm25_topk_sql(page=2),
         "search_facets": facets.facets_sql(),
         "search_facets_daily": facets.facets_daily_sql(),
+        "search_daily_pipeline": facets.daily_pipeline_sql(),
         "topk_bm25_filtered": query.filtered_topk_sql(),
         "topk_sorted_recency": query.sorted_topk_sql(),
         "search_facets_docvalues": facets.facets_sql(),

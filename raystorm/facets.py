@@ -1063,6 +1063,61 @@ ORDER BY s.query_id, {facet}
 """
 
 
+#: trailing moving-average window (buckets), ES moving_fn default-ish
+PIPELINE_WINDOW = 3
+
+
+def search_daily_pipeline(
+    sf_dir: str,
+    index_dir: str,
+    queries=REFERENCE_QUERIES,
+    mode: str = "bm25",
+    window: int = PIPELINE_WINDOW,
+) -> pd.DataFrame:
+    """Pipeline aggregations over the date-histogram buckets — the ES
+    ``cumulative_sum`` / ``moving_fn`` / ``derivative`` parent-pipeline
+    aggs: per (query, day-ascending) bucket series, emit the running
+    total of hits, the trailing ``window``-bucket moving average
+    (partial head windows averaged over the buckets present), and the
+    first difference vs the previous bucket (first bucket diffs against
+    0).  The bucket series is output-sized (days × queries), so the
+    post-pass is a vectorized driver pass over an already-reduced
+    table — the distributed work is all in the underlying facet
+    pipeline.  Gate ``search_daily_pipeline``; oracle
+    :func:`daily_pipeline_sql` (window functions over the embedded
+    daily-facet oracle)."""
+    from .analysis import round_half_up
+
+    daily = search_facets_daily(sf_dir, index_dir, queries, mode)
+    out = daily[["query_id", "day", "n_hits"]].copy()
+    g = out.groupby("query_id", sort=False)["n_hits"]
+    out["cum_hits"] = g.cumsum().astype(np.int64)
+    mavg = (
+        g.rolling(window, min_periods=1).mean().reset_index(level=0, drop=True)
+    )
+    out["mavg"] = round_half_up(mavg.to_numpy(np.float64), 6)
+    out["delta"] = (out["n_hits"] - g.shift(1, fill_value=0)).astype(np.int64)
+    return out
+
+
+def daily_pipeline_sql(
+    queries=REFERENCE_QUERIES, window: int = PIPELINE_WINDOW, k1=1.2, b=0.75
+) -> str:
+    """Mirror of :func:`search_daily_pipeline`: the whole daily-facet
+    oracle embeds as one MATERIALIZED CTE (the snippets/scrub
+    composition pattern), then three window functions."""
+    return f"""
+WITH daily AS MATERIALIZED ({facets_daily_sql(queries, k1=k1, b=b)})
+SELECT query_id, day, n_hits,
+       CAST(sum(n_hits) OVER (PARTITION BY query_id ORDER BY day) AS BIGINT) AS cum_hits,
+       round(avg(n_hits * 1.0) OVER (PARTITION BY query_id ORDER BY day
+             ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW), 6) AS mavg,
+       CAST(n_hits - coalesce(lag(n_hits) OVER (PARTITION BY query_id ORDER BY day), 0) AS BIGINT) AS delta
+FROM daily
+ORDER BY query_id, day
+"""
+
+
 def facets_daily_sql(queries=REFERENCE_QUERIES, k1=1.2, b=0.75) -> str:
     """Oracle for :func:`search_facets_daily` — the facet bucket is the
     UTC day truncation of the turn timestamp (DuckDB ``strftime`` ==
