@@ -75,6 +75,7 @@ def registry() -> dict:
         "dedup_embedding_ivf": (dedup.dedup_embedding_ivf, dedup.dedup_embedding_ivf_sql()),
         # --- similarity search ---
         "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL),
+        "ann_filtered_topk": (similarity.ann_filtered_topk, similarity.ANN_FILTERED_TOPK_SQL),
         "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ann_lsh_topk_sql()),
         "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_TOPK_SQL),
         "kmeans_cells": (similarity.kmeans_cells, similarity.kmeans_cells_sql()),

@@ -171,6 +171,104 @@ def ann_cosine_topk(sf_dir: str):
     return _merge_topk(cand, TOP_K)
 
 
+class _FilteredPartialTopK:
+    """Per-query partial top-k restricted to corpus vectors sharing the
+    query's ``label`` — the ES kNN-with-filter shape (pre-filter: the
+    predicate cuts candidates BEFORE the similarity evaluation, so k
+    survivors are guaranteed, unlike post-filtering a top-k)."""
+
+    def __init__(self, qref, k):
+        self.qref = qref
+        self.k = k
+        self._q = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._q is None:
+            obj = self.qref
+            self._q = _get_ref(obj) if not isinstance(obj, tuple) else obj
+        qids, qmat, qlabels = self._q
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qmat @ m.T
+        out_q, out_v, out_s = [], [], []
+        for i, qid in enumerate(qids):
+            idx = np.nonzero((labels == qlabels[i]) & (vids != qid))[0]
+            if len(idx) == 0:
+                continue
+            sub = sims[i][idx]
+            take = idx[np.lexsort((vids[idx], -round_half_up(sub, ROUND)))[: self.k]]
+            out_q.append(np.full(len(take), qid, np.int64))
+            out_v.append(vids[take])
+            out_s.append(sims[i][take])
+        if not out_q:
+            return pa.table(
+                {"query_vec": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_vec": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def ann_filtered_topk(sf_dir: str):
+    """Filtered exact-cosine top-10: each query vector retrieves only
+    corpus vectors with ITS OWN ``label`` (same-category neighbors) —
+    the ES/Lucene kNN-with-filter query.  The label set of the query
+    batch pushes into the parquet scan (`filter=`), so at scale only
+    row groups containing relevant labels leave storage; the per-batch
+    mask then enforces per-query equality.  Gate ``ann_filtered_topk``;
+    oracle :data:`ANN_FILTERED_TOPK_SQL`."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
+    ids = tbl["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    qmat = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)[order]
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qlabels = tbl["label"].to_numpy()[order]
+    qref = ray.put((ids[order], qmat, qlabels))
+    cand = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding", "label"],
+            filter=pads.field("label").isin(sorted(set(int(l) for l in qlabels))),
+        )
+        .map_batches(_FilteredPartialTopK(qref, TOP_K), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return _merge_topk(cand, TOP_K)
+
+
+ANN_FILTERED_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_vec, embedding, label FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_vec, e.vec_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), {ROUND}) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_vec AND e.label = q.label
+),
+ranked AS (
+  SELECT query_vec,
+         CAST(row_number() OVER (PARTITION BY query_vec ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank,
+         vec_id, cosine
+  FROM scored
+)
+SELECT query_vec, rank, vec_id, cosine FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_vec, rank
+"""
+
+
 ANN_COSINE_TOPK_SQL = f"""
 WITH q AS (SELECT vec_id AS query_vec, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
 scored AS (
