@@ -1021,6 +1021,14 @@ def _q_search_export(sf_dir: str):
     )
 
 
+def _q_topk_dis_max(sf_dir: str):
+    """dis_max / multi_match best_fields: per-field BM25 (text + tool,
+    each with its own tokenizer/stats), best field wins, others
+    contribute tie·score (query.batch_dis_max; oracle
+    query.dis_max_topk_sql over the DIS_MAX_QUERIES fixture)."""
+    return query.batch_dis_max(_index_for(sf_dir))
+
+
 def _q_topk_boosting(sf_dir: str):
     """Boosting query (ES boosting): rank by the positive clause's
     BM25, demoted by negative_boost for docs also matching any
@@ -1224,6 +1232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_dbq": _q_topk_bm25_dbq,
         "topk_bm25_msm": _q_topk_bm25_msm,
+        "topk_dis_max": _q_topk_dis_max,
         "topk_boosting": _q_topk_boosting,
         "topk_random_score": _q_topk_random_score,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
@@ -1336,6 +1345,7 @@ def oracle_sql() -> dict[str, str]:
             deleted_sql=query.dbq_deleted_sql(DBQ_TEXT)
         ),
         "topk_bm25_msm": query.msm_topk_sql(),
+        "topk_dis_max": query.dis_max_topk_sql(query.DIS_MAX_QUERIES),
         "topk_boosting": query.boosting_topk_sql(),
         "topk_random_score": query.random_score_sql(),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

@@ -496,6 +496,8 @@ class SegmentIndex:
             return self._score_bm25_boost(query_text)
         if mode == "bm25f":
             return self._score_bm25f(query_text)
+        if mode == "dis_max":
+            return self._score_dis_max(query_text)
         if mode == "faithful":
             return self._score_faithful(query_text)
         raise ValueError(mode)
@@ -1251,6 +1253,61 @@ class SegmentIndex:
                 sc_chunks.append(sc)
         ids, totals = _accumulate(id_chunks, sc_chunks)
         return self._drop_deleted(ids, totals)
+
+    #: dis_max tie breaker: the best field wins, other fields
+    #: contribute this fraction (Lucene DisjunctionMaxQuery default
+    #: idiom; 0 = pure max, 1 = plain sum == unweighted BM25F)
+    DIS_MAX_TIE = 0.3
+
+    def _score_dis_max(self, query_text: str, tie: float | None = None):
+        """Disjunction-max over per-field BM25 (the ES ``dis_max`` /
+        ``multi_match best_fields`` scorer): for each doc,
+        ``score = max_f BM25_f + tie · Σ_{f≠best} BM25_f``.  Where
+        BM25F rewards matching EVERY field (sum), best_fields ranks by
+        the single field that matches best — the right semantics when
+        fields are alternative descriptions (text vs tool name) rather
+        than cumulative evidence.  Fields score unweighted with their
+        own tokenizer/df/avgdl, exactly as in :meth:`_score_bm25f`.
+        """
+        if tie is None:
+            tie = self.DIS_MAX_TIE
+        per_field = []
+        for field, _w in self.BM25F_WEIGHTS:
+            fd = self._dict.get(field)
+            if fd is None:
+                continue
+            mode = self.field_modes.get(field, "body")
+            toks, _ = normalize.tokenize_column(pa.array([query_text]), mode)
+            gs = self.global_stats[field]
+            id_chunks, sc_chunks = [], []
+            for t in sorted(set(toks.tolist())):
+                r = fd.rank_of(t)
+                if r < 0:
+                    continue
+                post = self.postings(t, field)
+                if post is None:
+                    continue
+                docids, tfs, dls = post
+                id_chunks.append(docids)
+                sc_chunks.append(
+                    segments.bm25_term_scores(
+                        tfs, dls, float(fd.idf[r]), gs["avgdl"], self.k1, self.b
+                    )
+                )
+            ids, totals = _accumulate(id_chunks, sc_chunks)
+            if len(ids):
+                per_field.append((ids, totals))
+        if not per_field:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        all_ids = np.unique(np.concatenate([ids for ids, _ in per_field]))
+        best = np.zeros(len(all_ids), np.float64)
+        tot = np.zeros(len(all_ids), np.float64)
+        for ids, sc in per_field:
+            pos = np.searchsorted(all_ids, ids)
+            np.maximum.at(best, pos, sc)  # BM25 scores are > 0
+            tot[pos] += sc
+        scores = best + tie * (tot - best)
+        return self._drop_deleted(all_ids, scores)
 
     #: safety margin for pruning bounds vs the RANK_ROUND tie boundary —
     #: a skipped doc must be provably below the k-th score even after
@@ -2888,6 +2945,88 @@ ORDER BY r.query_id, r.rank
 """
 
 
+def dis_max_topk_sql(
+    queries=REFERENCE_QUERIES,
+    k1: float = 1.2,
+    b: float = 0.75,
+    tie: float = SegmentIndex.DIS_MAX_TIE,
+) -> str:
+    """Oracle for the ``dis_max`` scoring mode: the per-field BM25
+    chains of :func:`bm25f_topk_sql` (unweighted), combined per doc as
+    ``max(fscore) + tie · (sum(fscore) - max(fscore))``."""
+    field_cols = {"text": ("text", "body"), "tool": ("tool", "tool")}
+    ctes = [f"transcripts AS ({corpus.transcripts_sql()})",
+            "n AS (SELECT count(*) AS n FROM transcripts)"]
+    contribs = []
+    for field, _w in SegmentIndex.BM25F_WEIGHTS:
+        col, mode = field_cols[field]
+        f = field
+        ctes.append(
+            f"tokens_{f} AS (SELECT conv_id, turn_idx, tok.term FROM transcripts, "
+            f"{normalize.tokens_sql(col, mode)} "
+            f"WHERE {normalize.tokens_keep_sql('tok.term', mode)})"
+        )
+        ctes.append(
+            f"tfs_{f} AS (SELECT conv_id, turn_idx, term, CAST(count(*) AS BIGINT) AS tf "
+            f"FROM tokens_{f} GROUP BY conv_id, turn_idx, term)"
+        )
+        ctes.append(
+            f"dl_{f} AS (SELECT conv_id, turn_idx, count(*) AS dl "
+            f"FROM tokens_{f} GROUP BY conv_id, turn_idx)"
+        )
+        ctes.append(f"dfs_{f} AS (SELECT term, count(*) AS df FROM tfs_{f} GROUP BY term)")
+        ctes.append(
+            f"g_{f} AS (SELECT (SELECT count(*) FROM tokens_{f}) * 1.0 / "
+            f"(SELECT n FROM n) AS avgdl)"
+        )
+        vals = _qterms_mode_values(queries, mode)
+        if vals is None:
+            ctes.append(
+                f"qt_{f}(query_id, term) AS "
+                "(SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) WHERE FALSE)"
+            )
+        else:
+            ctes.append(f"qt_{f}(query_id, term) AS (VALUES {vals})")
+        contribs.append(f"""
+  SELECT q.query_id, t.conv_id, t.turn_idx, '{f}' AS field,
+         ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5))
+         * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) AS score
+  FROM qt_{f} q
+  JOIN tfs_{f} t ON t.term = q.term
+  JOIN dfs_{f} d ON d.term = q.term
+  JOIN dl_{f} dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN n CROSS JOIN g_{f} g""")
+    cte_sql = ",\n".join(ctes)
+    union = "\n  UNION ALL\n".join(contribs)
+    return f"""
+WITH {cte_sql},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+contrib AS ({union}),
+fscores AS (
+  SELECT query_id, conv_id, turn_idx, field, sum(score) AS fscore
+  FROM contrib GROUP BY query_id, conv_id, turn_idx, field
+),
+scores AS (
+  SELECT query_id, conv_id, turn_idx,
+         max(fscore) + {tie} * (sum(fscore) - max(fscore)) AS score
+  FROM fscores GROUP BY query_id, conv_id, turn_idx
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""
+
+
 def faithful_topk_sql(queries=REFERENCE_QUERIES, mask_pred: str | None = None) -> str:
     """Oracle for the faithful (reference-formula) scoring mode.
 
@@ -3771,6 +3910,31 @@ FROM ranked r JOIN queries q ON q.query_id = r.query_id
 WHERE r.rank <= q.qk
 ORDER BY r.query_id, r.rank
 """
+
+
+#: dis_max fixture: texts mixing body vocabulary with tool names so the
+#: best-field max genuinely switches per doc (dm02 is tool-only, dm03/
+#: dm05 straddle both fields, dm06 is the empty leg).
+DIS_MAX_QUERIES = (
+    ("dm01", "merge", 10),
+    ("dm02", "python", 10),
+    ("dm03", "merge python", 10),
+    ("dm04", "search editor", 10),
+    ("dm05", "hash join bash", 10),
+    ("dm06", "zzzabsent", 10),
+)
+
+
+def batch_dis_max(index_dir: str, queries=DIS_MAX_QUERIES) -> pd.DataFrame:
+    """dis_max / multi_match best_fields evaluation over the fixture
+    set (gate ``topk_dis_max``; oracle :func:`dis_max_topk_sql`)."""
+    idx = SegmentIndex(index_dir)
+    out = []
+    for qid, text, k in queries:
+        df = idx.topk(text, int(k), "dis_max")
+        df.insert(0, "query_id", qid)
+        out.append(df)
+    return pd.concat(out, ignore_index=True)
 
 
 #: seeded random-score fixture (the function_score random_score shape):

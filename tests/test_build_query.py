@@ -759,3 +759,20 @@ def test_rank_eval_metric_invariants(index_dir):
     assert (df["recall_at_k"].to_numpy() >= shallow["recall_at_k"].to_numpy()).all()
     # a first hit at rank 1 (every non-empty query here) means mrr == 1
     assert (shallow.loc[shallow["hits"] > 0, "mrr"] <= 1.0).all()
+
+
+def test_dis_max_tie_breaker_algebra(index_dir):
+    idx = query.SegmentIndex(index_dir)
+    text = "merge python"  # straddles body vocab and tool names
+    ids0, s0 = idx._score_dis_max(text, tie=0.0)   # pure best-field
+    ids1, s1 = idx._score_dis_max(text, tie=1.0)   # plain cross-field sum
+    idst, st = idx._score_dis_max(text)            # default tie
+    np.testing.assert_array_equal(ids0, ids1)
+    np.testing.assert_array_equal(ids0, idst)
+    # max <= default <= sum, with equality only where one field scores
+    assert (s0 <= st + 1e-12).all() and (st <= s1 + 1e-12).all()
+    # tie linearly interpolates: st == s0 + TIE*(s1 - s0)
+    np.testing.assert_allclose(st, s0 + idx.DIS_MAX_TIE * (s1 - s0), rtol=1e-12)
+    # the tool leg is real: candidates exceed the text-only ones
+    ids_text, _ = idx._score_bm25(text)
+    assert len(ids0) > len(ids_text)
