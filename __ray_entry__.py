@@ -1021,6 +1021,15 @@ def _q_search_export(sf_dir: str):
     )
 
 
+def _q_topk_has_parent(sf_dir: str):
+    """Parent-filtered turn retrieval (ES has_parent): assistant turns
+    matching the child clause, in conversations where some user turn
+    matches the parent clause; scored by the child turn's own BM25 —
+    the parent leg is filter context (query.SegmentIndex.topk_has_parent;
+    oracle query.has_parent_topk_sql)."""
+    return query.batch_has_parent(_docvalues_index_for(sf_dir))
+
+
 def _q_topk_dis_max(sf_dir: str):
     """dis_max / multi_match best_fields: per-field BM25 (text + tool,
     each with its own tokenizer/stats), best field wins, others
@@ -1232,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_dbq": _q_topk_bm25_dbq,
         "topk_bm25_msm": _q_topk_bm25_msm,
+        "topk_has_parent": _q_topk_has_parent,
         "topk_dis_max": _q_topk_dis_max,
         "topk_boosting": _q_topk_boosting,
         "topk_random_score": _q_topk_random_score,
@@ -1345,6 +1355,7 @@ def oracle_sql() -> dict[str, str]:
             deleted_sql=query.dbq_deleted_sql(DBQ_TEXT)
         ),
         "topk_bm25_msm": query.msm_topk_sql(),
+        "topk_has_parent": query.has_parent_topk_sql(),
         "topk_dis_max": query.dis_max_topk_sql(query.DIS_MAX_QUERIES),
         "topk_boosting": query.boosting_topk_sql(),
         "topk_random_score": query.random_score_sql(),

@@ -705,6 +705,46 @@ class SegmentIndex:
             }
         )
 
+    def topk_has_parent(
+        self, parent_text: str, child_text: str, k: int
+    ) -> pd.DataFrame:
+        """Turn-level retrieval filtered by the conversation's OTHER
+        side (the ES ``has_parent`` complement of
+        :meth:`topk_has_child`): return ASSISTANT turns matching
+        ``child_text``, restricted to conversations where SOME user
+        turn matches ``parent_text``; scored by the child turn's own
+        BM25 (the parent clause is filter context, ES
+        ``score=false``).  "Assistant replies about X where the user
+        asked about Y."  Candidate-bounded: two accumulator passes,
+        conv membership via the decoded candidate conv ids — never a
+        corpus scan.  Oracle: :func:`has_parent_topk_sql`."""
+        dv = self.docvalues()
+        empty = pd.DataFrame(
+            {
+                "rank": np.empty(0, np.int32),
+                "conv_id": [],
+                "turn_idx": np.empty(0, np.int32),
+                "score": np.empty(0, np.float64),
+            }
+        )
+        pids, _ps = self._score_bm25(parent_text)
+        if len(pids):
+            roles, found = dv.lookup(pids, "role")
+            pids = pids[found & (roles == "user")]
+        if not len(pids):
+            return empty
+        pconv = np.unique(self.codec.decode(pids)[0])
+        cids, cs = self._score_bm25(child_text)
+        if len(cids):
+            roles, found = dv.lookup(cids, "role")
+            keep = found & (roles == "assistant")
+            cids, cs = cids[keep], cs[keep]
+        if not len(cids):
+            return empty
+        cconv, _ct = self.codec.decode(cids)
+        keep = np.isin(cconv, pconv)
+        return self._format_topk(cids[keep], cs[keep], k)
+
     def topk_sorted(
         self,
         query_text: str,
@@ -3500,6 +3540,88 @@ ranked AS (
   FROM paired
 )
 SELECT r.query_id, r.rank, r.conv_id, r.score, r.user_score, r.assistant_score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""
+
+
+#: has_parent fixture: (query_id, parent/user clause, child/assistant
+#: clause, k).  hp04 pins the empty-parent leg (absent user term ->
+#: no conversations pass the filter).
+HAS_PARENT_QUERIES = (
+    ("hp01", "merge", "window", 10),
+    ("hp02", "hash join", "stream", 10),
+    ("hp03", "the", "customer", 10),
+    ("hp04", "zzzabsent", "merge", 10),
+    ("hp05", "big fast", "sort merge", 10),
+)
+
+
+def batch_has_parent(index_dir: str, queries=HAS_PARENT_QUERIES) -> pd.DataFrame:
+    """Turn-level has_parent evaluation over the fixture set (gate
+    ``topk_has_parent``; oracle :func:`has_parent_topk_sql`)."""
+    idx = SegmentIndex(index_dir)
+    out = []
+    for qid, ptext, ctext, k in queries:
+        df = idx.topk_has_parent(ptext, ctext, int(k))
+        df.insert(0, "query_id", qid)
+        out.append(df)
+    return pd.concat(out, ignore_index=True)
+
+
+def has_parent_topk_sql(
+    queries=HAS_PARENT_QUERIES, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Mirror of :meth:`SegmentIndex.topk_has_parent`: per-clause BM25
+    over role-filtered turns; parent clause reduces to a distinct conv
+    filter, child clause ranks by its own score."""
+    rows = []
+    for qid, ptext, ctext, _k in queries:
+        for clause, text in (("p", ptext), ("c", ctext)):
+            toks, _r = normalize.tokenize_column(pa.array([text]), "body")
+            rows += [
+                f"('{qid}', '{clause}', '{t}')" for t in sorted(set(toks.tolist()))
+            ]
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (VALUES {", ".join(f"('{q[0]}', {int(q[3])})" for q in queries)}),
+qc(query_id, clause, term) AS (VALUES {", ".join(rows)}),
+scores AS (
+  SELECT q.query_id, q.clause,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qc q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, q.clause, t.conv_id, t.turn_idx
+),
+parent_convs AS (
+  SELECT DISTINCT s.query_id, s.conv_id
+  FROM scores s
+  JOIN transcripts m ON m.conv_id = s.conv_id AND m.turn_idx = s.turn_idx
+  WHERE s.clause = 'p' AND m.role = 'user'
+),
+child AS (
+  SELECT s.query_id, s.conv_id, s.turn_idx, s.score
+  FROM scores s
+  JOIN transcripts m ON m.conv_id = s.conv_id AND m.turn_idx = s.turn_idx
+  JOIN parent_convs p ON p.query_id = s.query_id AND p.conv_id = s.conv_id
+  WHERE s.clause = 'c' AND m.role = 'assistant'
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM child
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
 FROM ranked r JOIN queries q ON q.query_id = r.query_id
 WHERE r.rank <= q.qk
 ORDER BY r.query_id, r.rank

@@ -380,3 +380,30 @@ def test_top_hits_per_bucket(ray_session, dv_index, duck):
         best = idx.topk_filtered(text, 1, (("role", "=", role),))
         assert best.conv_id.iloc[0] == g.conv_id.iloc[0]
         assert int(best.turn_idx.iloc[0]) == int(g.turn_idx.iloc[0])
+
+
+def test_has_parent_semantics(ray_session, dv_index, duck):
+    """has_parent: oracle parity at sf0.001; results are child-BM25
+    hits from parent-matching conversations only."""
+    got = query.batch_has_parent(dv_index)
+    want = duck.execute(query.has_parent_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    idx = query.SegmentIndex(dv_index)
+    res = idx.topk_has_parent("merge", "window", 10**9)
+    # every hit is an assistant turn whose conversation has a user turn
+    # matching the parent clause
+    dv = idx.docvalues()
+    ids = idx.codec.encode(res.conv_id.to_numpy(), res.turn_idx.to_numpy())
+    roles, found = dv.lookup(ids, "role")
+    assert found.all() and (roles == "assistant").all()
+    pids, _ = idx._score_bm25("merge")
+    proles, pfound = dv.lookup(pids, "role")
+    pconvs = set(idx.codec.decode(pids[pfound & (proles == "user")])[0])
+    assert set(res.conv_id) <= pconvs
+    # and a subset of the unfiltered child hits with identical scores
+    base = idx.topk("window", 10**9, "bm25")
+    merged = res.merge(base, on=["conv_id", "turn_idx"], suffixes=("_hp", "_b"))
+    assert len(merged) == len(res)
+    np.testing.assert_allclose(merged.score_hp, merged.score_b, atol=2e-6)
