@@ -244,6 +244,100 @@ def dedup_exact(sf_dir: str):
     return pdf[["doc_id", "rep_doc_id", "group_size"]]
 
 
+#: prior-snapshot membership predicate for the novelty filter: docs
+#: with doc_id % 3 == 0 play the already-ingested corpus, the rest are
+#: the incoming batch (deterministic, SQL-mirrorable split)
+NOVEL_PRIOR_MOD = 3
+
+#: canonical-key width for the novelty filter: docs are "the same" when
+#: their first N single-space words agree (same-lead dedup — the
+#: canonicalized-URL/headline idiom; exact-text hashing is the
+#: degenerate case and matches nothing on this corpus, where no two
+#: docs are byte-identical but leads do repeat)
+NOVEL_PREFIX_WORDS = 8
+
+
+def dedup_novel(sf_dir: str):
+    """Incremental (novelty) dedup: filter an INCOMING batch against a
+    PRIOR snapshot — the shape every continuously-ingesting training
+    pipeline runs ("drop what we already have") that a whole-corpus
+    dedup can't express.  Incoming docs are novel iff no prior doc
+    shares their canonical key (hash of the first
+    ``NOVEL_PREFIX_WORDS`` words); duplicates report the smallest
+    matching prior doc_id.
+
+    Same scale shape as :func:`dedup_exact`: ONE coarse hash-bucket
+    shuffle co-locates prior and incoming rows with equal hashes, so
+    novelty resolves vectorized inside each bucket with NO join and no
+    driver-side prior-set state — at 100 TB the prior snapshot streams
+    exactly like the incoming batch.  Output: (doc_id, novel 0/1,
+    dup_of prior id or -1), incoming rows only.  Gate ``dedup_novel``;
+    oracle :data:`DEDUP_NOVEL_SQL`.
+    """
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        h = np.array(
+            [
+                md5int60(" ".join((t or "").split(" ")[:NOVEL_PREFIX_WORDS]))
+                for t in batch["text"].to_pylist()
+            ],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h": pa.array(h, pa.int64()),
+                "bucket": pa.array((h % N_BUCKETS).astype(np.int32)),
+                "prior": pa.array((ids % NOVEL_PRIOR_MOD == 0).astype(np.int8)),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        pri = g[g["prior"] == 1].groupby("h")["doc_id"].min()
+        inc = g[g["prior"] == 0]
+        dup_of = inc["h"].map(pri)
+        return pd.DataFrame(
+            {
+                "doc_id": inc["doc_id"].to_numpy(np.int64),
+                "novel": dup_of.isna().to_numpy().astype(np.int64),
+                "dup_of": dup_of.fillna(-1).to_numpy(np.int64),
+            }
+        )
+
+    pdf = (
+        _docs(sf_dir)
+        .map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")  # gate-only determinism sort
+        .reset_index(drop=True)
+    )
+    return pdf[["doc_id", "novel", "dup_of"]]
+
+
+_NOVEL_KEY_SQL = (
+    f"array_to_string(list_slice(string_split(text, ' '), 1, {NOVEL_PREFIX_WORDS}), ' ')"
+)
+
+DEDUP_NOVEL_SQL = f"""
+WITH prior AS (
+  SELECT {md5int60_sql(_NOVEL_KEY_SQL)} AS h, min(doc_id) AS dup_of
+  FROM documents WHERE doc_id % {NOVEL_PRIOR_MOD} = 0 GROUP BY h
+),
+incoming AS (
+  SELECT doc_id, {md5int60_sql(_NOVEL_KEY_SQL)} AS h
+  FROM documents WHERE doc_id % {NOVEL_PRIOR_MOD} <> 0
+)
+SELECT i.doc_id,
+       CAST(CASE WHEN p.h IS NULL THEN 1 ELSE 0 END AS BIGINT) AS novel,
+       CAST(coalesce(p.dup_of, -1) AS BIGINT) AS dup_of
+FROM incoming i LEFT JOIN prior p ON p.h = i.h
+ORDER BY i.doc_id
+"""
+
+
 DEDUP_EXACT_SQL = f"""
 WITH hashed AS (
   SELECT doc_id, {md5int60_sql('text')} AS h FROM documents

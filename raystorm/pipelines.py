@@ -64,6 +64,7 @@ def registry() -> dict:
         "ngram_counts": (ngrams.ngram_counts, ngrams.ngram_counts_sql()),
         # --- dedup family ---
         "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
+        "dedup_novel": (dedup.dedup_novel, dedup.DEDUP_NOVEL_SQL),
         "dup_spans": (dedup.dup_spans, dedup.DUP_SPANS_SQL),
         "scrub_dup_spans": (dedup.scrub_dup_spans, dedup.SCRUB_DUP_SPANS_SQL),
         "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.dedup_ngram_jaccard_sql()),

@@ -535,3 +535,24 @@ def test_percolator_mode_semantics():
     assert hits["ph1"] <= hits["all1"]
     assert hits["ph2"] == {("c1", 0), ("c3", 0)}
     assert "none" not in hits and "empty" not in hits
+
+
+def test_dedup_novel_invariants(ray_session):
+    from raystorm import dedup
+    import duckdb
+
+    out = dedup.dedup_novel("/root/testdata/sf0.001")
+    # incoming rows only, every doc exactly once
+    assert (out["doc_id"].to_numpy() % dedup.NOVEL_PRIOR_MOD != 0).all()
+    assert out["doc_id"].is_unique
+    dups = out[out["novel"] == 0]
+    assert len(dups) > 0  # the fixture corpus has cross-split shared leads
+    # every dup_of is a prior-snapshot doc sharing the canonical key
+    assert (dups["dup_of"].to_numpy() % dedup.NOVEL_PRIOR_MOD == 0).all()
+    texts = duckdb.execute(
+        "SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df().set_index("doc_id")["text"]
+    key = lambda t: " ".join(t.split(" ")[: dedup.NOVEL_PREFIX_WORDS])
+    for _, r in dups.iterrows():
+        assert key(texts[r["doc_id"]]) == key(texts[r["dup_of"]])
+    assert (out.loc[out["novel"] == 1, "dup_of"] == -1).all()
