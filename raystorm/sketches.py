@@ -173,3 +173,141 @@ SKETCH_UNION_USERS_SQL = union_estimate_sql(
     [("events", "user_id"), ("orders", "o_custkey")],
     "events.user_id|orders.o_custkey",
 )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters  (two-pass: local-heavy candidates -> exact verification)
+# ---------------------------------------------------------------------------
+
+#: candidate threshold denominator — the bulk Misra-Gries bound: any
+#: value with GLOBAL count > N/(HH_K+1) must, by pigeonhole, have
+#: count > n_b/(HH_K+1) in at least one block, so the union of
+#: per-block locally-heavy values is a guaranteed candidate superset.
+#: Sized so the guarantee holds for the top-HH_TOP at bench scale
+#: (sf0.1: ~66 events/user vs N/(HH_K+1) ~= 24).
+HH_K = 4096
+#: heavy hitters emitted (exact top-m by count)
+HH_TOP = 20
+#: sentinel "val" carrying each block's row count to the driver
+_HH_TOTAL = -1
+
+
+def heavy_hitters(ds, col: str, top: int = HH_TOP, k: int = HH_K) -> pd.DataFrame:
+    """EXACT top-``top`` values of ``col`` by count, without a
+    full-cardinality shuffle — the sketch-proposes / exact-verifies
+    two-pass:
+
+    1. each block emits its locally-heavy values (count·(k+1) > n_b) —
+       a deterministic, bulk-counted Misra-Gries summary, ≤k rows per
+       block, so the driver sees a sketch-sized candidate union;
+    2. a second streaming pass counts ONLY the candidates (broadcast
+       membership probe), giving their exact global counts.
+
+    If the m-th candidate count exceeds N/(k+1), every non-candidate is
+    provably below it and the candidate top-m IS the global top-m
+    (emitted).  Otherwise the guarantee fails loudly and the operator
+    falls back to the exact full groupby — either way the output is
+    exact, which is what lets the gate hash-compare against plain SQL.
+    At 100 TB pass 2's probe is one ``np.isin`` per block against a
+    ≤k·#blocks broadcast array; no value-keyed shuffle ever happens on
+    the guaranteed path.
+    """
+    import ray
+
+    def local_heavy(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_b = len(vals)
+        u, c = np.unique(vals, return_counts=True)
+        keep = c * (k + 1) > n_b
+        return pa.table(
+            {
+                "val": pa.array(np.r_[u[keep], _HH_TOTAL], pa.int64()),
+                "cnt": pa.array(np.r_[c[keep], n_b], pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns([col]).map_batches(
+        local_heavy, batch_format="pyarrow"
+    ).to_pandas()
+    n_total = int(parts.loc[parts["val"] == _HH_TOTAL, "cnt"].sum())
+    cand = np.unique(parts.loc[parts["val"] != _HH_TOTAL, "val"].to_numpy(np.int64))
+    exact: pd.DataFrame | None = None
+    if len(cand):
+        ref = ray.put(cand)  # sorted; broadcast once
+
+        class ExactCounts:
+            def __init__(self, ref):
+                self.cand = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                vals = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+                vals = vals[np.isin(vals, self.cand)]
+                u, c = np.unique(vals, return_counts=True)
+                return pa.table(
+                    {"val": pa.array(u, pa.int64()), "cnt": pa.array(c, pa.int64())}
+                )
+
+        exact = (
+            ds.select_columns([col])
+            .map_batches(ExactCounts, fn_constructor_args=(ref,),
+                         batch_format="pyarrow", concurrency=2)
+            .to_pandas()
+            .groupby("val", as_index=False)["cnt"].sum()
+        )
+        exact = exact.sort_values(
+            ["cnt", "val"], ascending=[False, True], kind="mergesort"
+        ).head(top)
+        guaranteed = len(exact) >= min(top, len(cand)) and (
+            len(exact) < top or int(exact["cnt"].min()) * (k + 1) > n_total
+        )
+        if not guaranteed:
+            exact = None
+    if exact is None:
+        # guarantee failed (or no candidates): exact full groupby —
+        # per-block partial counts, one value-keyed shuffle, same
+        # result, just without the shuffle-free fast path
+        from ray.data.aggregate import Sum
+
+        def partial(b: pa.Table) -> pa.Table:
+            vals = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            u, c = np.unique(vals, return_counts=True)
+            return pa.table(
+                {"val": pa.array(u, pa.int64()), "cnt": pa.array(c, pa.int64())}
+            )
+
+        exact = (
+            ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("val")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+            .sort_values(["cnt", "val"], ascending=[False, True], kind="mergesort")
+            .head(top)
+        )
+    out = exact.reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int32))
+    return out
+
+
+def heavy_hitters_users(sf_dir: str) -> pd.DataFrame:
+    """Exact top-20 users by event count via the two-pass heavy-hitter
+    pipeline (gate ``heavy_hitters_users``; oracle
+    :data:`HEAVY_HITTERS_USERS_SQL`)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    df = heavy_hitters(ds, "user_id")
+    return df.rename(columns={"val": "user_id", "cnt": "n_events"})
+
+
+HEAVY_HITTERS_USERS_SQL = f"""
+SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, user_id) AS INTEGER) AS rank,
+       user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT {HH_TOP}
+"""

@@ -45,3 +45,18 @@ def test_registry_gates_shape(ray_session):
     # union of a superset column set can never estimate below the single
     # source when both sketches saturate at the same k
     assert u.estimate.iloc[0] >= d.estimate.iloc[0] * 0.5
+
+
+def test_heavy_hitters_guaranteed_vs_fallback(ray_session):
+    import ray.data as rd
+    from raystorm import sketches
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id"]
+    )
+    fast = sketches.heavy_hitters(ds, "user_id")          # guaranteed path
+    slow = sketches.heavy_hitters(ds, "user_id", k=2)     # forced fallback
+    pd.testing.assert_frame_equal(fast, slow)
+    # exact counts: sum of top-m <= total events; ranks are 1..m
+    assert list(fast["rank"]) == list(range(1, len(fast) + 1))
+    assert (fast["cnt"].to_numpy()[:-1] >= fast["cnt"].to_numpy()[1:]).all()
