@@ -103,6 +103,29 @@ class IndexServer:
         sidecar for the role column)."""
         return self.index.topk_has_child(user_text, assistant_text, k)
 
+    def percolate(self, text: str) -> list:
+        """Reverse search on the serving path (the ES percolate API's
+        single-document form): which stored queries match this doc?
+        Registry compiled lazily once per replica; each call is one
+        in-memory batch match — the alerting hook ("would any saved
+        search fire on this incoming document?")."""
+        if getattr(self, "_percolator", None) is None:
+            from .percolate import Percolator, compile_queries
+
+            self._percolator = Percolator(compile_queries())
+        import pyarrow as pa
+
+        out = self._percolator(
+            pa.table(
+                {
+                    "conv_id": ["_doc"],
+                    "turn_idx": pa.array([0], pa.int32()),
+                    "text": [text],
+                }
+            )
+        )
+        return out["query_id"].to_pylist()
+
     def info(self) -> dict:
         return {
             "n_terms": self.index.manifest["n_terms"],
@@ -148,6 +171,11 @@ class ServeHandle:
         a = self.actors[self._i % len(self.actors)]
         self._i += 1
         return ray.get(a.has_child.remote(user_text, assistant_text, k))
+
+    def percolate(self, text: str) -> list:
+        a = self.actors[self._i % len(self.actors)]
+        self._i += 1
+        return ray.get(a.percolate.remote(text))
 
     def info(self) -> dict:
         return ray.get(self.actors[0].info.remote())
@@ -247,6 +275,10 @@ class HttpFrontend:
                             int(qs.get("k", ["10"])[0]),
                         )
                         self._send(200, df.to_json(orient="records"))
+                    elif u.path == "/percolate":
+                        qs = parse_qs(u.query)
+                        ids = handle.percolate(qs.get("doc", [""])[0])
+                        self._send(200, json.dumps({"matched": ids}))
                     elif u.path == "/info":
                         self._send(200, json.dumps(handle.info()))
                     else:

@@ -190,3 +190,41 @@ def test_request_cache_hits_and_identity(index_pair):
         assert handle.info()["cache"]["entries"] == 2
     finally:
         assert serve.stop(replicas=1, name="t-cache") == 1
+
+
+def test_http_percolate_matches_direct(ray_session, index_pair):
+    """/percolate over the HTTP front == a direct Percolator match."""
+    import json as _json
+    import urllib.request
+    from urllib.parse import quote
+
+    import pyarrow as pa
+
+    from raystorm import percolate, serve
+
+    _root, live, _cand = index_pair
+    host, port = serve.start_http(live, replicas=2, name="t-perc-http")
+    try:
+        p = percolate.Percolator(percolate.compile_queries())
+        for doc in ("merge window table", "hash value scan the the", "nothing"):
+            url = f"http://{host}:{port}/percolate?doc={quote(doc)}"
+            got = _json.loads(urllib.request.urlopen(url, timeout=30).read())["matched"]
+            want = p(
+                pa.table(
+                    {
+                        "conv_id": ["_doc"],
+                        "turn_idx": pa.array([0], pa.int32()),
+                        "text": [doc],
+                    }
+                )
+            )["query_id"].to_pylist()
+            assert got == want, doc
+        # a doc containing a stored ANY term must fire that query
+        assert "pc01" in _json.loads(
+            urllib.request.urlopen(
+                f"http://{host}:{port}/percolate?doc={quote('a merge happened')}",
+                timeout=30,
+            ).read()
+        )["matched"]
+    finally:
+        assert serve.stop(replicas=2, name="t-perc-http") == 2
