@@ -711,6 +711,15 @@ def _q_term_vectors(sf_dir: str):
     return docstore.term_vectors(_docstore_index_for(sf_dir))
 
 
+def _q_mget_docs(sf_dir: str):
+    """Batch point retrieval by id (the ES _mget API): tolerant codec
+    resolution (absent conv / out-of-extent turn -> found=0) + one
+    sharded doc-store pass (docstore.mget; oracle docstore.mget_sql)."""
+    from raystorm import docstore
+
+    return docstore.mget(_docstore_index_for(sf_dir))
+
+
 def _q_search_facets_stats(sf_dir: str):
     """Stats facet (the ES stats sub-aggregation): per bucket n_hits,
     top score and the hit set's ts range — every metric commutes, so
@@ -1174,6 +1183,12 @@ def _q_rank_eval(sf_dir: str):
     return evaluation.rank_eval(_index_for(sf_dir))
 
 
+def _mget_oracle_sql() -> str:
+    from raystorm import docstore
+
+    return docstore.mget_sql()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out = {
         "transcripts": _q_transcripts,
@@ -1206,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_federated": _q_topk_bm25_federated,
         "search_count": _q_search_count,
         "term_vectors": _q_term_vectors,
+        "mget_docs": _q_mget_docs,
         "search_facets_stats": _q_search_facets_stats,
         "search_top_terms": _q_search_top_terms,
         "search_facets_composite": _q_search_facets_composite,
@@ -1318,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_federated": query.bm25_topk_sql(),
         "search_count": query.count_sql(),
         "term_vectors": _term_vectors_oracle_sql(),
+        "mget_docs": _mget_oracle_sql(),
         "search_facets_stats": facets.facets_stats_sql(),
         "search_top_terms": facets.top_terms_sql(),
         "search_facets_composite": facets.facets_composite_sql(),

@@ -436,3 +436,82 @@ def reindex_from_docstore(
         input_fingerprint=f"reindex|{manifest['build_fingerprint']}",
         cfg=cfg,
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-get (the ES _mget API): stored docs by id list, found-flagged
+# ---------------------------------------------------------------------------
+
+#: fixed id list for the mget gate — mixes live turns, an absent
+#: conversation, and an out-of-range turn of a live conversation (both
+#: miss shapes must report found=0, not raise)
+MGET_IDS = (
+    ("conv-00000001", 0),
+    ("conv-00000007", 1),
+    ("conv-00000499", 0),
+    ("conv-99999999", 0),
+    ("conv-00000003", 999),
+)
+
+
+def mget(index_dir: str, ids=MGET_IDS) -> pd.DataFrame:
+    """Batch point retrieval of stored documents (the ES ``_mget``
+    shape): resolve each (conv_id, turn_idx) against the codec
+    TOLERANTLY (absent conversations and out-of-extent turns flag
+    ``found=0`` instead of raising — the codec's own ``encode`` is
+    strict by design), then one sharded doc-store pass for the hits.
+    Output: (conv_id, turn_idx, found, text) in id order.  Gate
+    ``mget_docs``; oracle :func:`mget_sql` (LEFT JOIN against the
+    transcripts derivation)."""
+    from .query import SegmentIndex
+
+    idx = SegmentIndex(index_dir)
+    store = DocStore(index_dir)
+    codec = idx.codec
+    convs = np.array([c for c, _t in ids], object)
+    turns = np.array([t for _c, t in ids], np.int64)
+    # tolerant id resolution, codec-agnostic (works for the sharded
+    # codec too): strict encode per id, then a decode roundtrip — an
+    # out-of-extent turn encodes into a NEIGHBORING conversation's
+    # docid range, so the roundtrip mismatch flags it
+    ok = np.zeros(len(ids), bool)
+    docids = np.zeros(len(ids), np.int64)
+    for i, (c, t) in enumerate(ids):
+        try:
+            d = int(codec.encode(np.array([c], object), np.array([int(t)]))[0])
+        except KeyError:
+            continue
+        cc, tt = codec.decode(np.array([d], np.int64))
+        if cc[0] == c and int(tt[0]) == int(t):
+            ok[i] = True
+            docids[i] = d
+    texts = np.full(len(ids), "", object)
+    if ok.any():
+        texts[ok] = store.texts(docids[ok])
+    out = pd.DataFrame(
+        {
+            "conv_id": convs,
+            "turn_idx": turns.astype(np.int32),
+            "found": ok.astype(np.int64),
+            "text": texts,
+        }
+    )
+    return out.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def mget_sql(ids=MGET_IDS) -> str:
+    from . import corpus
+
+    rows = ", ".join(f"('{c}', {int(t)})" for c, t in ids)
+    return f"""
+WITH transcripts AS ({corpus.transcripts_sql()}),
+ids(conv_id, turn_idx) AS (VALUES {rows})
+SELECT i.conv_id, CAST(i.turn_idx AS INTEGER) AS turn_idx,
+       CAST(CASE WHEN t.conv_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS found,
+       coalesce(t.text, '') AS text
+FROM ids i
+LEFT JOIN transcripts t ON t.conv_id = i.conv_id AND t.turn_idx = i.turn_idx
+ORDER BY i.conv_id, i.turn_idx
+"""
