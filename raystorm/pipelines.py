@@ -18,6 +18,7 @@ from . import (
     positional,
     relational,
     similarity,
+    sinks,
     sketches,
     textrank,
 )
@@ -55,6 +56,7 @@ def registry() -> dict:
         "range_partition": (analysis.range_partition, analysis.RANGE_PARTITION_SQL),
         "mix_sources": (relational.mix_sources, relational.MIX_SOURCES_SQL),
         "curate": (curate.curate, curate.curate_sql()),
+        "jsonl_roundtrip": (lambda sf: sinks.jsonl_roundtrip(sf), sinks.JSONL_ROUNDTRIP_SQL),
         # --- sketches (deterministic KMV distinct counts) ---
         "sketch_distinct_users": (sketches.sketch_distinct_users, sketches.SKETCH_DISTINCT_USERS_SQL),
         "sketch_union_users": (sketches.sketch_union_users, sketches.SKETCH_UNION_USERS_SQL),

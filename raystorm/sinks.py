@@ -50,9 +50,15 @@ def write_partitioned(
     key_column: str,
     num_shards: int = 16,
     fingerprint: str = "",
+    format: str = "parquet",
 ) -> list[dict]:
     """Hash-shard ``ds`` on ``key_column`` into ``num_shards`` atomic
-    Parquet shard directories; completed shards are skipped on rerun.
+    shard directories; completed shards are skipped on rerun.
+
+    ``format``: ``"parquet"`` (columnar, the default) or ``"jsonl"``
+    (line-delimited JSON — the interchange format training-data
+    pipelines commonly hand off); the sharding, atomic-rename and
+    resume machinery is format-agnostic.
 
     Returns the shard manifests.  All rows of one key land in one shard
     (the resume unit is a key range, never a partial key).
@@ -89,15 +95,23 @@ def write_partitioned(
             shard_dir = os.path.join(out_dir, f"shard-{shard:05d}")
             tmp = shard_dir + f".tmp-{uuid.uuid4().hex[:8]}"
             os.makedirs(tmp, exist_ok=True)
-            import pyarrow.parquet as pq
+            if format == "jsonl":
+                body.reset_index(drop=True).to_json(
+                    os.path.join(tmp, "data.jsonl"), orient="records", lines=True
+                )
+            else:
+                import pyarrow.parquet as pq
 
-            pq.write_table(
-                pa.Table.from_pandas(body.reset_index(drop=True), preserve_index=False),
-                os.path.join(tmp, "data.parquet"),
-            )
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        body.reset_index(drop=True), preserve_index=False
+                    ),
+                    os.path.join(tmp, "data.parquet"),
+                )
             manifest = {
                 "shard": shard,
                 "rows": int(len(body)),
+                "format": format,
                 "fingerprint": fingerprint,
                 "elapsed_s": round(time.time() - t0, 4),
                 "status": "complete",
@@ -133,13 +147,41 @@ def write_partitioned(
     return manifests
 
 
-def read_partitioned(out_dir: str):
+def read_partitioned(out_dir: str, format: str = "parquet"):
     """Ray Dataset over all completed shard files."""
     import ray.data as rd
 
+    name = "data.jsonl" if format == "jsonl" else "data.parquet"
     files = sorted(
-        os.path.join(out_dir, d, "data.parquet")
+        os.path.join(out_dir, d, name)
         for d in os.listdir(out_dir)
-        if os.path.isfile(os.path.join(out_dir, d, "data.parquet"))
+        if os.path.isfile(os.path.join(out_dir, d, name))
     )
-    return rd.read_parquet(files)
+    return rd.read_json(files) if format == "jsonl" else rd.read_parquet(files)
+
+
+def jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """JSONL sink/source parity gate: hash-shard the documents table
+    into resumable line-delimited-JSON shard dirs under /tmp, read the
+    shards back with ``ray.data.read_json``, and return the table —
+    the oracle compares against the parquet original, proving the
+    interchange path (the format training-data pipelines hand off)
+    loses nothing.  Gate ``jsonl_roundtrip``; oracle
+    :data:`JSONL_ROUNDTRIP_SQL`."""
+    import hashlib
+    import os as _os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"))
+    fp = hashlib.sha256(f"jsonl|{sf_dir}".encode()).hexdigest()[:12]
+    out = _os.path.join("/tmp", "raystorm_gates", f"jsonl-{fp}")
+    write_partitioned(ds, out, "doc_id", num_shards=8, fingerprint=fp, format="jsonl")
+    back = read_partitioned(out, format="jsonl").to_pandas()
+    back = back.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    return back[["doc_id", "text", "lang", "source", "n_chars"]]
+
+
+JSONL_ROUNDTRIP_SQL = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+)

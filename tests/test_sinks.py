@@ -57,3 +57,28 @@ def test_resume_skips_completed(ray_session, tmp_path):
     for d in os.listdir(out):
         m = json.load(open(os.path.join(out, d, "_manifest.json")))
         assert m["fingerprint"] == "v2"
+
+def test_jsonl_sink_roundtrip_and_resume(ray_session, tmp_path):
+    import json
+    import os
+
+    import ray.data as rd
+
+    from raystorm import sinks
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "jl")
+    m1 = sinks.write_partitioned(ds, out, "doc_id", num_shards=4,
+                                 fingerprint="fp1", format="jsonl")
+    assert len(m1) == 4 and all(m["format"] == "jsonl" for m in m1)
+    back = sinks.read_partitioned(out, format="jsonl").to_pandas()
+    orig = ds.to_pandas()
+    back = back.sort_values("doc_id").reset_index(drop=True)[list(orig.columns)]
+    pd.testing.assert_frame_equal(back, orig.sort_values("doc_id").reset_index(drop=True))
+    # resume: rerun must not rewrite any shard (mtimes unchanged)
+    mt = {d: os.path.getmtime(os.path.join(out, d, "data.jsonl"))
+          for d in os.listdir(out)}
+    sinks.write_partitioned(ds, out, "doc_id", num_shards=4,
+                            fingerprint="fp1", format="jsonl")
+    for d, t in mt.items():
+        assert os.path.getmtime(os.path.join(out, d, "data.jsonl")) == t
