@@ -681,6 +681,59 @@ def _split_indexes_for(sf_dir: str) -> list[str]:
     return dirs
 
 
+def _rollover_root_for(sf_dir: str) -> str:
+    """Rollover-ingested index family (cached): three doc_id-ordered
+    corpus chunks ingested via admin.ingest — chunk 0 builds gen-00000,
+    chunk 1 APPENDS to it (update path; max_convs high), chunk 2 cuts
+    gen-00001 (rollover path; max_convs 1) — so build, append and roll
+    are all exercised in the cached artifact."""
+    import json as _json
+
+    from raystorm import admin
+
+    cfg = build.BuildConfig(num_partitions=16, split_target=2000)
+    fp_in = f"{sf_dir}|rollover-v1"
+    key = hashlib.sha256(f"{fp_in}|{cfg.fingerprint(fp_in)}".encode()).hexdigest()[:16]
+    root = os.path.join("/tmp", "raystorm_index", f"roll-{key}")
+    marker = os.path.join(root, "_rollover_done.json")
+    if os.path.isfile(marker):
+        return root
+    if os.path.isdir(root):  # partial prior attempt: redo from scratch
+        import shutil
+
+        shutil.rmtree(root)
+    import ray.data as rd
+
+    max_doc = int(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).max("doc_id")
+    )
+    c1, c2 = (max_doc + 1) // 3, 2 * (max_doc + 1) // 3
+    bounds = ((None, c1), (c1, c2), (c2, None))
+    caps = (1, 10**9, 1)  # roll-or-build, append, roll
+    for i, ((lo, hi), cap) in enumerate(zip(bounds, caps)):
+        ds = corpus.transcripts_from_documents(sf_dir, min_doc=lo, max_doc=hi)
+        admin.ingest(root, ds, max_convs=cap, cfg=cfg, fingerprint=f"{fp_in}|c{i}")
+    with open(marker, "w") as fh:
+        _json.dump({"generations": admin.generations(root)}, fh)
+    return root
+
+
+def _q_topk_bm25_rollover(sf_dir: str):
+    """Reference queries over the rollover index family (ES ILM shape:
+    immutable old generations + one write generation), evaluated
+    federated across generations — rank-identical to one full-corpus
+    index, so the oracle is the plain BM25 SQL (admin.ingest +
+    federate.batch_evaluate_federated)."""
+    from raystorm import admin, federate
+
+    root = _rollover_root_for(sf_dir)
+    return federate.batch_evaluate_federated(
+        admin.generations(root), query.REFERENCE_QUERIES
+    )
+
+
 def _q_topk_bm25_federated(sf_dir: str):
     """Federated search over two independently built half-corpus
     indexes (ES cross-index search with global idf): corpus stats merge
@@ -1219,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets_docvalues": _q_search_facets_docvalues,
         "topk_sorted_page2": _q_topk_sorted_page2,
         "topk_bm25_federated": _q_topk_bm25_federated,
+        "topk_bm25_rollover": _q_topk_bm25_rollover,
         "search_count": _q_search_count,
         "term_vectors": _q_term_vectors,
         "mget_docs": _q_mget_docs,
@@ -1332,6 +1386,7 @@ def oracle_sql() -> dict[str, str]:
         "search_facets_docvalues": facets.facets_sql(),
         "topk_sorted_page2": query.sorted_topk_sql(page=2),
         "topk_bm25_federated": query.bm25_topk_sql(),
+        "topk_bm25_rollover": query.bm25_topk_sql(),
         "search_count": query.count_sql(),
         "term_vectors": _term_vectors_oracle_sql(),
         "mget_docs": _mget_oracle_sql(),

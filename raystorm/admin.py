@@ -148,6 +148,61 @@ def index_info(path: str) -> dict:
     }
 
 
+#: generation directory prefix under a rollover root
+GEN_PREFIX = "gen-"
+
+
+def generations(root: str) -> list[str]:
+    """Complete index generations under a rollover root, oldest first."""
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith(GEN_PREFIX) and _is_index_dir(os.path.join(root, d))
+    )
+
+
+def ingest(
+    root: str,
+    ds,
+    max_convs: int,
+    cfg=None,
+    fingerprint: str = "",
+) -> dict:
+    """Rollover ingestion — the ES ILM / rollover-alias shape: append
+    ``ds``'s conversations to the CURRENT write generation, first
+    cutting a fresh generation when the live one is already at
+    ``max_convs`` conversations.  Reads span every generation
+    (:class:`federate.FederatedIndex` merges stats exactly, so ranking
+    over the generations is rank-identical to one index over the
+    union); writes only ever touch the newest — old generations become
+    immutable, snapshottable, and individually expirable.
+
+    ``ds`` must hold only conversations sorting after every ingested
+    one (the same append-only contract as ``update.update_index``,
+    which handles the append path).  Returns ``{"write_index",
+    "rolled", "generations"}``."""
+    from . import build as _build
+    from . import update as _update
+
+    os.makedirs(root, exist_ok=True)
+    gens = generations(root)
+    rolled = False
+    if gens and index_info(gens[-1])["n_convs"] < max_convs:
+        live = gens[-1]
+        _update.update_index(ds, live, delta_fingerprint=fingerprint)
+    else:
+        rolled = bool(gens)
+        live = os.path.join(root, f"{GEN_PREFIX}{len(gens):05d}")
+        _build.build_index(ds, live, input_fingerprint=fingerprint, cfg=cfg)
+    return {
+        "write_index": live,
+        "rolled": rolled,
+        "generations": generations(root),
+    }
+
+
 class _VerifyPart:
     """map_batches stage: part ids -> per-part integrity findings.
 

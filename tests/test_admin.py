@@ -228,3 +228,48 @@ def test_http_percolate_matches_direct(ray_session, index_pair):
         )["matched"]
     finally:
         assert serve.stop(replicas=2, name="t-perc-http") == 2
+
+
+def test_rollover_ingest_state_machine(ray_session, tmp_path):
+    """admin.ingest: build -> append -> roll, old generations immutable."""
+    import json as _json
+
+    from raystorm import admin, build, corpus
+
+    root = str(tmp_path / "roll")
+    cfg = build.BuildConfig(num_partitions=8, split_target=500)
+    sf = "/root/testdata/sf0.001"
+    chunks = ((None, 170), (170, 340), (340, None))
+    r0 = admin.ingest(root, corpus.transcripts_from_documents(sf, *chunks[0]),
+                      max_convs=10**9, cfg=cfg, fingerprint="c0")
+    assert not r0["rolled"] and len(r0["generations"]) == 1
+    n0 = admin.index_info(r0["write_index"])["n_convs"]
+    # append path: cap not reached
+    r1 = admin.ingest(root, corpus.transcripts_from_documents(sf, *chunks[1]),
+                      max_convs=10**9, cfg=cfg, fingerprint="c1")
+    assert not r1["rolled"] and len(r1["generations"]) == 1
+    assert admin.index_info(r1["write_index"])["n_convs"] > n0
+    gen0_manifest = open(os.path.join(r1["write_index"], "manifest.json")).read()
+    # rollover path: cap exceeded -> new generation; gen-00000 untouched
+    r2 = admin.ingest(root, corpus.transcripts_from_documents(sf, *chunks[2]),
+                      max_convs=1, cfg=cfg, fingerprint="c2")
+    assert r2["rolled"] and len(r2["generations"]) == 2
+    assert r2["write_index"] != r1["write_index"]
+    assert open(os.path.join(r1["write_index"], "manifest.json")).read() == gen0_manifest
+    # reads span generations rank-identically to one full index
+    from raystorm import federate, query
+
+    idx_full_dir = str(tmp_path / "full")
+    build.build_index(corpus.transcripts_from_documents(sf), idx_full_dir,
+                      input_fingerprint="full", cfg=cfg)
+    fed = federate.batch_evaluate_federated(r2["generations"], query.REFERENCE_QUERIES)
+    single = []
+    idx = query.SegmentIndex(idx_full_dir)
+    for qid, text, k in query.REFERENCE_QUERIES:
+        df = idx.topk(text, k, "bm25")
+        df.insert(0, "query_id", qid)
+        single.append(df)
+    single = pd.concat(single, ignore_index=True)
+    pd.testing.assert_frame_equal(
+        fed.reset_index(drop=True), single.reset_index(drop=True), check_dtype=False
+    )
