@@ -179,6 +179,21 @@ def run_suite(
             idx.topk_rescored(text, int(k))
         timings["query_docvalues_modes"] = time.perf_counter() - t0
 
+        # session-2 query surfaces on the warm index: dis_max fixture,
+        # the rank_eval metric sweep (bm25 + conjunctive legs per
+        # query), and parent/child retrieval over the sidecar roles
+        from raystorm import evaluation as _evaluation
+
+        t0 = time.perf_counter()
+        for _qid, text, k in query.DIS_MAX_QUERIES:
+            idx.topk(text, int(k), "dis_max")
+        _evaluation.rank_eval(idx_sf)
+        for _qid, utext, atext, k in query.HAS_CHILD_QUERIES:
+            idx.topk_has_child(utext, atext, int(k))
+        for _qid, ptext, ctext, k in query.HAS_PARENT_QUERIES:
+            idx.topk_has_parent(ptext, ctext, int(k))
+        timings["query_session2_modes"] = time.perf_counter() - t0
+
         # hybrid lexical+dense fusion: collapsed-BM25 leg on the warm
         # index + exact-cosine leg over the sf embeddings table
         from raystorm import hybrid as _hybrid
@@ -218,7 +233,9 @@ def run_suite(
                 best = float("inf")
                 for _rep in range(2):
                     t0 = time.perf_counter()
-                    fn(sf_dir)
+                    res = fn(sf_dir)
+                    if isinstance(res, rd.Dataset):  # lazy: force execution
+                        res.materialize()
                     best = min(best, time.perf_counter() - t0)
                 timings[name] = best
     finally:

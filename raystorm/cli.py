@@ -263,6 +263,44 @@ def cmd_admin(args) -> int:
     elif args.op == "restore":
         # src=repo, dst=target dir, --name=snapshot name
         print(json.dumps(admin.restore_index(args.src, args.name, args.dst)))
+    elif args.op == "generations":
+        # src=rollover root: list the index generations, oldest first
+        print(json.dumps({"generations": admin.generations(args.src)}))
+    return 0
+
+
+def cmd_percolate(args) -> int:
+    """Match one document text against the stored-query registry —
+    the serving percolator's CLI form (no Ray session needed: the
+    registry compiles locally and the match is one in-memory batch)."""
+    import pyarrow as pa
+
+    from .percolate import Percolator, compile_queries
+
+    p = Percolator(compile_queries())
+    out = p(
+        pa.table(
+            {
+                "conv_id": ["_doc"],
+                "turn_idx": pa.array([0], pa.int32()),
+                "text": [args.text],
+            }
+        )
+    )
+    print(json.dumps({"matched": out["query_id"].to_pylist()}))
+    return 0
+
+
+def cmd_mget(args) -> int:
+    """Batch point retrieval by id: ids as conv:turn[,conv:turn...]."""
+    from .docstore import mget
+
+    ids = []
+    for part in args.ids.split(","):
+        conv, turn = part.rsplit(":", 1)
+        ids.append((conv, int(turn)))
+    df = mget(args.index_dir, tuple(ids))
+    print(df.to_json(orient="records"))
     return 0
 
 
@@ -379,7 +417,10 @@ def main(argv=None) -> int:
     )
     a.add_argument(
         "op",
-        choices=("rename", "delete", "swap", "info", "verify", "snapshot", "restore"),
+        choices=(
+            "rename", "delete", "swap", "info", "verify",
+            "snapshot", "restore", "generations",
+        ),
     )
     a.add_argument("src", help="index dir (or swap candidate / snapshot repo)")
     a.add_argument(
@@ -387,6 +428,17 @@ def main(argv=None) -> int:
     )
     a.add_argument("--name", default="snap", help="snapshot name")
     a.set_defaults(fn=cmd_admin)
+
+    p = sub.add_parser(
+        "percolate", help="match a document text against the stored-query registry"
+    )
+    p.add_argument("text", help="document text to percolate")
+    p.set_defaults(fn=cmd_percolate)
+
+    g = sub.add_parser("mget", help="batch point retrieval by conv:turn ids")
+    g.add_argument("index_dir")
+    g.add_argument("ids", help="comma-separated conv_id:turn_idx list")
+    g.set_defaults(fn=cmd_mget)
 
     args = ap.parse_args(argv)
     return args.fn(args)

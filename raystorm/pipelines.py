@@ -130,6 +130,10 @@ BENCH_NAMES = (
     "ngram_counts",
     "sketch_distinct_users",
     "dup_spans",
+    # session-2 additions
+    "percolate_docs",
+    "heavy_hitters_users",
+    "dedup_novel",
 )
 
 

@@ -73,3 +73,21 @@ def test_cli_filter_and_sort(tmp_path):
     )
     assert s.returncode == 0, s.stderr[-1000:]
     assert "ts_us" in s.stdout.splitlines()[0]
+
+
+def test_cli_percolate_no_ray():
+    """percolate is a pure local match — no Ray session, instant."""
+    import json
+
+    p = subprocess.run(
+        [sys.executable, "-m", "raystorm.cli", "percolate", "a merge happened"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert p.returncode == 0, p.stderr[-1000:]
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    assert "pc01" in out["matched"] and "pc07" in out["matched"]
+    n = subprocess.run(
+        [sys.executable, "-m", "raystorm.cli", "percolate", "nothing relevant"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert json.loads(n.stdout.strip().splitlines()[-1])["matched"] == []
