@@ -490,3 +490,215 @@ REDACT_PROPS_SQL = f"""
 SELECT event_id, regexp_replace(props, '{REDACT_PATTERN}', '{REDACT_WITH}', 'g') AS props_redacted
 FROM events ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (ordered step conversion — product-analytics shape)
+# ---------------------------------------------------------------------------
+
+#: funnel step sequence: a user converts step i+1 only with an event of
+#: that type STRICTLY AFTER their first qualifying step-i event (the
+#: "first-touch" funnel; ordering key = (ts, event_id))
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+#: per-step conversion window: the step-(i+1) event must also land
+#: within this many seconds of the first step-i event (clock restarts
+#: at each step) — without it every user of a long-lived stream
+#: eventually converts and the funnel is vacuous
+FUNNEL_WINDOW_S = 86_400
+
+
+def funnel_counts(
+    sf_dir: str, steps=FUNNEL_STEPS, window_s: int = FUNNEL_WINDOW_S
+) -> pd.DataFrame:
+    """Ordered funnel over the event stream: how many users reach each
+    step, where step i+1 counts only events strictly after — and within
+    ``window_s`` seconds of — the user's first qualifying step-i event.
+    The sequence-within-window constraint is what windowed counts can't
+    express — the classic product-analytics operator the reference has
+    no analog for.
+
+    Per-user event order resolves inside ``groupby(user_id).map_groups``
+    (the sessionize shape: one hash shuffle on user_id, vectorized
+    in-group), emitting one boolean row per user; the step reduction is
+    a 3-number driver sum.  Output: (step, event_type, n_users,
+    conv_rate) with conv_rate = step / previous step (step 1 converts
+    from the distinct-user total).  Gate ``funnel_counts``; oracle
+    :data:`FUNNEL_COUNTS_SQL` (rank-over-(ts,event_id) positional
+    chain)."""
+
+    win_us = int(window_s) * 1_000_000
+
+    def reach(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        types = g["event_type"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        reached = np.zeros(len(steps), bool)
+        pos = -1  # index of the first qualifying event of the prior step
+        for i, step in enumerate(steps):
+            cand = np.flatnonzero(types[pos + 1 :] == step)
+            if i > 0 and len(cand):  # step clock: within window of step i-1
+                cand = cand[ts_us[pos + 1 + cand] <= ts_us[pos] + win_us]
+            if not len(cand):
+                break
+            pos = pos + 1 + cand[0]
+            reached[i] = True
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(group["user_id"].iloc[0])],
+                **{f"r{i}": [reached[i]] for i in range(len(steps))},
+            }
+        )
+
+    flags = (
+        _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(reach, batch_format="pandas")
+        .to_pandas()
+    )
+    from .analysis import round_half_up
+
+    n_total = len(flags)
+    prev = n_total
+    rows = []
+    for i, step in enumerate(steps):
+        n = int(flags[f"r{i}"].sum())
+        rows.append(
+            {
+                "step": np.int32(i + 1),
+                "event_type": step,
+                "n_users": np.int64(n),
+                "conv_rate": round_half_up(n / prev if prev else 0.0, 6),
+            }
+        )
+        prev = n
+    return pd.DataFrame(rows)
+
+
+def _funnel_sql(steps=FUNNEL_STEPS, window_s: int = FUNNEL_WINDOW_S) -> str:
+    win_us = int(window_s) * 1_000_000
+    chain = [
+        "r AS (SELECT user_id, event_type, epoch_us(ts) AS s, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+        "FROM events)",
+        "tot AS (SELECT count(DISTINCT user_id) AS n FROM events)",
+        f"s1 AS (SELECT user_id, min(rn) AS r, min(s) AS t FROM r "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)",
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        # ts is monotone in rn, so min(rn) and min(s) of the qualifying
+        # set name the same event
+        chain.append(
+            f"s{i} AS (SELECT r.user_id, min(r.rn) AS r, min(r.s) AS t FROM r "
+            f"JOIN s{i - 1} p ON p.user_id = r.user_id "
+            f"WHERE r.event_type = '{step}' AND r.rn > p.r "
+            f"AND r.s <= p.t + {win_us} GROUP BY r.user_id)"
+        )
+    selects = [
+        f"SELECT CAST(1 AS INTEGER) AS step, '{steps[0]}' AS event_type, "
+        f"CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users, "
+        f"round((SELECT count(*) FROM s1) * 1.0 / nullif((SELECT n FROM tot), 0), 6) AS conv_rate"
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        selects.append(
+            f"SELECT CAST({i} AS INTEGER), '{step}', "
+            f"CAST((SELECT count(*) FROM s{i}) AS BIGINT), "
+            f"round((SELECT count(*) FROM s{i}) * 1.0 / "
+            f"nullif((SELECT count(*) FROM s{i - 1}), 0), 6)"
+        )
+    return (
+        "WITH " + ",\n".join(chain) + "\nSELECT * FROM (\n"
+        + "\nUNION ALL ".join(selects) + "\n) ORDER BY step"
+    )
+
+
+FUNNEL_COUNTS_SQL = _funnel_sql()
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (first-seen-day cohorts x active-day offsets)
+# ---------------------------------------------------------------------------
+
+#: retention horizon: day offsets 0..RETENTION_DAYS-1 are reported
+RETENTION_DAYS = 7
+_DAY_US = 86_400_000_000
+
+
+def cohort_retention(sf_dir: str, days: int = RETENTION_DAYS) -> pd.DataFrame:
+    """Cohort retention over the event stream: users cohort by the UTC
+    day of their first event; retention at offset d = the fraction of
+    the cohort active (>=1 event) on cohort day + d.  The
+    product-analytics companion of :func:`funnel_counts`.
+
+    One user-keyed shuffle (``groupby.map_groups``, the sessionize
+    shape) emits each user's distinct active-day offsets within the
+    horizon; the (cohort, offset) reduction is output-sized (days x
+    horizon).  The full grid is emitted (zero-activity cells included)
+    so the result is schema-stable.  Offset 0 is always active by
+    construction (the first event itself), so cohort size ==
+    n_active(0) and retention(0) == 1.  Output: (cohort_day epoch-day
+    BIGINT, day_offset, n_active, retention).  Gate
+    ``cohort_retention``; oracle :data:`COHORT_RETENTION_SQL`."""
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        d = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // _DAY_US
+        c = int(d.min())
+        off = np.unique(d - c)
+        off = off[(off >= 0) & (off < days)]
+        return pd.DataFrame(
+            {
+                "cday": np.full(len(off), c, np.int64),
+                "off": off.astype(np.int64),
+            }
+        )
+
+    pdf = (
+        _events(sf_dir, ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    from .analysis import round_half_up
+
+    counts = pdf.groupby(["cday", "off"]).size()
+    sizes = pdf[pdf["off"] == 0].groupby("cday").size()
+    rows = []
+    for cday, sz in sizes.sort_index().items():
+        for off in range(days):
+            n = int(counts.get((cday, off), 0))
+            rows.append(
+                {
+                    "cohort_day": np.int64(cday),
+                    "day_offset": np.int32(off),
+                    "n_active": np.int64(n),
+                    "retention": round_half_up(n / sz, 6),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+COHORT_RETENTION_SQL = f"""
+WITH f AS (
+  SELECT user_id, min(epoch_us(ts) // {_DAY_US}) AS cday FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT e.user_id, f.cday,
+         epoch_us(e.ts) // {_DAY_US} - f.cday AS off
+  FROM events e JOIN f USING (user_id)
+),
+counts AS (
+  SELECT cday, off, count(*) AS n FROM a
+  WHERE off BETWEEN 0 AND {RETENTION_DAYS - 1} GROUP BY cday, off
+),
+sizes AS (SELECT cday, count(*) AS sz FROM f GROUP BY cday),
+grid AS (
+  SELECT s.cday, g.off, s.sz
+  FROM sizes s CROSS JOIN (SELECT unnest(range({RETENTION_DAYS})) AS off) g
+)
+SELECT CAST(g.cday AS BIGINT) AS cohort_day,
+       CAST(g.off AS INTEGER) AS day_offset,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_active,
+       round(coalesce(c.n, 0) * 1.0 / g.sz, 6) AS retention
+FROM grid g LEFT JOIN counts c ON c.cday = g.cday AND c.off = g.off
+ORDER BY cohort_day, day_offset
+"""

@@ -99,6 +99,8 @@ def registry() -> dict:
         "window_agg": (events.window_agg, events.WINDOW_AGG_SQL),
         "window_sliding": (events.window_sliding, events.WINDOW_SLIDING_SQL),
         "sessionize": (events.sessionize, events.SESSIONIZE_SQL),
+        "funnel_counts": (events.funnel_counts, events.FUNNEL_COUNTS_SQL),
+        "cohort_retention": (events.cohort_retention, events.COHORT_RETENTION_SQL),
         "asof_last_click": (events.asof_last_click, events.ASOF_LAST_CLICK_SQL),
         "range_join_errors": (events.range_join_errors, events.RANGE_JOIN_ERRORS_SQL),
         "props_agg": (events.props_agg, events.PROPS_AGG_SQL),

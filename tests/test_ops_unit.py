@@ -556,3 +556,37 @@ def test_dedup_novel_invariants(ray_session):
     for _, r in dups.iterrows():
         assert key(texts[r["doc_id"]]) == key(texts[r["dup_of"]])
     assert (out.loc[out["novel"] == 1, "dup_of"] == -1).all()
+
+
+def test_funnel_counts_semantics(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from raystorm import events as ev
+
+    H = 3_600_000_000  # 1h in us
+    D = 24 * H
+    base = 1_700_000_000_000_000
+    rows = [
+        # user 1: clean view -> click -> purchase inside windows
+        (1, base, 1, "view"), (2, base + H, 1, "click"), (3, base + 2 * H, 1, "purchase"),
+        # user 2: click BEFORE view; next click 2 days after view (outside)
+        (4, base, 2, "click"), (5, base + H, 2, "view"), (6, base + H + 2 * D, 2, "click"),
+        # user 3: view -> click ok; purchase 2 days after click (outside)
+        (7, base, 3, "view"), (8, base + H, 3, "click"), (9, base + H + 2 * D, 3, "purchase"),
+        # user 4: reversed order -> view only
+        (10, base, 4, "purchase"), (11, base + H, 4, "click"), (12, base + 2 * H, 4, "view"),
+        # user 5: no view at all
+        (13, base, 5, "click"), (14, base + H, 5, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = ev.funnel_counts(str(tmp_path))
+    assert list(out["n_users"]) == [4, 2, 1]
+    assert list(out["conv_rate"]) == [0.8, 0.5, 0.5]
