@@ -34,6 +34,7 @@ def registry() -> dict:
         "intersection_nations": (relational.intersection_nations, relational.INTERSECTION_NATIONS_SQL),
         "sample_events": (relational.sample_events, relational.SAMPLE_EVENTS_SQL),
         "sample_bernoulli": (relational.sample_bernoulli, relational.SAMPLE_BERNOULLI_SQL),
+        "sample_weighted": (relational.sample_weighted, relational.SAMPLE_WEIGHTED_SQL),
         "reservoir_sample": (relational.reservoir_sample, relational.RESERVOIR_SAMPLE_SQL),
         "stratified_sample": (relational.stratified_sample, relational.STRATIFIED_SAMPLE_SQL),
         "top_per_group": (relational.top_per_group, relational.TOP_PER_GROUP_SQL),

@@ -784,3 +784,43 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (per-row keep probability from a weight column)
+# ---------------------------------------------------------------------------
+
+#: integer threshold unit for the weighted sample: one "weight point"
+#: per character, full certainty at 600 chars — T_UNIT = 2^60 // 600
+#: keeps the keep test PURE INTEGER (h < n_chars * T_UNIT) so the
+#: engine and the SQL mirror can never disagree on a float rounding
+W_SAMPLE_UNIT = (1 << 60) // 600
+
+
+def sample_weighted(sf_dir: str):
+    """Deterministic weighted Bernoulli sample of the documents table:
+    keep a doc with probability ~ n_chars/600 (longer docs more
+    likely) — the quality-weighted subsampling step of a training-data
+    mixture, reproducible because the draw is the shared keyed hash
+    rather than an RNG.  Keep test: md5int60('wsamp|doc_id') <
+    n_chars · W_SAMPLE_UNIT — integer-only on both sides.  Gate
+    ``sample_weighted``; oracle :data:`SAMPLE_WEIGHTED_SQL`."""
+    from .analysis import md5int60_np
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.array([f"wsamp|{int(i)}" for i in ids], object)
+        h = md5int60_np(keys)
+        return batch.filter(pa.array(h < n * W_SAMPLE_UNIT))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE CAST('0x' || substring(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      < n_chars * {W_SAMPLE_UNIT}
+ORDER BY doc_id
+"""
