@@ -1083,6 +1083,27 @@ def _q_search_export(sf_dir: str):
     )
 
 
+#: per-request BM25 similarity tuning (ES index.similarity override):
+#: shorter-doc-favoring parameters, distinct from the build-time
+#: k1=1.2 / b=0.75 so the tuned ranking genuinely reorders
+TUNED_K1, TUNED_B = 0.9, 0.4
+
+
+def _q_topk_bm25_tuned(sf_dir: str):
+    """Reference queries under per-request BM25 parameter overrides
+    (query.SegmentIndex(k1=0.9, b=0.4) — legal because tf/dl/df are
+    stored raw and scores derive at query time; the pruned mode
+    refuses tuned params since its qmax bounds were quantized under
+    the build-time ones)."""
+    idx = query.SegmentIndex(_index_for(sf_dir), k1=TUNED_K1, b=TUNED_B)
+    out = []
+    for qid, text, k in query.REFERENCE_QUERIES:
+        df = idx.topk(text, int(k), "bm25")
+        df.insert(0, "query_id", qid)
+        out.append(df)
+    return pd.concat(out, ignore_index=True)
+
+
 def _q_topk_has_parent(sf_dir: str):
     """Parent-filtered turn retrieval (ES has_parent): assistant turns
     matching the child clause, in conversations where some user turn
@@ -1311,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_deleted": _q_topk_bm25_deleted,
         "topk_bm25_dbq": _q_topk_bm25_dbq,
         "topk_bm25_msm": _q_topk_bm25_msm,
+        "topk_bm25_tuned": _q_topk_bm25_tuned,
         "topk_has_parent": _q_topk_has_parent,
         "topk_dis_max": _q_topk_dis_max,
         "topk_boosting": _q_topk_boosting,
@@ -1427,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
             deleted_sql=query.dbq_deleted_sql(DBQ_TEXT)
         ),
         "topk_bm25_msm": query.msm_topk_sql(),
+        "topk_bm25_tuned": query.bm25_topk_sql(k1=TUNED_K1, b=TUNED_B),
         "topk_has_parent": query.has_parent_topk_sql(),
         "topk_dis_max": query.dis_max_topk_sql(query.DIS_MAX_QUERIES),
         "topk_boosting": query.boosting_topk_sql(),

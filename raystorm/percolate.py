@@ -227,3 +227,185 @@ UNION ALL
 SELECT query_id, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx FROM full_hits
 ORDER BY query_id, conv_id, turn_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# term-sharded registry (the >10^6-stored-queries scale path)
+# ---------------------------------------------------------------------------
+
+#: registry shards for percolate_sharded (cluster-sized in production;
+#: small here so sf-scale tests exercise real multi-shard combines)
+N_REGISTRY_SHARDS = 4
+
+
+def shard_queries(compiled: dict, n_shards: int = N_REGISTRY_SHARDS) -> list[dict]:
+    """Split a compiled registry into term-hash shards.  Each shard
+    holds only ITS terms (registry memory per actor = |registry| /
+    n_shards) plus the query-level need/kind tables (tiny)."""
+    from .analysis import md5int60_np
+
+    qt = compiled["qterms"]
+    h = md5int60_np(qt["term"].to_numpy(object)) % n_shards
+    return [
+        {
+            "qterms": qt[h == s].reset_index(drop=True),
+            "need": compiled["need"],
+            "kind": compiled["kind"],
+            "phrase": compiled["phrase"],
+        }
+        for s in range(n_shards)
+    ]
+
+
+class PartialMatcher:
+    """One registry shard's per-batch pass: emit (query_id, conv_id,
+    turn_idx, n) partial coverage counts — n = distinct shard-local
+    query terms present in the turn.  No mode logic here; the floor
+    check and phrase verify happen downstream."""
+
+    def __init__(self, shard_ref):
+        import ray
+
+        s = ray.get(shard_ref) if not isinstance(shard_ref, dict) else shard_ref
+        self.qterms = s["qterms"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks, rows = normalize.tokenize_column(batch["text"], "body")
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.string()),
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if not len(toks) or not len(self.qterms):
+            return empty
+        tk = pd.DataFrame({"row": rows, "term": toks}).drop_duplicates()
+        m = tk.merge(self.qterms, on="term")
+        if not len(m):
+            return empty
+        cov = m.groupby(["query_id", "row"], sort=False).size().reset_index(name="n")
+        r = cov["row"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(cov["query_id"].to_numpy(object), pa.string()),
+                "conv_id": batch["conv_id"].take(pa.array(r)),
+                "turn_idx": batch["turn_idx"].take(pa.array(r)),
+                "n": pa.array(cov["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+
+def percolate_sharded(
+    sf_dir: str,
+    queries=PERCOLATE_QUERIES,
+    n_shards: int = N_REGISTRY_SHARDS,
+    sort: bool = True,
+):
+    """Sharded-registry percolation — the implemented form of the
+    SCALE.md scale path: when the stored-query registry outgrows one
+    actor's memory, it term-shards (md5(term) % n_shards); each shard
+    scans the document stream independently and emits PARTIAL coverage
+    counts, one (query, doc)-keyed combine enforces the ANY/ALL
+    floors, and phrase contiguity re-verifies against only the
+    full-coverage candidate docs (broadcast candidate set, one
+    filtered stream probe).  Match-identical to :func:`percolate`
+    (pytest-pinned); the cost model swaps one registry-sized actor for
+    n_shards corpus scans — the right trade when the registry, not
+    the corpus batch, is the memory bound.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    compiled = compile_queries(queries)
+    shards = shard_queries(compiled, n_shards)
+    ds = corpus.transcripts_from_documents(sf_dir)
+    # ALL shard pools scan concurrently (union below), so size them
+    # together: actors x num_cpus must leave CPUs for the read + verify
+    # tasks or the pools starve the stream at low CPU counts (the
+    # round-1 chained-actor-pool gotcha, squared by n_shards)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    conc = max(1, cpus // (2 * n_shards))
+    cpu_per = 1.0 if cpus >= 4 * n_shards else 0.5
+    parts = [
+        ds.map_batches(
+            PartialMatcher,
+            fn_constructor_args=(ray.put(s),),
+            batch_format="pyarrow",
+            # autoscaling pool: small inputs pay 1 actor per shard,
+            # large streams ramp to the CPU-budgeted ceiling
+            concurrency=(1, conc) if conc > 1 else 1,
+            num_cpus=cpu_per,
+        )
+        for s in shards
+    ]
+    partials = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    cov = (
+        partials.groupby(["query_id", "conv_id", "turn_idx"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    kinds = cov["query_id"].map(compiled["kind"])
+    needs = cov["query_id"].map(compiled["need"])
+    full = cov["n"].to_numpy() == needs.to_numpy()
+    keep = kinds.eq("any").to_numpy() | (kinds.eq("all").to_numpy() & full)
+    ph = kinds.eq("phrase").to_numpy() & full
+    out = cov.loc[keep, ["query_id", "conv_id", "turn_idx"]]
+    if ph.any():
+        cand = cov.loc[ph, ["query_id", "conv_id", "turn_idx"]]
+        cand_keys = set(zip(cand["conv_id"], cand["turn_idx"].astype(int)))
+        phrase_map = compiled["phrase"]
+        cand_ref = ray.put((cand_keys, phrase_map))
+
+        def verify(batch: pa.Table) -> pa.Table:
+            keys, _pm = ray.get(cand_ref) if not isinstance(cand_ref, tuple) else cand_ref
+            conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+            turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+            mask = np.fromiter(
+                ((c, int(t)) in keys for c, t in zip(conv, turn)),
+                bool,
+                count=len(conv),
+            )
+            sel = batch.filter(pa.array(mask))
+            toks, rows = normalize.tokenize_column(sel["text"], "body")
+            streams = (
+                pd.Series(toks).groupby(rows).agg(" ".join)
+                if len(toks)
+                else pd.Series(dtype=object)
+            )
+            sc = sel["conv_id"].to_numpy(zero_copy_only=False)
+            st = sel["turn_idx"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "conv_id": pa.array(sc, pa.string()),
+                    "turn_idx": pa.array(st.astype(np.int32), pa.int32()),
+                    "stream": pa.array(
+                        [
+                            " " + streams.get(i, "") + " "
+                            for i in range(len(sc))
+                        ],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        sv = ds.map_batches(verify, batch_format="pyarrow").to_pandas()
+        merged = cand.merge(sv, on=["conv_id", "turn_idx"])
+        pat = merged["query_id"].map(phrase_map)
+        ok = np.fromiter(
+            (s.find(" " + p + " ") >= 0 for s, p in zip(merged["stream"], pat)),
+            bool,
+            count=len(merged),
+        )
+        out = pd.concat(
+            [out, merged.loc[ok, ["query_id", "conv_id", "turn_idx"]]],
+            ignore_index=True,
+        )
+    out["turn_idx"] = out["turn_idx"].astype(np.int32)
+    if sort:
+        out = out.sort_values(
+            ["query_id", "conv_id", "turn_idx"], kind="mergesort"
+        )
+    return out.reset_index(drop=True)

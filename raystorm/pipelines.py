@@ -86,6 +86,7 @@ def registry() -> dict:
         "kmeans_cells": (similarity.kmeans_cells, similarity.kmeans_cells_sql()),
         # --- percolation (reverse search: stored queries vs doc stream) ---
         "percolate_docs": (percolate.percolate, percolate.percolate_sql()),
+        "percolate_docs_sharded": (percolate.percolate_sharded, percolate.percolate_sql()),
         # --- positional postings (AnchorTextIndexer path) ---
         "positional_postings": (positional.positional_postings, positional.positional_postings_sql()),
         "phrase_search": (positional.phrase_search, positional.phrase_search_sql()),

@@ -98,12 +98,19 @@ class _FieldDict:
 class SegmentIndex:
     """Loads the on-disk index once; answers term lookups + top-k queries."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, k1: float | None = None, b: float | None = None):
+        """``k1``/``b`` override the build-time BM25 parameters for this
+        reader (the ES per-request similarity-tuning surface) — legal
+        because tf/dl/df are stored raw and scores derive at query
+        time.  The PRUNED mode is excluded: its block qmax bounds were
+        quantized under the build-time parameters (see
+        :meth:`topk_pruned`)."""
         self.index_dir = index_dir
         manifest = json.load(open(os.path.join(index_dir, "manifest.json")))
         self.manifest = manifest
-        self.k1 = manifest["config"]["k1"]
-        self.b = manifest["config"]["b"]
+        self.k1 = manifest["config"]["k1"] if k1 is None else float(k1)
+        self.b = manifest["config"]["b"] if b is None else float(b)
+        self._tuned = k1 is not None or b is not None
         self.global_stats = manifest["global_stats"]
         self.field_modes = dict(manifest["config"]["fields"])
         self.codec = DocIdCodec.from_table(
@@ -1368,6 +1375,12 @@ class SegmentIndex:
         max directory of ``segments.encode_run``; on-disk byte skipping
         uses the same per-block ``payload_nbytes``).
         """
+        if self._tuned:
+            raise ValueError(
+                "topk_pruned requires the build-time k1/b: the stored "
+                "block qmax bounds were quantized under them and are "
+                "not valid upper bounds for tuned parameters"
+            )
         toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
         terms = sorted(set(toks.tolist()))
         gs = self.global_stats["text"]

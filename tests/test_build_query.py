@@ -776,3 +776,32 @@ def test_dis_max_tie_breaker_algebra(index_dir):
     # the tool leg is real: candidates exceed the text-only ones
     ids_text, _ = idx._score_bm25(text)
     assert len(ids0) > len(ids_text)
+
+
+def test_tuned_bm25_matches_oracle_and_refuses_pruned(index_dir, duck):
+    """Per-request k1/b overrides (ES index.similarity tuning): the tuned
+    reader must be rank-identical to a brute-force oracle evaluated under
+    the SAME parameters, and the pruned mode must refuse tuned params
+    (its stored block qmax bounds were quantized under the build-time
+    ones and are no upper bound for others)."""
+    k1, b = 0.9, 0.4
+    idx = query.SegmentIndex(index_dir, k1=k1, b=b)
+    engine = []
+    for qid, text, k in query.REFERENCE_QUERIES:
+        df = idx.topk(text, k, "bm25")
+        df.insert(0, "query_id", qid)
+        engine.append(df)
+    engine = pd.concat(engine, ignore_index=True)
+    oracle = duck.execute(query.bm25_topk_sql(k1=k1, b=b)).df()
+    pd.testing.assert_frame_equal(
+        engine.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
+    )
+    # tuned scores genuinely differ from build-time ones
+    default = query.SegmentIndex(index_dir)
+    q0 = query.REFERENCE_QUERIES[0]
+    assert not np.allclose(
+        idx.topk(q0[1], q0[2], "bm25")["score"].to_numpy(),
+        default.topk(q0[1], q0[2], "bm25")["score"].to_numpy(),
+    )
+    with pytest.raises(ValueError, match="build-time"):
+        idx.topk_pruned(q0[1], q0[2])

@@ -590,3 +590,26 @@ def test_funnel_counts_semantics(ray_session, tmp_path):
     out = ev.funnel_counts(str(tmp_path))
     assert list(out["n_users"]) == [4, 2, 1]
     assert list(out["conv_rate"]) == [0.8, 0.5, 0.5]
+
+
+def test_percolate_sharded_matches_unsharded(ray_session):
+    """Term-sharding the stored-query registry must not change matches:
+    partial per-shard coverage counts summed over shards == one-actor
+    coverage, for every mode including phrase re-verification."""
+    from raystorm import percolate
+
+    base = (
+        percolate.percolate("/root/testdata/sf0.001")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    for n_shards in (1, 3):
+        sharded = percolate.percolate_sharded(
+            "/root/testdata/sf0.001", n_shards=n_shards
+        )
+        pd.testing.assert_frame_equal(base, sharded, check_dtype=False)
+    # the shard split is a real partition of the term table
+    compiled = percolate.compile_queries()
+    shards = percolate.shard_queries(compiled, 3)
+    assert sum(len(s["qterms"]) for s in shards) == len(compiled["qterms"])
+    assert sum(len(s["qterms"]) > 0 for s in shards) > 1
