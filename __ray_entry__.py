@@ -798,6 +798,15 @@ def _q_search_facets_composite(sf_dir: str):
     return facets.search_facets_composite(_docvalues_index_for(sf_dir))
 
 
+def _q_search_adjacency(sf_dir: str):
+    """adjacency_matrix aggregation (ES): per query, hit counts under
+    each named doc-values filter plus every pairwise intersection
+    (bucket 'a&b') — the filter co-occurrence matrix of the hit set,
+    candidate-bounded (facets.search_adjacency; oracle
+    facets.adjacency_sql over the shared clauses_sql emitter)."""
+    return facets.search_adjacency(_docvalues_index_for(sf_dir))
+
+
 def _q_search_top_terms(sf_dir: str):
     """Terms aggregation over each query's full hit set (the ES terms
     aggregation on text): hit stream ⋈ token stream, integer tf sums,
@@ -1121,6 +1130,16 @@ def _q_topk_dis_max(sf_dir: str):
     return query.batch_dis_max(_index_for(sf_dir))
 
 
+def _q_topk_cross_fields(sf_dir: str):
+    """multi_match cross_fields: term-centric multi-field BM25 — each
+    query TERM is credited with its best field's score, then terms sum
+    per doc; where dis_max rewards one field matching everything,
+    cross_fields rewards the query's words split across fields
+    (query.batch_cross_fields; oracle query.cross_fields_topk_sql over
+    the same DIS_MAX_QUERIES fixture)."""
+    return query.batch_cross_fields(_index_for(sf_dir))
+
+
 def _q_topk_boosting(sf_dir: str):
     """Boosting query (ES boosting): rank by the positive clause's
     BM25, demoted by negative_boost for docs also matching any
@@ -1300,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets_stats": _q_search_facets_stats,
         "search_top_terms": _q_search_top_terms,
         "search_facets_composite": _q_search_facets_composite,
+        "search_adjacency": _q_search_adjacency,
         "search_top_hits": _q_search_top_hits,
         "search_significant_terms": _q_search_significant_terms,
         "search_percentiles": _q_search_percentiles,
@@ -1335,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_tuned": _q_topk_bm25_tuned,
         "topk_has_parent": _q_topk_has_parent,
         "topk_dis_max": _q_topk_dis_max,
+        "topk_cross_fields": _q_topk_cross_fields,
         "topk_boosting": _q_topk_boosting,
         "topk_random_score": _q_topk_random_score,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
@@ -1415,6 +1436,7 @@ def oracle_sql() -> dict[str, str]:
         "search_facets_stats": facets.facets_stats_sql(),
         "search_top_terms": facets.top_terms_sql(),
         "search_facets_composite": facets.facets_composite_sql(),
+        "search_adjacency": facets.adjacency_sql(),
         "search_top_hits": facets.top_hits_sql(),
         "search_significant_terms": facets.significant_terms_sql(),
         "search_percentiles": facets.percentiles_sql(),
@@ -1452,6 +1474,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_tuned": query.bm25_topk_sql(k1=TUNED_K1, b=TUNED_B),
         "topk_has_parent": query.has_parent_topk_sql(),
         "topk_dis_max": query.dis_max_topk_sql(query.DIS_MAX_QUERIES),
+        "topk_cross_fields": query.cross_fields_topk_sql(query.DIS_MAX_QUERIES),
         "topk_boosting": query.boosting_topk_sql(),
         "topk_random_score": query.random_score_sql(),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

@@ -537,6 +537,147 @@ ORDER BY s.query_id, tr.role, day
 """
 
 
+# ---------------------------------------------------------------------------
+# adjacency_matrix: named-filter intersection counts over the hit set
+# ---------------------------------------------------------------------------
+
+#: named filters for the adjacency-matrix gate — docvalues clause lists
+#: (the ONE structured predicate representation, docvalues.py:19-24)
+#: consumed by the engine mask AND the SQL emitter; chosen so pair
+#: intersections are non-trivial (the ts cut crosses every role)
+ADJACENCY_FILTERS = (
+    ("assistant", (("role", "=", "assistant"),)),
+    ("early", (("ts_us", "<", "2025-01-08"),)),
+    ("tooled", (("tool", "!=", ""),)),
+    ("user", (("role", "=", "user"),)),
+)
+
+
+class DVAdjacencyScorer(DVFacetScorer):
+    """adjacency_matrix (the ES aggregation): for a set of NAMED
+    filters, per query the hit count under each filter plus each
+    pairwise intersection (bucket ``a&b``) — the co-occurrence matrix
+    of the filters over the hit set.  Candidate-bounded like every DV
+    scorer: filter masks evaluate over the candidates' metadata only
+    (one lookup per column, m masks, m·(m-1)/2 vectorized ANDs — never
+    a corpus scan or a per-pair query).  Empty buckets drop, as in ES."""
+
+    def __init__(self, index_dir: str, filters=ADJACENCY_FILTERS, mode: str = "bm25"):
+        super().__init__(index_dir, facet="role", mode=mode)
+        self.filters = tuple(filters)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ids, _sc = self.index._score_mode(text, self.mode)
+            if not len(ids):
+                continue
+            masks = [
+                (name, self.dv.mask(ids, clauses))
+                for name, clauses in self.filters
+            ]
+            rows = []
+            for i, (na, ma) in enumerate(masks):
+                n = int(ma.sum())
+                if n:
+                    rows.append((na, n))
+                for nb, mb in masks[i + 1 :]:
+                    nn = int((ma & mb).sum())
+                    if nn:
+                        rows.append((f"{na}&{nb}", nn))
+            if rows:
+                g = pd.DataFrame(rows, columns=["bucket", "n_hits"])
+                g.insert(0, "query_id", qid)
+                parts.append(g)
+        res = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=object),
+                    "bucket": pd.Series([], dtype=object),
+                    "n_hits": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+        res["n_hits"] = res["n_hits"].astype(np.int64)
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def search_adjacency(
+    index_dir: str,
+    queries=REFERENCE_QUERIES,
+    filters=ADJACENCY_FILTERS,
+    mode: str = "bm25",
+) -> pd.DataFrame:
+    """Adjacency-matrix aggregation (gate ``search_adjacency``; oracle
+    :func:`adjacency_sql`): per query, hit counts under each named
+    filter and each pairwise intersection.  Merge bound O(queries ×
+    m²) — the matrix never materializes the hit set."""
+    import ray.data as rd
+
+    qds = rd.from_arrow(queries_table(queries))
+    parts = qds.map_batches(
+        DVAdjacencyScorer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "filters": tuple(filters),
+            "mode": mode,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    ).to_pandas()
+    out = (
+        parts.groupby(["query_id", "bucket"], as_index=False)
+        .agg(n_hits=("n_hits", "sum"))
+        .sort_values(["query_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    out["n_hits"] = out["n_hits"].astype(np.int64)
+    return out
+
+
+def adjacency_sql(
+    queries=REFERENCE_QUERIES, filters=ADJACENCY_FILTERS, k1=1.2, b=0.75
+) -> str:
+    """Mirror of :func:`search_adjacency`: the no-cut scores CTE joined
+    to transcripts; one UNION ALL leg per filter and per pair, each a
+    count under the clause conjunction (``docvalues.clauses_sql`` — the
+    same emitter every filter gate uses).  Empty buckets vanish because
+    count() groups over an empty set."""
+    from .docvalues import clauses_sql
+
+    legs = []
+    for i, (na, ca) in enumerate(filters):
+        legs.append(
+            f"SELECT s.query_id, '{na}' AS bucket, CAST(count(*) AS BIGINT) AS n_hits\n"
+            f"  FROM scores s JOIN transcripts tr ON tr.conv_id = s.conv_id AND tr.turn_idx = s.turn_idx\n"
+            f"  WHERE {clauses_sql(ca, 'tr')} GROUP BY s.query_id"
+        )
+        for nb, cb in filters[i + 1 :]:
+            legs.append(
+                f"SELECT s.query_id, '{na}&{nb}' AS bucket, CAST(count(*) AS BIGINT) AS n_hits\n"
+                f"  FROM scores s JOIN transcripts tr ON tr.conv_id = s.conv_id AND tr.turn_idx = s.turn_idx\n"
+                f"  WHERE ({clauses_sql(ca, 'tr')}) AND ({clauses_sql(cb, 'tr')}) GROUP BY s.query_id"
+            )
+    union = "\n  UNION ALL\n".join(legs)
+    return f"""
+WITH {corpus_ctes()},
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id, t.conv_id, t.turn_idx
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+)
+SELECT * FROM ({union})
+ORDER BY query_id, bucket
+"""
+
+
 #: top-terms cut per query (the ES terms-aggregation `size`)
 TOP_TERMS_N = 8
 

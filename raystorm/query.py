@@ -505,6 +505,8 @@ class SegmentIndex:
             return self._score_bm25f(query_text)
         if mode == "dis_max":
             return self._score_dis_max(query_text)
+        if mode == "cross_fields":
+            return self._score_cross_fields(query_text)
         if mode == "faithful":
             return self._score_faithful(query_text)
         raise ValueError(mode)
@@ -1355,6 +1357,56 @@ class SegmentIndex:
             tot[pos] += sc
         scores = best + tie * (tot - best)
         return self._drop_deleted(all_ids, scores)
+
+    def _score_cross_fields(self, query_text: str):
+        """Term-centric multi-field scoring (ES ``multi_match``
+        ``cross_fields``): where best_fields picks one winning FIELD
+        per doc (:meth:`_score_dis_max`), cross_fields picks one
+        winning field per TERM — ``score = Σ_t max_f BM25_f(t)`` — the
+        right semantics when a concept's words are SPLIT across fields
+        (e.g. one query term appearing in the text, another in the tool
+        name): each term is credited wherever it matches best, and the
+        doc still needs them all to score well.  Terms align across
+        fields by their token STRING (each field tokenizes the query
+        with its own mode, as in BM25F); each (term, field) leg scores
+        with that field's own df/avgdl.
+        """
+        per_term: dict[str, list] = {}
+        for field, _w in self.BM25F_WEIGHTS:
+            fd = self._dict.get(field)
+            if fd is None:
+                continue
+            mode = self.field_modes.get(field, "body")
+            toks, _ = normalize.tokenize_column(pa.array([query_text]), mode)
+            gs = self.global_stats[field]
+            for t in sorted(set(toks.tolist())):
+                r = fd.rank_of(t)
+                if r < 0:
+                    continue
+                post = self.postings(t, field)
+                if post is None:
+                    continue
+                docids, tfs, dls = post
+                sc = segments.bm25_term_scores(
+                    tfs, dls, float(fd.idf[r]), gs["avgdl"], self.k1, self.b
+                )
+                per_term.setdefault(t, []).append((docids, sc))
+        if not per_term:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        id_chunks, sc_chunks = [], []
+        for t in sorted(per_term):
+            parts = per_term[t]
+            if len(parts) == 1:
+                ids, sc = parts[0]
+            else:
+                ids = np.unique(np.concatenate([i for i, _ in parts]))
+                sc = np.zeros(len(ids), np.float64)
+                for i, s in parts:
+                    np.maximum.at(sc, np.searchsorted(ids, i), s)
+            id_chunks.append(ids)
+            sc_chunks.append(sc)
+        ids, totals = _accumulate(id_chunks, sc_chunks)
+        return self._drop_deleted(ids, totals)
 
     #: safety margin for pruning bounds vs the RANK_ROUND tie boundary —
     #: a skipped doc must be provably below the k-th score even after
@@ -3080,6 +3132,87 @@ ORDER BY r.query_id, r.rank
 """
 
 
+def cross_fields_topk_sql(
+    queries=REFERENCE_QUERIES,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Oracle for the ``cross_fields`` scoring mode: the per-field BM25
+    chains of :func:`dis_max_topk_sql`, but combined per (doc, TERM) as
+    the max over fields, then summed over terms — term-centric where
+    dis_max is field-centric."""
+    field_cols = {"text": ("text", "body"), "tool": ("tool", "tool")}
+    ctes = [f"transcripts AS ({corpus.transcripts_sql()})",
+            "n AS (SELECT count(*) AS n FROM transcripts)"]
+    contribs = []
+    for field, _w in SegmentIndex.BM25F_WEIGHTS:
+        col, mode = field_cols[field]
+        f = field
+        ctes.append(
+            f"tokens_{f} AS (SELECT conv_id, turn_idx, tok.term FROM transcripts, "
+            f"{normalize.tokens_sql(col, mode)} "
+            f"WHERE {normalize.tokens_keep_sql('tok.term', mode)})"
+        )
+        ctes.append(
+            f"tfs_{f} AS (SELECT conv_id, turn_idx, term, CAST(count(*) AS BIGINT) AS tf "
+            f"FROM tokens_{f} GROUP BY conv_id, turn_idx, term)"
+        )
+        ctes.append(
+            f"dl_{f} AS (SELECT conv_id, turn_idx, count(*) AS dl "
+            f"FROM tokens_{f} GROUP BY conv_id, turn_idx)"
+        )
+        ctes.append(f"dfs_{f} AS (SELECT term, count(*) AS df FROM tfs_{f} GROUP BY term)")
+        ctes.append(
+            f"g_{f} AS (SELECT (SELECT count(*) FROM tokens_{f}) * 1.0 / "
+            f"(SELECT n FROM n) AS avgdl)"
+        )
+        vals = _qterms_mode_values(queries, mode)
+        if vals is None:
+            ctes.append(
+                f"qt_{f}(query_id, term) AS "
+                "(SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) WHERE FALSE)"
+            )
+        else:
+            ctes.append(f"qt_{f}(query_id, term) AS (VALUES {vals})")
+        contribs.append(f"""
+  SELECT q.query_id, t.conv_id, t.turn_idx, q.term,
+         ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5))
+         * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) AS score
+  FROM qt_{f} q
+  JOIN tfs_{f} t ON t.term = q.term
+  JOIN dfs_{f} d ON d.term = q.term
+  JOIN dl_{f} dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN n CROSS JOIN g_{f} g""")
+    cte_sql = ",\n".join(ctes)
+    union = "\n  UNION ALL\n".join(contribs)
+    return f"""
+WITH {cte_sql},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+contrib AS ({union}),
+tscores AS (
+  SELECT query_id, conv_id, turn_idx, term, max(score) AS tscore
+  FROM contrib GROUP BY query_id, conv_id, turn_idx, term
+),
+scores AS (
+  SELECT query_id, conv_id, turn_idx, sum(tscore) AS score
+  FROM tscores GROUP BY query_id, conv_id, turn_idx
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""
+
+
 def faithful_topk_sql(queries=REFERENCE_QUERIES, mask_pred: str | None = None) -> str:
     """Oracle for the faithful (reference-formula) scoring mode.
 
@@ -4067,6 +4200,19 @@ def batch_dis_max(index_dir: str, queries=DIS_MAX_QUERIES) -> pd.DataFrame:
     out = []
     for qid, text, k in queries:
         df = idx.topk(text, int(k), "dis_max")
+        df.insert(0, "query_id", qid)
+        out.append(df)
+    return pd.concat(out, ignore_index=True)
+
+
+def batch_cross_fields(index_dir: str, queries=DIS_MAX_QUERIES) -> pd.DataFrame:
+    """multi_match cross_fields evaluation over the multi-field fixture
+    set (gate ``topk_cross_fields``; oracle
+    :func:`cross_fields_topk_sql`)."""
+    idx = SegmentIndex(index_dir)
+    out = []
+    for qid, text, k in queries:
+        df = idx.topk(text, int(k), "cross_fields")
         df.insert(0, "query_id", qid)
         out.append(df)
     return pd.concat(out, ignore_index=True)

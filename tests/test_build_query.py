@@ -805,3 +805,33 @@ def test_tuned_bm25_matches_oracle_and_refuses_pruned(index_dir, duck):
     )
     with pytest.raises(ValueError, match="build-time"):
         idx.topk_pruned(q0[1], q0[2])
+
+
+def test_cross_fields_semantics(index_dir):
+    """cross_fields is term-centric: per term the best FIELD's BM25,
+    summed over terms — bounded below by dis_max(tie=0) (one field's
+    whole sum is a valid per-term choice) and above by dis_max(tie=1)
+    (the all-fields sum); strictly above pure best-field whenever the
+    winning fields differ across terms."""
+    idx = query.SegmentIndex(index_dir)
+    text = "merge python"  # straddles body vocab and tool names
+    ids, sc = idx._score_cross_fields(text)
+    ids0, s0 = idx._score_dis_max(text, tie=0.0)
+    ids1, s1 = idx._score_dis_max(text, tie=1.0)
+    np.testing.assert_array_equal(ids, ids0)
+    assert (sc >= s0 - 1e-12).all() and (sc <= s1 + 1e-12).all()
+    # on this corpus the per-term field winners genuinely split
+    assert (sc > s0 + 1e-12).any()
+    # single-field query degenerates to plain BM25
+    ids_b, sc_b = idx._score_bm25("merge")
+    ids_c, sc_c = idx._score_cross_fields("merge")
+    tool_ids, _ = idx._score_dis_max("merge", tie=0.0)
+    only_text = np.setdiff1d(ids_c, tool_ids, assume_unique=True)
+    assert len(only_text) == 0  # candidates come from both fields
+    both = np.intersect1d(ids_b, ids_c)
+    pos_b = np.searchsorted(ids_b, both)
+    pos_c = np.searchsorted(ids_c, both)
+    # where only the text field matches, scores equal plain BM25
+    import numpy as _np
+    tol = _np.abs(sc_c[pos_c] - sc_b[pos_b]) < 1e-12
+    assert tol.any()

@@ -407,3 +407,30 @@ def test_has_parent_semantics(ray_session, dv_index, duck):
     merged = res.merge(base, on=["conv_id", "turn_idx"], suffixes=("_hp", "_b"))
     assert len(merged) == len(res)
     np.testing.assert_allclose(merged.score_hp, merged.score_b, atol=2e-6)
+
+
+def test_adjacency_matrix_algebra(ray_session, dv_index):
+    """adjacency_matrix invariants: a pair bucket never exceeds either
+    leg; disjoint filters (role=user vs role=assistant) produce no pair
+    bucket; per-query filter counts sum over a role partition to at
+    most the hit count (roles partition the corpus)."""
+    from raystorm import facets
+
+    out = facets.search_adjacency(dv_index)
+    assert set(out.columns) == {"query_id", "bucket", "n_hits"}
+    assert (out["n_hits"] > 0).all()  # empty buckets drop, as in ES
+    piv = out.pivot_table(
+        index="query_id", columns="bucket", values="n_hits", fill_value=0
+    )
+    # disjoint role filters never intersect
+    assert "assistant&user" not in piv.columns
+    assert "assistant&tooled" not in piv.columns
+    for pair in ("assistant&early", "early&user", "early&tooled"):
+        if pair in piv.columns:
+            a, b = pair.split("&")
+            assert (piv[pair] <= piv[a]).all()
+            assert (piv[pair] <= piv[b]).all()
+    # the early cut is real on this corpus: some pair bucket exists
+    assert any(
+        "&" in c for c in piv.columns
+    ), "no pairwise intersections — filters degenerate"
