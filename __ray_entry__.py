@@ -1045,6 +1045,15 @@ def _q_spell_suggest(sf_dir: str):
     return idx.suggest_terms(query.MISSPELLED_TERMS)
 
 
+def _q_phrase_suggest(sf_dir: str):
+    """Phrase suggester (ES phrase suggester): whole-query corrections
+    ranked by a bigram language model with add-one smoothing — each
+    token's fix is chosen jointly so the corrected PHRASE is probable,
+    not just each word (query.phrase_suggest; oracle
+    query.phrase_suggest_sql, candidates re-derived in SQL)."""
+    return query.phrase_suggest(_index_for(sf_dir), sf_dir)
+
+
 def _q_suggest_complete(sf_dir: str):
     """Search-as-you-type prefix completion: top-k dictionary
     completions per prefix by (df desc, term asc), via two binary
@@ -1338,6 +1347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_prox": _q_topk_bm25_prox,
         "topk_span_near": _q_topk_span_near,
         "spell_suggest": _q_spell_suggest,
+        "phrase_suggest": _q_phrase_suggest,
         "suggest_complete": _q_suggest_complete,
         "topk_bm25_regexp": _q_topk_bm25_regexp,
         "search_cardinality": _q_search_cardinality,
@@ -1455,6 +1465,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_prox": positional.bm25_prox_topk_sql(),
         "topk_span_near": positional.span_near_topk_sql(),
         "spell_suggest": query.suggest_sql(),
+        "phrase_suggest": query.phrase_suggest_sql(),
         "suggest_complete": query.complete_sql(),
         "topk_bm25_regexp": query.regexp_topk_sql(),
         "search_cardinality": query.cardinality_sql(),

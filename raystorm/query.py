@@ -1580,6 +1580,261 @@ SELECT term, suggestion, dist, df FROM ranked WHERE rn = 1 ORDER BY term
 """
 
 
+# ---------------------------------------------------------------------------
+# phrase suggester — whole-query "did you mean" with bigram context
+# ---------------------------------------------------------------------------
+
+#: two-token misspelled fixture queries for the phrase_suggest gate
+#: (one all-unknown probe both sides must omit); corrections are
+#: supported by real corpus bigrams (table hash / customer join /
+#: merge group are among the most frequent pairs at sf0.01)
+PHRASE_SUGGEST_QUERIES = (
+    ("ps01", "custmer joinn"),
+    ("ps02", "tble hash"),
+    ("ps03", "mergee groupp"),
+    ("ps04", "sloww keey"),
+    ("ps05", "zzzzzz qqqqqq"),
+)
+PHRASE_CAND = 3  # candidate corrections per token (ES generator size)
+PHRASE_MAX_DIST = 2
+PHRASE_TOPK = 3  # suggestions emitted per query
+
+
+def phrase_candidates(idx: SegmentIndex, text: str):
+    """Per-token correction candidates: top PHRASE_CAND vocabulary
+    terms by (edit distance asc, df desc, term asc) within
+    PHRASE_MAX_DIST — the ONE candidate-selection rule, mirrored in
+    SQL by :func:`phrase_suggest_sql` as a levenshtein window over the
+    dfs table (dictionary df == corpus df, the term_stats gate).
+    Returns a list of candidate lists, or None when any token has no
+    candidate (the query is omitted, as in the term suggester)."""
+    fd = idx._dict.get("text")
+    toks, _ = normalize.tokenize_column(pa.array([text]), "body")
+    toks = toks.tolist()
+    if fd is None or not toks:
+        return None
+    vocab = fd.terms.to_pylist()
+    out = []
+    for m in toks:
+        scored = []
+        for i, t in enumerate(vocab):
+            if abs(len(t) - len(m)) > PHRASE_MAX_DIST:
+                continue
+            d = _levenshtein(m, t)
+            if d <= PHRASE_MAX_DIST:
+                scored.append((d, -int(fd.df[i]), t))
+        if not scored:
+            return None
+        scored.sort()
+        out.append([t for _d, _ndf, t in scored[:PHRASE_CAND]])
+    return out
+
+
+def phrase_suggest(
+    index_dir: str, sf_dir: str, queries=PHRASE_SUGGEST_QUERIES
+) -> pd.DataFrame:
+    """Phrase suggester (the ES ``phrase`` suggester): whole-query
+    corrections ranked by a bigram language model with add-one
+    smoothing — ``score = ln((cf(w1)+1)/(T+V)) + Σ ln((bc(w_{i-1},
+    w_i)+1)/(cf(w_{i-1})+V))`` over corpus kept-token unigram counts
+    cf, adjacent-pair counts bc, total tokens T and vocabulary size V.
+    Context is what the per-term suggester lacks: each token's
+    correction is chosen jointly so the corrected PHRASE is probable,
+    not just each word.
+
+    Scale shape: candidate generation is dictionary-local; the corpus
+    pass counts ONLY the candidate unigrams and candidate-adjacent
+    pairs (broadcast needed-sets, per-batch vectorized isin, partial
+    counts; the combine is O(candidates × blocks)); sequence scoring
+    is a driver-side product over ≤ PHRASE_CAND^n tiny tuples.
+    Gate ``phrase_suggest``; oracle :func:`phrase_suggest_sql`."""
+    import math
+    from itertools import product
+
+    import ray
+    import ray.data as rd
+
+    idx = SegmentIndex(index_dir)
+    fd = idx._dict["text"]
+    V = len(fd.terms)
+    cands = {}
+    for qid, text in queries:
+        c = phrase_candidates(idx, text)
+        if c is not None:
+            cands[qid] = c
+    need_uni = sorted({t for cs in cands.values() for cl in cs for t in cl})
+    need_bi = sorted(
+        {
+            (a, b)
+            for cs in cands.values()
+            for ca, cb in zip(cs, cs[1:])
+            for a in ca
+            for b in cb
+        }
+    )
+    uni_ref = ray.put(frozenset(need_uni))
+    bi_ref = ray.put(frozenset(f"{a} {b}" for a, b in need_bi))
+
+    def count_stage(batch: pa.Table) -> pa.Table:
+        from .build import _get_ref
+
+        uni_set, bi_set = _get_ref(uni_ref), _get_ref(bi_ref)
+        toks, rows, _pos = normalize.tokenize_with_positions(
+            batch["text"], "body"
+        )
+        rows_out = [("tot", "", "", np.int64(len(toks)))]
+        if len(toks):
+            s = pd.Series(toks)
+            u = s[s.isin(uni_set)].value_counts()
+            rows_out += [("uni", t, "", np.int64(n)) for t, n in u.items()]
+            if len(toks) > 1:
+                adj = rows[1:] == rows[:-1]
+                pair = pd.Series(
+                    np.char.add(
+                        np.char.add(toks[:-1][adj].astype(str), " "),
+                        toks[1:][adj].astype(str),
+                    )
+                )
+                p = pair[pair.isin(bi_set)].value_counts()
+                rows_out += [
+                    ("bi", *k.split(" ", 1), np.int64(n)) for k, n in p.items()
+                ]
+        kinds, a_, b_, n_ = zip(*rows_out)
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "a": pa.array(a_, pa.string()),
+                "b": pa.array(b_, pa.string()),
+                "n": pa.array(n_, pa.int64()),
+            }
+        )
+
+    parts = (
+        corpus.transcripts_from_documents(sf_dir)
+        .map_batches(count_stage, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby(["kind", "a", "b"], as_index=False)["n"].sum()
+    T = int(agg.loc[agg["kind"] == "tot", "n"].sum())
+    cf = {
+        r.a: int(r.n) for r in agg[agg["kind"] == "uni"].itertuples()
+    }
+    bc = {
+        (r.a, r.b): int(r.n) for r in agg[agg["kind"] == "bi"].itertuples()
+    }
+    rows = []
+    for qid, _text in queries:
+        if qid not in cands:
+            continue
+        seqs = []
+        for seq in product(*cands[qid]):
+            score = math.log((cf.get(seq[0], 0) + 1.0) / (T + V))
+            for a, b in zip(seq, seq[1:]):
+                score += math.log(
+                    (bc.get((a, b), 0) + 1.0) / (cf.get(a, 0) + V)
+                )
+            seqs.append((" ".join(seq), score))
+        r9 = round_half_up(np.array([s for _t, s in seqs]), RANK_ROUND)
+        order = sorted(
+            range(len(seqs)), key=lambda i: (-r9[i], seqs[i][0])
+        )[:PHRASE_TOPK]
+        for rank, i in enumerate(order, 1):
+            rows.append((qid, rank, seqs[i][0], seqs[i][1]))
+    out = pd.DataFrame(
+        rows, columns=["query_id", "rank", "suggestion", "score"]
+    )
+    out["rank"] = out["rank"].astype(np.int32)
+    out["score"] = round_half_up(out["score"].to_numpy(np.float64), SCORE_ROUND)
+    return out
+
+
+def phrase_suggest_sql(queries=PHRASE_SUGGEST_QUERIES) -> str:
+    """Oracle for :func:`phrase_suggest`: candidates re-derived IN SQL
+    (levenshtein ≤ PHRASE_MAX_DIST over dfs, (dist, df desc, term)
+    window, top PHRASE_CAND); unigram/bigram counts from the positional kept-token
+    CTE; one scoring leg per query (token count known at generation
+    time).  Queries whose tokens have no candidates vanish because
+    their per-position candidate set is empty."""
+    from . import positional
+
+    legs = []
+    qvals = []
+    for qid, text in queries:
+        toks, _ = normalize.tokenize_column(pa.array([text]), "body")
+        toks = toks.tolist()
+        for i, t in enumerate(toks):
+            qvals.append(f"('{qid}', {i}, '{t}')")
+        n = len(toks)
+        aliases = [f"c{i}" for i in range(n)]
+        sug = " || ' ' || ".join(f"{a}.term" for a in aliases)
+        score_parts = [
+            "ln((u0.c + 1.0) / ((SELECT t FROM tot) + (SELECT v FROM voc)))"
+        ]
+        joins = []
+        for i in range(1, n):
+            joins.append(
+                f"JOIN topc c{i} ON c{i}.query_id = '{qid}' AND c{i}.i = {i}"
+            )
+        joins.append("JOIN uni u0 ON u0.term = c0.term")
+        for i in range(1, n):
+            joins.append(f"JOIN uni u{i} ON u{i}.term = c{i}.term")
+            joins.append(
+                f"LEFT JOIN big b{i} ON b{i}.ta = c{i-1}.term AND b{i}.tb = c{i}.term"
+            )
+            score_parts.append(
+                f"ln((coalesce(b{i}.c, 0) + 1.0) / (u{i-1}.c + (SELECT v FROM voc)))"
+            )
+        legs.append(
+            f"SELECT '{qid}' AS query_id, {sug} AS suggestion,\n"
+            f"       {' + '.join(score_parts)} AS score\n"
+            f"FROM topc c0\n"
+            f"{' '.join(joins)}\n"
+            f"WHERE c0.query_id = '{qid}' AND c0.i = 0"
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH {positional._kept_cte_sql()},
+uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM kept GROUP BY term),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM kept),
+voc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM kept),
+dfs AS (SELECT term, count(DISTINCT (conv_id, turn_idx)) AS df FROM kept GROUP BY term),
+big AS (
+  SELECT a.term AS ta, b.term AS tb, CAST(count(*) AS BIGINT) AS c
+  FROM kept a JOIN kept b
+    ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+qtoks(query_id, i, tok) AS (VALUES {', '.join(qvals)}),
+cand AS (
+  SELECT q.query_id, q.i, d.term,
+         levenshtein(q.tok, d.term) AS dist, d.df
+  FROM qtoks q JOIN dfs d ON abs(length(d.term) - length(q.tok)) <= {PHRASE_MAX_DIST}
+  WHERE levenshtein(q.tok, d.term) <= {PHRASE_MAX_DIST}
+),
+topc AS (
+  SELECT query_id, i, term FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id, i ORDER BY dist, df DESC, term) AS rn
+    FROM cand
+  ) WHERE rn <= {PHRASE_CAND}
+),
+seqs AS (
+{union}
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, suggestion) AS INTEGER) AS rank,
+         suggestion, round(score, {SCORE_ROUND}) AS score
+  FROM seqs
+)
+SELECT query_id, rank, suggestion, score
+FROM ranked WHERE rank <= {PHRASE_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 def _accumulate(id_chunks, sc_chunks):
     """Sum per-term score arrays into per-doc totals (order-pinned)."""
     if not id_chunks:

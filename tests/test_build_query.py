@@ -835,3 +835,29 @@ def test_cross_fields_semantics(index_dir):
     import numpy as _np
     tol = _np.abs(sc_c[pos_c] - sc_b[pos_b]) < 1e-12
     assert tol.any()
+
+
+def test_phrase_suggest_context_semantics(index_dir):
+    """Phrase suggester invariants: suggestions are candidate products
+    (every emitted token within PHRASE_MAX_DIST of its input token),
+    the all-unknown probe is omitted, scores are log-probabilities
+    (negative, decreasing down the ranks), and ranks are contiguous
+    from 1 per query."""
+    out = query.phrase_suggest(index_dir, SF)
+    assert set(out["query_id"]) <= {q[0] for q in query.PHRASE_SUGGEST_QUERIES}
+    assert "ps05" not in set(out["query_id"])  # no-candidate probe omitted
+    assert (out["score"] < 0).all()
+    qtexts = dict((qid, t) for qid, t in query.PHRASE_SUGGEST_QUERIES)
+    for qid, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert g["score"].is_monotonic_decreasing or len(g) == 1
+        in_toks = qtexts[qid].split()
+        for sug in g["suggestion"]:
+            toks = sug.split()
+            assert len(toks) == len(in_toks)
+            for a, b in zip(in_toks, toks):
+                assert query._levenshtein(a, b) <= query.PHRASE_MAX_DIST
+    # determinism: a second run is byte-identical
+    out2 = query.phrase_suggest(index_dir, SF)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), out2.reset_index(drop=True))
