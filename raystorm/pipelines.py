@@ -62,6 +62,7 @@ def registry() -> dict:
         "sketch_distinct_users": (sketches.sketch_distinct_users, sketches.SKETCH_DISTINCT_USERS_SQL),
         "sketch_union_users": (sketches.sketch_union_users, sketches.SKETCH_UNION_USERS_SQL),
         "heavy_hitters_users": (sketches.heavy_hitters_users, sketches.HEAVY_HITTERS_USERS_SQL),
+        "sketch_quantiles_value": (sketches.sketch_quantiles_value, sketches.SKETCH_QUANTILES_VALUE_SQL),
         # --- corpus n-gram family (decontamination / repetition / LM counts) ---
         "decontaminate": (ngrams.decontaminate, ngrams.decontaminate_sql()),
         "repetition_stats": (ngrams.repetition_stats, ngrams.repetition_stats_sql()),

@@ -311,3 +311,144 @@ FROM events GROUP BY user_id
 ORDER BY n_events DESC, user_id
 LIMIT {HH_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch  (bottom-k uniform row sample by key hash)
+# ---------------------------------------------------------------------------
+
+#: sample size of the quantile sketch — estimate error is the sampling
+#: error of a k-row uniform sample (~1/sqrt(k) in rank space)
+QK_DEFAULT = 256
+#: quantiles estimated by the gate (strings: parsed as exact DECIMALs
+#: on BOTH sides — Fraction in Python, DECIMAL literal in DuckDB — so
+#: ceil(q*n) never disagrees on a float ulp)
+QUANTILES = ("0.25", "0.5", "0.75", "0.9", "0.99")
+
+
+class _BottomKStage:
+    """map_batches stage: one block -> its ≤k (hash, value) pairs with
+    the smallest row-key hashes.
+
+    Keeping the k rows whose UNIQUE-key hash is smallest is a uniform
+    size-k sample without replacement (order statistics of uniform
+    hashes), and — unlike reservoir sampling — it is deterministic and
+    MERGEABLE: the k smallest hashes of A ∪ B are within the union of
+    each side's k smallest, so k-truncated partials merge losslessly.
+    Same structure as the KMV distinct sketch above, but keyed on the
+    row id (every row counted, duplicates included) and carrying the
+    measured value alongside the hash.
+    """
+
+    def __init__(self, key_col: str, val_col: str, k: int):
+        self.key_col = key_col
+        self.val_col = val_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.is_valid(batch[self.val_col])
+        if not pc.all(mask).as_py():
+            batch = batch.filter(mask)
+        keys = pc.cast(batch[self.key_col], pa.string())
+        h = md5int60_np(keys.to_numpy(zero_copy_only=False).astype(str))
+        v = batch[self.val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(h) > self.k:
+            idx = np.argpartition(h, self.k - 1)[: self.k]
+            h, v = h[idx], v[idx]
+        order = np.lexsort((v, h))
+        return pa.table(
+            {
+                "h": pa.array(h[order], pa.int64()),
+                "v": pa.array(v[order], pa.float64()),
+            }
+        )
+
+
+def quantile_sketch(ds, key_col: str, val_col: str, k: int = QK_DEFAULT) -> pd.DataFrame:
+    """The (key_col, val_col) bottom-k quantile sketch: ≤k (h, v) rows,
+    sorted by (h, v).  One streaming pass, no shuffle; the driver merge
+    is sketch-sized (k·#blocks rows), never data-sized."""
+    parts = (
+        ds.select_columns([key_col, val_col])
+        .map_batches(_BottomKStage(key_col, val_col, k), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return merge_quantile_sketches(parts, k=k)
+
+
+def merge_quantile_sketches(*sketches: pd.DataFrame, k: int = QK_DEFAULT) -> pd.DataFrame:
+    """k smallest-by-(h, v) of the union — lossless for k-truncated
+    partials over disjoint row sets (the KMV union property applied to
+    row-key hashes).  Works across blocks, shards, or generations."""
+    cat = pd.concat(sketches, ignore_index=True)
+    cat = cat.sort_values(["h", "v"], kind="mergesort").reset_index(drop=True)
+    return cat.head(k)
+
+
+def quantile_estimates(
+    sketch: pd.DataFrame, qs=QUANTILES, round_to: int = ROUND
+) -> pd.DataFrame:
+    """Quantile estimates from the sketch: for each q the value at rank
+    ``ceil(q·n)`` (clamped to ≥1) of the n sampled values sorted
+    ascending — the lower order statistic, exact when the sketch holds
+    the whole column (n_rows ≤ k).  q·n is computed in EXACT rational
+    arithmetic (Fraction) to mirror DuckDB's DECIMAL ``ceil(q * n)``."""
+    import math
+    from fractions import Fraction
+
+    vals = np.sort(sketch["v"].to_numpy(np.float64))
+    n = len(vals)
+    rows = []
+    for qstr in qs:
+        r = max(1, math.ceil(Fraction(qstr) * n)) if n else 0
+        est = float(round_half_up(vals[r - 1], round_to)) if n else float("nan")
+        rows.append((float(qstr), est))
+    return pd.DataFrame(rows, columns=["q", "estimate"])
+
+
+def sketch_quantiles_value(sf_dir: str, k: int = QK_DEFAULT) -> pd.DataFrame:
+    """Quantiles of ``events.value`` via the bottom-k sketch (gate
+    ``sketch_quantiles_value``; oracle :func:`sketch_quantiles_sql`).
+    The estimates are deterministic — the sample is fixed by the
+    event_id hashes — so the gate hash-compares them bit-for-bit."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    out = quantile_estimates(quantile_sketch(ds, "event_id", "value", k))
+    out.insert(0, "source", "events.value")
+    out.insert(2, "k", np.int64(k))
+    return out
+
+
+def sketch_quantiles_sql(
+    table: str = "events",
+    key_col: str = "event_id",
+    val_col: str = "value",
+    source: str = "events.value",
+    k: int = QK_DEFAULT,
+    qs=QUANTILES,
+) -> str:
+    h = md5int60_sql(f"CAST({key_col} AS VARCHAR)")
+    qvals = ", ".join(f"({q})" for q in qs)
+    return f"""
+WITH samp AS (
+  SELECT {h} AS h, {val_col} AS v
+  FROM {table} WHERE {val_col} IS NOT NULL
+  ORDER BY h, v LIMIT {k}
+),
+ns AS (SELECT count(*) AS n FROM samp),
+ordv AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM samp),
+qs(q) AS (VALUES {qvals})
+SELECT '{source}' AS source, CAST(q AS DOUBLE) AS q, CAST({k} AS BIGINT) AS k,
+       round((SELECT v FROM ordv
+              WHERE rn = greatest(1, CAST(ceil(q * (SELECT n FROM ns)) AS BIGINT))),
+             {ROUND}) AS estimate
+FROM qs ORDER BY q
+"""
+
+
+SKETCH_QUANTILES_VALUE_SQL = sketch_quantiles_sql()

@@ -47,6 +47,65 @@ def test_registry_gates_shape(ray_session):
     assert u.estimate.iloc[0] >= d.estimate.iloc[0] * 0.5
 
 
+def test_quantile_sketch_merge_and_exactness(ray_session):
+    """Bottom-k quantile sketch invariants: merging per-half truncated
+    sketches equals the whole-table sketch (the KMV union property on
+    row-key hashes), and with k >= n the estimates are the EXACT lower
+    order statistics of the column."""
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/events.parquet", columns=["event_id", "value"])
+    k = 64
+    whole = sketches.quantile_sketch(ds, "event_id", "value", k)
+    evens = ds.filter(lambda r: r["event_id"] % 2 == 0)
+    odds = ds.filter(lambda r: r["event_id"] % 2 == 1)
+    merged = sketches.merge_quantile_sketches(
+        sketches.quantile_sketch(evens, "event_id", "value", k),
+        sketches.quantile_sketch(odds, "event_id", "value", k),
+        k=k,
+    )
+    pd.testing.assert_frame_equal(
+        whole.reset_index(drop=True), merged.reset_index(drop=True)
+    )
+    # exact when the sketch holds every row
+    import duckdb
+
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf}/events.parquet'").fetchone()[0]
+    full = sketches.quantile_sketch(ds, "event_id", "value", k=n + 10)
+    assert len(full) == n
+    est = sketches.quantile_estimates(full)
+    vals = np.sort(full["v"].to_numpy())
+    import math
+    from fractions import Fraction
+
+    for q, got in zip(est["q"], est["estimate"]):
+        r = max(1, math.ceil(Fraction(str(q)) * n))
+        assert got == pytest.approx(vals[r - 1], abs=1e-6)
+    # estimates are monotone in q
+    assert est["estimate"].is_monotonic_increasing
+
+
+def test_quantile_sketch_accuracy(ray_session):
+    """k=256 sample of 2k rows: every estimated quantile lands within
+    ~4/sqrt(k) of its true rank position."""
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/events.parquet", columns=["event_id", "value"])
+    est = sketches.quantile_estimates(
+        sketches.quantile_sketch(ds, "event_id", "value", k=256)
+    )
+    truth = np.sort(
+        pd.read_parquet(f"{sf}/events.parquet", columns=["value"])["value"].to_numpy()
+    )
+    n = len(truth)
+    tol = 4.0 / np.sqrt(256)
+    for q, got in zip(est["q"], est["estimate"]):
+        rank = np.searchsorted(truth, got, side="right") / n
+        assert abs(rank - q) <= tol, (q, got, rank)
+
+
 def test_heavy_hitters_guaranteed_vs_fallback(ray_session):
     import ray.data as rd
     from raystorm import sketches
