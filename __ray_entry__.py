@@ -1185,6 +1185,18 @@ def _q_topk_rescored(sf_dir: str):
     )
 
 
+def _q_topk_decay_recency(sf_dir: str):
+    """Gaussian decay function_score (ES gauss decay, multiply): every
+    BM25 candidate's score is multiplied by exp(lam·d²) of its ts_us
+    doc value's distance from the query's newest candidate — unlike the
+    additive top-window rescore, an old strong match can drop out of
+    the top-k entirely (query.SegmentIndex.topk_decayed; oracle
+    query.decay_topk_sql)."""
+    return _run_reference_queries(
+        sf_dir, "bm25_decay", index_dir=_docvalues_index_for(sf_dir)
+    )
+
+
 def _q_reindexed_topk(sf_dir: str):
     """Reindex-from-docstore (ES _reindex): rebuild a text-only index
     from another index's doc-store (no original corpus), then run the
@@ -1354,6 +1366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_explain": _q_search_explain,
         "topk_bm25_synonyms": _q_topk_bm25_synonyms,
         "topk_rescored": _q_topk_rescored,
+        "topk_decay_recency": _q_topk_decay_recency,
         "topk_has_child": _q_topk_has_child,
         "analyze_text": _q_analyze_text,
         "search_profile": _q_search_profile,
@@ -1472,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "search_explain": query.explain_sql(),
         "topk_bm25_synonyms": query.synonyms_topk_sql(),
         "topk_rescored": query.rescored_topk_sql(),
+        "topk_decay_recency": query.decay_topk_sql(),
         "topk_has_child": query.has_child_topk_sql(),
         "analyze_text": normalize.analyze_sql(),
         "search_profile": query.profile_sql(),

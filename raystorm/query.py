@@ -478,6 +478,8 @@ class SegmentIndex:
             return self.topk_collapsed(query_text, k)
         if mode == "bm25_rescore":
             return self.topk_rescored(query_text, k)
+        if mode == "bm25_decay":
+            return self.topk_decayed(query_text, k)
         docids, scores = self._score_mode(query_text, mode)
         return self._format_topk(docids, scores, k)
 
@@ -647,6 +649,56 @@ class SegmentIndex:
                 "base_score": base[order],
             }
         )
+
+    #: gauss decay defaults: 14d scale, 1d offset, multiplier 0.5 at
+    #: scale distance (the ES ``gauss`` decay-function defaults shape)
+    DECAY_SCALE_US = 14 * 86_400 * 1_000_000
+    DECAY_OFFSET_US = 86_400 * 1_000_000
+    DECAY_AT_SCALE = 0.5
+
+    def topk_decayed(
+        self,
+        query_text: str,
+        k: int,
+        scale_us: int | None = None,
+        offset_us: int | None = None,
+        decay: float | None = None,
+        mode: str = "bm25",
+    ) -> pd.DataFrame:
+        """Gaussian decay ``function_score`` (ES ``gauss`` decay,
+        ``multiply`` boost mode): every candidate's BM25 score is
+        multiplied by ``exp(lam * d^2)`` with ``d = max(0, (origin -
+        ts) - offset)`` and ``lam = ln(decay) / scale^2`` — full
+        strength within ``offset`` of the origin, falling to ``decay``
+        at ``offset + scale``, gaussian beyond.  The origin is the
+        query's own newest candidate (query-relative, like
+        :meth:`topk_rescored`'s t_ref — no corpus-wide clock needed).
+
+        Unlike the additive top-window :meth:`topk_rescored`, the decay
+        multiplies EVERY candidate before ranking, so an old strong
+        match can fall out of the top-k entirely — the ES decay-query
+        semantics.  Timestamps resolve from the ts_us doc value for the
+        candidate set (the doc-values bulk-lookup shape; at 100 TB this
+        is candidate-bounded columnar reads, never a corpus scan).
+        Oracle: :func:`decay_topk_sql` — ``lam`` is inlined as the
+        same Python double and the delta squared as ``d*d`` (not
+        ``pow``) so both sides run identical float64 ops.
+        """
+        import math
+
+        scale_us = self.DECAY_SCALE_US if scale_us is None else scale_us
+        offset_us = self.DECAY_OFFSET_US if offset_us is None else offset_us
+        decay = self.DECAY_AT_SCALE if decay is None else decay
+        docids, scores = self._score_mode(query_text, mode)
+        if not len(docids):
+            return self._format_topk(docids, scores, k)
+        vals, found = self.docvalues().lookup(docids, "ts_us")
+        if not found.all():
+            raise KeyError("decay candidate missing its ts_us doc value")
+        ts = vals.astype(np.float64)
+        lam = math.log(decay) / (float(scale_us) ** 2)
+        d = np.maximum(ts.max() - ts - float(offset_us), 0.0)
+        return self._format_topk(docids, scores * np.exp(lam * (d * d)), k)
 
     def _conv_best(self, docids: np.ndarray, scores: np.ndarray):
         """Per-conversation best turn (rounded score desc, turn asc) —
@@ -3854,6 +3906,63 @@ ranked AS (
   FROM resc
 )
 SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score, r.base_score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""
+
+
+def decay_topk_sql(
+    queries=REFERENCE_QUERIES, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Mirror of :meth:`SegmentIndex.topk_decayed`: the plain BM25
+    chain over ALL candidates, each multiplied by the gaussian decay
+    of its ts against the query's own max candidate ts.  ``lam`` is
+    the engine's Python double inlined verbatim; the squared delta is
+    written ``d*d`` so SQL and numpy run the same float64 ops."""
+    import math
+
+    scale = SegmentIndex.DECAY_SCALE_US
+    offset = SegmentIndex.DECAY_OFFSET_US
+    lam = math.log(SegmentIndex.DECAY_AT_SCALE) / (float(scale) ** 2)
+    d = f"CAST(greatest(origin - ts - {offset}, 0) AS DOUBLE)"
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+tsd AS (
+  SELECT s.query_id, s.conv_id, s.turn_idx, s.score, epoch_us(m.ts) AS ts,
+         max(epoch_us(m.ts)) OVER (PARTITION BY s.query_id) AS origin
+  FROM scores s
+  JOIN transcripts m ON m.conv_id = s.conv_id AND m.turn_idx = s.turn_idx
+),
+dec AS (
+  SELECT query_id, conv_id, turn_idx,
+         score * exp({lam!r} * ({d} * {d})) AS score
+  FROM tsd
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM dec
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
 FROM ranked r JOIN queries q ON q.query_id = r.query_id
 WHERE r.rank <= q.qk
 ORDER BY r.query_id, r.rank

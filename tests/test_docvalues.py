@@ -309,6 +309,56 @@ def test_rescore_window_and_degenerate_weight(ray_session, dv_index, duck):
         assert list(flat.turn_idx) == list(plain.turn_idx)
 
 
+def test_decay_semantics(ray_session, dv_index, duck):
+    """Gauss decay function_score: oracle parity at sf0.001; the decay
+    only ever shrinks scores (multiplier in (0, 1]); candidates within
+    the offset of the query's newest hit keep their exact BM25 score;
+    a huge scale reduces to the plain bm25 ranking."""
+    idx = query.SegmentIndex(dv_index)
+    rows = []
+    for qid, text, k in query.REFERENCE_QUERIES:
+        df = idx.topk(text, k, "bm25_decay")
+        df.insert(0, "query_id", qid)
+        rows.append(df)
+    got = pd.concat(rows, ignore_index=True)
+    want = duck.execute(query.decay_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    for _qid, text, k in query.REFERENCE_QUERIES[:3]:
+        dec = idx.topk_decayed(text, k)
+        plain = idx.topk(text, 10**9, "bm25")
+        pmap = {
+            (c, t): s for c, t, s in zip(plain.conv_id, plain.turn_idx, plain.score)
+        }
+        # decay never raises a score above its bm25 base
+        assert all(
+            s <= pmap[(c, t)] + 1e-9
+            for c, t, s in zip(dec.conv_id, dec.turn_idx, dec.score)
+        )
+        # within-offset hits keep the exact base score
+        docids = idx.codec.encode(
+            dec["conv_id"].to_numpy(), dec["turn_idx"].to_numpy("int64")
+        )
+        ts, found = idx.docvalues().lookup(docids, "ts_us")
+        assert found.all()
+        all_ids = idx.codec.encode(
+            plain["conv_id"].to_numpy(), plain["turn_idx"].to_numpy("int64")
+        )
+        all_ts, _ = idx.docvalues().lookup(all_ids, "ts_us")
+        origin = all_ts.max()
+        for (c, t, s), tus in zip(
+            zip(dec.conv_id, dec.turn_idx, dec.score), ts
+        ):
+            if origin - tus <= query.SegmentIndex.DECAY_OFFSET_US:
+                assert s == pmap[(c, t)]
+        # degenerate scale: multiplier -> 1, ranking collapses to bm25
+        flat = idx.topk_decayed(text, k, scale_us=10**18)
+        base = idx.topk(text, k, "bm25")
+        assert list(flat.conv_id) == list(base.conv_id)
+        assert list(flat.turn_idx) == list(base.turn_idx)
+
+
 def test_has_child_semantics(ray_session, dv_index, duck):
     """has_child: oracle parity at sf0.001; every result conv has a
     user-turn match for clause 1 AND an assistant-turn match for
