@@ -84,6 +84,7 @@ def registry() -> dict:
         "ann_filtered_topk": (similarity.ann_filtered_topk, similarity.ANN_FILTERED_TOPK_SQL),
         "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ann_lsh_topk_sql()),
         "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_TOPK_SQL),
+        "ann_sq8_topk": (similarity.ann_sq8_topk, similarity.ANN_SQ8_TOPK_SQL),
         "kmeans_cells": (similarity.kmeans_cells, similarity.kmeans_cells_sql()),
         # --- percolation (reverse search: stored queries vs doc stream) ---
         "percolate_docs": (percolate.percolate, percolate.percolate_sql()),

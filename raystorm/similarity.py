@@ -600,6 +600,218 @@ WHERE rank <= {TOP_K} ORDER BY query_vec, rank
 
 
 # ---------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN (int8 codes + exact rescore window)
+# ---------------------------------------------------------------------------
+
+#: rescore window: the global top-SQ8_WINDOW by quantized score get
+#: their exact full-precision cosine; the final top-k ranks by that
+SQ8_WINDOW = 30
+
+
+def _sq8_absmax(sf_dir: str) -> float:
+    """Global |x| max of the embedding table — the single quantization
+    scale.  Distributed: one float per block crosses to the driver."""
+    import ray.data as rd
+
+    def part(b: pa.Table) -> pa.Table:
+        m = np.vstack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        vals = [float(np.abs(m).max())] if len(m) else []
+        return pa.table({"a": pa.array(vals, pa.float64())})
+
+    parts = (
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    a = float(parts["a"].max())
+    if not a > 0:
+        raise ValueError("degenerate embedding table: absmax == 0")
+    return a
+
+
+def _sq8_codes(mat: np.ndarray, absmax: float) -> np.ndarray:
+    """Symmetric int8 quantization with ONE global scale:
+    ``clip(round_half_up(x·127/absmax), -127, 127)``, kept as
+    integer-valued float64 so dot products and norms are EXACT in both
+    numpy and SQL (every partial sum is an integer < 2^53 — float
+    addition over exactly-representable integers commutes, which is
+    what makes the approximate scores bit-identical across engines and
+    block orders).  A global scale — unlike per-dimension min/max —
+    keeps the integer dot proportional to the true dot, so code-space
+    cosine IS a quantized cosine."""
+    return np.clip(round_half_up(mat * 127.0 / absmax, 0), -127.0, 127.0)
+
+
+def ann_sq8_topk(sf_dir: str, k: int = TOP_K, window: int = SQ8_WINDOW):
+    """Scalar-quantized (SQ8) approximate top-k with exact rescoring —
+    the ES/Lucene ``int8_hnsw``-style memory path: vectors are scored
+    in 8-bit code space (4× smaller than float32, 8× than float64;
+    at 100 TB the quantized corpus is what stays resident per node),
+    then ONLY the global top-``window`` candidates per query get their
+    full-precision cosine, and the top-``k`` ranks by that exact score.
+
+    Determinism: the quantized score is ``intdot(cq, ce) / (sqrt(
+    intdot(cq,cq)) · sqrt(intdot(ce,ce)))`` — an exact integer dot
+    followed by two correctly-rounded IEEE ops, so engine and oracle
+    agree bit-for-bit BEFORE rounding (no float-sum-association risk,
+    unlike float cosines).  The exact rescore cosine is computed
+    in-batch for window candidates only (the full-precision vector is
+    already in the block — no second read).
+
+    Gate ``ann_sq8_topk``; oracle :data:`ANN_SQ8_TOPK_SQL` (the same
+    quantization as a ``list_transform`` lambda, dots via
+    ``list_inner_product``).  Recall vs the exact baseline is pinned
+    in pytest (window ≫ k makes quantization-rank inversions inside
+    the window harmless)."""
+    import ray
+    import ray.data as rd
+
+    absmax = _sq8_absmax(sf_dir)
+    qids, qraw = _load_queries_raw(sf_dir)
+    qmat = qraw / np.linalg.norm(qraw, axis=1, keepdims=True)
+    qcodes = _sq8_codes(qraw, absmax)
+    qnorm = np.sqrt((qcodes * qcodes).sum(axis=1))
+    ref = ray.put((qids, qmat, qcodes, qnorm, absmax))
+
+    class Sq8Partial:
+        """block -> per-query top-``window`` by quantized score, with
+        each emitted row's exact cosine attached (rescore-in-place)."""
+
+        def __init__(self, ref, window):
+            self.ref = ref
+            self.window = window
+            self._m = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._m is None:
+                obj = self.ref
+                self._m = _get_ref(obj) if not isinstance(obj, tuple) else obj
+            qids, qmat, qcodes, qnorm, absmax = self._m
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            codes = _sq8_codes(m, absmax)
+            enorm = np.sqrt((codes * codes).sum(axis=1))
+            acos = (qcodes @ codes.T) / (qnorm[:, None] * enorm[None, :])
+            mnorm = m / np.linalg.norm(m, axis=1, keepdims=True)
+            out = []
+            for i, qid in enumerate(qids):
+                idx = np.nonzero(vids != qid)[0]
+                if len(idx) == 0:
+                    continue
+                sub = acos[i][idx]
+                take = idx[
+                    np.lexsort((vids[idx], -round_half_up(sub, ROUND)))[: self.window]
+                ]
+                exact = mnorm[take] @ qmat[i]
+                out.append(
+                    (np.full(len(take), qid, np.int64), vids[take], acos[i][take], exact)
+                )
+            if not out:
+                return pa.table(
+                    {
+                        "query_vec": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "acos": pa.array([], pa.float64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_vec": pa.array(np.concatenate([o[0] for o in out]), pa.int64()),
+                    "vec_id": pa.array(np.concatenate([o[1] for o in out]), pa.int64()),
+                    "acos": pa.array(np.concatenate([o[2] for o in out]), pa.float64()),
+                    "cosine": pa.array(np.concatenate([o[3] for o in out]), pa.float64()),
+                }
+            )
+
+    cand = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        .map_batches(Sq8Partial(ref, window), batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = []
+    for qid, g in cand.groupby("query_vec", sort=True):
+        # global window by quantized score (same rule as the per-block
+        # partials), then the final rank by the exact cosine
+        ra = round_half_up(g["acos"].to_numpy(), ROUND)
+        wsel = g.iloc[np.lexsort((g["vec_id"].to_numpy(), -ra))[:window]]
+        re = round_half_up(wsel["cosine"].to_numpy(), ROUND)
+        order = np.lexsort((wsel["vec_id"].to_numpy(), -re))[:k]
+        sel = wsel.iloc[order]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_vec": np.full(len(sel), qid, np.int64),
+                    "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                    "vec_id": sel["vec_id"].to_numpy(),
+                    "cosine": round_half_up(sel["cosine"].to_numpy(), ROUND),
+                    "approx_cosine": round_half_up(sel["acos"].to_numpy(), ROUND),
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(
+            {"query_vec": [], "rank": [], "vec_id": [], "cosine": [], "approx_cosine": []}
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+#: DuckDB 1.0 forbids subqueries inside lambdas — the absmax scalar
+#: arrives in lambda scope via a CROSS JOIN column instead
+_SQ8_CODE_LAMBDA = (
+    "list_transform(CAST({col} AS DOUBLE[]), "
+    "x -> least(greatest(round(x * 127.0 / a, 0), -127.0), 127.0))"
+)
+
+ANN_SQ8_TOPK_SQL = f"""
+WITH amax AS (
+  SELECT max(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')) AS a
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, {_SQ8_CODE_LAMBDA.format(col='embedding')} AS c
+  FROM embeddings CROSS JOIN amax
+),
+norms AS (SELECT vec_id, sqrt(list_inner_product(c, c)) AS nn FROM codes),
+approx AS (
+  SELECT q.vec_id AS query_vec, e.vec_id,
+         list_inner_product(q.c, e.c) / (nq.nn * ne.nn) AS acos
+  FROM codes q
+  JOIN norms nq ON nq.vec_id = q.vec_id
+  JOIN codes e ON e.vec_id <> q.vec_id
+  JOIN norms ne ON ne.vec_id = e.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+wind AS (
+  SELECT query_vec, vec_id, acos FROM (
+    SELECT query_vec, vec_id, acos,
+           row_number() OVER (PARTITION BY query_vec
+             ORDER BY round(acos, {ROUND}) DESC, vec_id) AS rn
+    FROM approx
+  ) WHERE rn <= {SQ8_WINDOW}
+),
+resc AS (
+  SELECT w.query_vec, w.vec_id,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ee.embedding AS DOUBLE[])), {ROUND}) AS cosine,
+         round(w.acos, {ROUND}) AS approx_cosine
+  FROM wind w
+  JOIN embeddings qe ON qe.vec_id = w.query_vec
+  JOIN embeddings ee ON ee.vec_id = w.vec_id
+),
+ranked AS (
+  SELECT query_vec,
+         CAST(row_number() OVER (PARTITION BY query_vec ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank,
+         vec_id, cosine, approx_cosine
+  FROM resc
+)
+SELECT query_vec, rank, vec_id, cosine, approx_cosine FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_vec, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # spherical k-means (iterative algorithm over embeddings — Lloyd's
 # iterations with a deterministic data-derived init, so the SQL oracle
 # can unroll them exactly like textrank's)

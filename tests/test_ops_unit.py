@@ -167,6 +167,33 @@ def test_dedup_embedding_ivf_subset_and_recall(ray_session):
     assert len(ki) / max(1, len(kx)) >= 0.7  # measured 0.86 (2-probe) on sf data
 
 
+def test_ann_sq8_recall_and_code_space(ray_session):
+    """SQ8 quantized ANN: codes are integer-valued int8-range floats,
+    the quantized approximation keeps high recall vs the exact
+    baseline (window >> k absorbs quantization rank inversions), and
+    emitted exact cosines equal the baseline's for shared hits."""
+    from raystorm import similarity
+
+    sf = "/root/testdata/sf0.001"
+    a = similarity._sq8_absmax(sf)
+    _ids, qraw = similarity._load_queries_raw(sf)
+    codes = similarity._sq8_codes(qraw, a)
+    assert (codes == np.floor(codes)).all()
+    assert codes.min() >= -127.0 and codes.max() <= 127.0
+    exact = similarity.ann_cosine_topk(sf)
+    sq8 = similarity.ann_sq8_topk(sf)
+    kx = set(zip(exact.query_vec, exact.vec_id))
+    ks = set(zip(sq8.query_vec, sq8.vec_id))
+    recall = len(ks & kx) / max(1, len(kx))
+    assert recall >= 0.9, recall
+    ex = {(q, v): c for q, v, c in zip(exact.query_vec, exact.vec_id, exact.cosine)}
+    for q, v, c in zip(sq8.query_vec, sq8.vec_id, sq8.cosine):
+        if (q, v) in ex:
+            assert c == ex[(q, v)]
+    # approximate scores sit near their exact counterparts (8-bit error)
+    assert (np.abs(sq8.approx_cosine - sq8.cosine) < 0.05).all()
+
+
 def test_range_join_interval_semantics():
     """Spec check of the banded range join's interval math (the same
     searchsorted probes rjoin uses): strict upper bound, 10-minute
