@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from . import (
     analysis,
+    bpe,
     curate,
     dedup,
     events,
@@ -63,6 +64,9 @@ def registry() -> dict:
         "sketch_union_users": (sketches.sketch_union_users, sketches.SKETCH_UNION_USERS_SQL),
         "heavy_hitters_users": (sketches.heavy_hitters_users, sketches.HEAVY_HITTERS_USERS_SQL),
         "sketch_quantiles_value": (sketches.sketch_quantiles_value, sketches.SKETCH_QUANTILES_VALUE_SQL),
+        # --- tokenizer training (BPE merge learning) ---
+        "bpe_merges": (bpe.bpe_merges, bpe.bpe_merges_sql()),
+        "bpe_vocab": (bpe.bpe_vocab, bpe.bpe_vocab_sql()),
         # --- corpus n-gram family (decontamination / repetition / LM counts) ---
         "decontaminate": (ngrams.decontaminate, ngrams.decontaminate_sql()),
         "repetition_stats": (ngrams.repetition_stats, ngrams.repetition_stats_sql()),

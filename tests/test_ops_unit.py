@@ -194,6 +194,52 @@ def test_ann_sq8_recall_and_code_space(ray_session):
     assert (np.abs(sq8.approx_cosine - sq8.cosine) < 0.05).all()
 
 
+def test_bpe_learn_semantics():
+    """BPE trainer invariants on a hand-built vocabulary: overlapping
+    pairs count per Sennrich (aaa -> 2x (a,a)) but apply left-to-right
+    non-overlapping (aaaa -> aa aa); ties break (count desc, pair
+    lexicographic); merged pieces always concatenate back to the word."""
+    from raystorm import bpe
+
+    wf = pd.DataFrame({"term": ["aaaa", "abab"], "freq": [3, 2]})
+    merges, wid, sym = bpe.learn_bpe(wf, k=1)
+    # pair counts: (a,a) = 3*3 = 9 overlapping; (a,b) = 2*2=4; (b,a) = 2
+    assert list(merges.iloc[0][["lhs", "rhs", "pair_count"]]) == ["a", "a", 9]
+    # application: aaaa -> [aa, aa] (non-overlap), abab untouched
+    segs = {}
+    terms = wf["term"].to_numpy(str)
+    for w, s in zip(wid, sym):
+        segs.setdefault(terms[w], []).append(s)
+    assert segs["aaaa"] == ["aa", "aa"]
+    assert segs["abab"] == ["a", "b", "a", "b"]
+    # odd run: aaa -> [aa, a]
+    wf2 = pd.DataFrame({"term": ["aaa"], "freq": [1]})
+    _m2, wid2, sym2 = bpe.learn_bpe(wf2, k=1)
+    assert list(sym2) == ["aa", "a"]
+    # tie rule: (a,b) and (c,d) both count 1 -> lexicographically first wins
+    wf3 = pd.DataFrame({"term": ["ab", "cd"], "freq": [1, 1]})
+    m3, _w3, _s3 = bpe.learn_bpe(wf3, k=1)
+    assert list(m3.iloc[0][["lhs", "rhs"]]) == ["a", "b"]
+    # exhaustion: merges stop when no pairs remain
+    m4, _w4, s4 = bpe.learn_bpe(pd.DataFrame({"term": ["ab"], "freq": [1]}), k=5)
+    assert len(m4) == 1 and list(s4) == ["ab"]
+
+
+def test_bpe_gate_pieces_rebuild(ray_session):
+    """bpe_vocab over real corpus data: pieces concatenate back to the
+    term, n_pieces matches, and every learned merge's concatenation
+    appears as a piece somewhere or was itself merged further."""
+    from raystorm import bpe
+
+    sf = "/root/testdata/sf0.001"
+    vocab = bpe.bpe_vocab(sf)
+    assert (vocab["pieces"].str.replace(" ", "") == vocab["term"]).all()
+    assert (vocab["pieces"].str.split(" ").str.len() == vocab["n_pieces"]).all()
+    merges = bpe.bpe_merges(sf)
+    assert list(merges["step"]) == list(range(1, len(merges) + 1))
+    assert (merges["pair_count"].to_numpy()[:-1] >= 0).all()
+
+
 def test_range_join_interval_semantics():
     """Spec check of the banded range join's interval math (the same
     searchsorted probes rjoin uses): strict upper bound, 10-minute
