@@ -403,6 +403,48 @@ def _q_compacted_term_stats(sf_dir: str):
     return pdf.sort_values("term").reset_index(drop=True)
 
 
+def _split_index_for(sf_dir: str) -> str:
+    """Split the base index 2-way by docid range (cached per sf_dir)."""
+    from raystorm import compact
+
+    index_dir = _index_for(sf_dir)
+    out_dir = index_dir + "-split"
+    if not os.path.isfile(os.path.join(out_dir, "manifest.json")):
+        compact.split_index(index_dir, out_dir, factor=2)
+    return out_dir
+
+
+def _q_split_term_stats(sf_dir: str):
+    """Split the index (each partition sliced into docid-range shards —
+    the ES _split / shard-rebalance analog, the dual of compaction) and
+    re-derive df/cf by summing the per-shard dictionary rows — the same
+    SQL oracle as term_stats proves slicing dropped and duplicated
+    nothing (compact.split_index)."""
+    import pyarrow.parquet as pq
+
+    out_dir = _split_index_for(sf_dir)
+    frames = []
+    parts_dir = os.path.join(out_dir, "parts")
+    for name in sorted(os.listdir(parts_dir)):
+        frames.append(
+            pq.read_table(
+                os.path.join(parts_dir, name, "terms.parquet"),
+                columns=["field", "term", "df", "cf"],
+            ).to_pandas()
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    pdf = pdf[pdf.field == "text"].drop(columns=["field"])
+    pdf = pdf.groupby("term", as_index=False)[["df", "cf"]].sum()
+    return pdf.sort_values("term").reset_index(drop=True)
+
+
+def _q_topk_bm25_split(sf_dir: str):
+    """Reference BM25 queries over the SPLIT index — same oracle as
+    topk_bm25: a docid-range split must be rank-invisible to every
+    query (runs re-merge in first_docid order on read)."""
+    return _run_reference_queries(sf_dir, "bm25", index_dir=_split_index_for(sf_dir))
+
+
 def _q_term_stats(sf_dir: str):
     """Exact df/cf per body term — the stats the reference never computes
     (hardcoded N, df-from-string-length; SearchServer.java:17,123)."""
@@ -1312,6 +1354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_segment_stats": _q_index_segment_stats,
         "term_stats": _q_term_stats,
         "compacted_term_stats": _q_compacted_term_stats,
+        "split_term_stats": _q_split_term_stats,
+        "topk_bm25_split": _q_topk_bm25_split,
         "corpus_stats": _q_corpus_stats,
         "topk_bm25": _q_topk_bm25,
         "topk_bm25_pruned": _q_topk_bm25_pruned,
@@ -1428,6 +1472,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT count(*) FROM tokens) AS BIGINT) AS total_tokens, "
             "round(avgdl, 6) AS avgdl FROM gstats"
         ),
+        "split_term_stats": (
+            f"WITH {query.corpus_ctes()} "
+            "SELECT t.term, CAST(count(*) AS BIGINT) AS df, CAST(sum(t.tf) AS BIGINT) AS cf "
+            "FROM tfs t GROUP BY t.term ORDER BY t.term"
+        ),
+        "topk_bm25_split": query.bm25_topk_sql(),
         "topk_bm25": query.bm25_topk_sql(),
         "topk_bm25_pruned": query.bm25_topk_sql(),
         "topk_bm25_sharded": query.bm25_topk_sql(),
