@@ -144,6 +144,10 @@ BENCH_NAMES = (
     "percolate_docs",
     "heavy_hitters_users",
     "dedup_novel",
+    # session-3 additions
+    "ann_sq8_topk",
+    "bpe_merges",
+    "sketch_quantiles_value",
 )
 
 
