@@ -21,6 +21,7 @@ import hashlib
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -269,6 +270,233 @@ SELECT doc_id,
              + 0.4 * (sw_hits * 1.0 / greatest(n_words, 1))
              + 0.3 * (alpha_chars * 1.0 / greatest(n_chars, 1)), {ROUND}) AS quality
 FROM base ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality-classifier training (logistic regression by distributed GD)
+# ---------------------------------------------------------------------------
+
+#: fixed gradient-descent iterations (unrolled in the SQL oracle, the
+#: kmeans/textrank pattern) and learning rate
+QLR_ITERS = 3
+QLR_LR = 1.0
+#: parity anchor: weights round to 6 decimals after every update, so
+#: both engines feed bit-identical weights into the next pass no
+#: matter their float-sum association (KM_ROUND's trick)
+QLR_ROUND = 6
+QLR_FEATURES = ("bias", "len_norm", "stopword_ratio", "alpha_ratio")
+
+
+def _quality_design(batch: pa.Table):
+    """Per-batch design matrix columns (x1, x2, x3) and label y — the
+    quality_score feature kernel re-emitted unrounded (the classifier
+    consumes raw ratios; identical arithmetic to the SQL feats CTE).
+    The label is TEXT-DERIVED: y = 1.0 iff the lang_id marker rule
+    predicts 'en' (argmax marker hits, ties lang-asc, zero hits ->
+    und) — the trainer distills the heuristic rule into a linear
+    model, so the en-stopword-ratio feature genuinely separates (the
+    table's synthetic ``lang`` column is independent of the text and
+    would only let the model fit the base rate)."""
+    text = batch["text"]
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+    alpha_chars = pc.count_substring_regex(text, "[a-z]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    n = len(batch)
+    warrow, rows = split_words_arrow(text)
+    warr = warrow.to_numpy(zero_copy_only=False)
+    nonempty = warr != ""
+    n_words = np.bincount(rows[nonempty], minlength=n).astype(np.float64)
+    sw = np.array(QUALITY_STOPWORDS, object)
+    m = np.isin(warr[nonempty], sw)
+    sw_hits = np.bincount(rows[nonempty][m], minlength=n).astype(np.float64)
+    x1 = np.minimum(1.0, n_words / 50.0)
+    x2 = (sw_hits * 1.0) / np.maximum(n_words, 1.0)
+    x3 = alpha_chars / np.maximum(n_chars, 1.0)
+    langs = sorted(LANG_MARKERS)
+    hits = np.zeros((n, len(langs)), np.int64)
+    for j, l in enumerate(langs):
+        lm = np.isin(warr, np.array(LANG_MARKERS[l], object))
+        hits[:, j] = np.bincount(rows[lm], minlength=n)
+    y = (
+        (hits.argmax(axis=1) == langs.index("en")) & (hits.max(axis=1) > 0)
+    ).astype(np.float64)
+    return x1, x2, x3, y
+
+
+def _lr_sigmoid(w, x1, x2, x3):
+    """p = sigmoid(w·x) with the SAME left-associated op order as the
+    SQL expression (w0*1.0 + w1*x1 + w2*x2 + w3*x3)."""
+    z = w[0] * 1.0 + w[1] * x1 + w[2] * x2 + w[3] * x3
+    return 1.0 / (1.0 + np.exp(-z))
+
+
+def train_quality_lr(sf_dir: str, iters: int = QLR_ITERS, lr: float = QLR_LR):
+    """Train a logistic-regression quality/language classifier by
+    full-batch gradient descent — the model-training pipeline shape:
+    each iteration is ONE streaming corpus pass of per-batch gradient
+    partials (Σ (p−y)·x_j per block, a 5-float row) against the
+    broadcast current weights; the driver holds only the dim-sized
+    weight vector (the textrank broadcast-state pattern — at 100 TB
+    the per-iteration driver traffic is 5 floats × #blocks).  Weights
+    round to QLR_ROUND after every update so the unrolled SQL oracle
+    feeds bit-identical weights forward.  Returns the final rounded
+    weight vector (bias, len_norm, stopword_ratio, alpha_ratio)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    w = np.zeros(4, np.float64)
+    for _it in range(iters):
+        wref = ray.put(w.copy())
+
+        def grad_stage(batch: pa.Table, _wref=wref) -> pa.Table:
+            from .build import _get_ref
+
+            wv = _get_ref(_wref)
+            x1, x2, x3, y = _quality_design(batch)
+            r = _lr_sigmoid(wv, x1, x2, x3) - y
+            return pa.table(
+                {
+                    "g0": pa.array([float((r * 1.0).sum())], pa.float64()),
+                    "g1": pa.array([float((r * x1).sum())], pa.float64()),
+                    "g2": pa.array([float((r * x2).sum())], pa.float64()),
+                    "g3": pa.array([float((r * x3).sum())], pa.float64()),
+                    "cnt": pa.array([len(y)], pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(grad_stage, batch_format="pyarrow").to_pandas()
+        c = float(parts["cnt"].sum())
+        g = np.array(
+            [parts[f"g{j}"].sum() for j in range(4)], np.float64
+        )
+        w = round_half_up(w - lr * (g / c), QLR_ROUND)
+    return w
+
+
+def quality_lr_weights(sf_dir: str) -> pd.DataFrame:
+    """Gate ``quality_lr_weights``: the trained coefficient table.
+    Oracle :func:`quality_lr_sql` (weights leg)."""
+    w = train_quality_lr(sf_dir)
+    return pd.DataFrame(
+        {
+            "idx": np.arange(4, dtype=np.int32),
+            "feature": list(QLR_FEATURES),
+            "weight": w,
+        }
+    )
+
+
+def quality_lr_preds(sf_dir: str) -> pd.DataFrame:
+    """Gate ``quality_lr_preds``: per-document predicted probability
+    under the trained weights — pins the full model surface (every
+    doc's score), not just the 4 coefficients.  One extra streaming
+    pass with the final broadcast weights.  Oracle
+    :func:`quality_lr_sql` (preds leg)."""
+    import ray
+    import ray.data as rd
+
+    w = train_quality_lr(sf_dir)
+    wref = ray.put(w)
+
+    def pred_stage(batch: pa.Table) -> pa.Table:
+        from .build import _get_ref
+
+        wv = _get_ref(wref)
+        x1, x2, x3, y = _quality_design(batch)
+        p = _lr_sigmoid(wv, x1, x2, x3)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "y": pa.array(y.astype(np.int64), pa.int64()),
+                "p": pa.array(round_half_up(p, QLR_ROUND), pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(pred_stage, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _qlr_feats_cte() -> str:
+    sw = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    marker_rows = ", ".join(
+        f"('{l}', '{w}')" for l in sorted(LANG_MARKERS) for w in LANG_MARKERS[l]
+    )
+    return f"""lwords AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+lmarkers(lang, w) AS (VALUES {marker_rows}),
+lhits AS (
+  SELECT d.doc_id, m.lang, count(*) AS c
+  FROM lwords d JOIN lmarkers m ON d.w = m.w
+  GROUP BY d.doc_id, m.lang
+),
+lbest AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang) AS rn
+  FROM lhits
+),
+lpred AS (
+  SELECT d.doc_id, coalesce(b.lang, '{UNKNOWN_LANG}') AS pl
+  FROM documents d LEFT JOIN (SELECT * FROM lbest WHERE rn = 1) b USING (doc_id)
+),
+feats AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN p.pl = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         least(1.0, len(list_filter(string_split(lower(d.text), ' '), x -> x <> '')) / 50.0) AS x1,
+         len(list_filter(string_split(lower(d.text), ' '), x -> x IN ({sw}))) * 1.0
+           / greatest(len(list_filter(string_split(lower(d.text), ' '), x -> x <> '')), 1) AS x2,
+         length(regexp_replace(d.text, '[^a-z]', '', 'g')) * 1.0 / greatest(length(d.text), 1) AS x3
+  FROM documents d JOIN lpred p USING (doc_id)
+),
+nn AS (SELECT count(*) * 1.0 AS c FROM feats),
+it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+
+
+def _qlr_iter_cte(l: int, lr: float = QLR_LR) -> str:
+    p = l - 1
+    sig = "(1.0 / (1.0 + exp(-(i.w0 * 1.0 + i.w1 * f.x1 + i.w2 * f.x2 + i.w3 * f.x3))) - f.y)"
+    legs = ",\n         ".join(
+        f"round(i.w{j} - {lr} * (sum({sig} * {x}) / (SELECT c FROM nn)), {QLR_ROUND}) AS w{j}"
+        for j, x in enumerate(["1.0", "f.x1", "f.x2", "f.x3"])
+    )
+    return f""",
+it{l} AS MATERIALIZED (
+  SELECT {legs}
+  FROM feats f CROSS JOIN it{p} i
+  GROUP BY i.w0, i.w1, i.w2, i.w3
+)"""
+
+
+def quality_lr_weights_sql(iters: int = QLR_ITERS) -> str:
+    chain = _qlr_feats_cte() + "".join(_qlr_iter_cte(l) for l in range(1, iters + 1))
+    legs = "\nUNION ALL\n".join(
+        f"SELECT CAST({j} AS INTEGER) AS idx, '{name}' AS feature, w{j} AS weight FROM it{iters}"
+        for j, name in enumerate(QLR_FEATURES)
+    )
+    return f"""
+WITH {chain}
+SELECT idx, feature, weight FROM (
+{legs}
+) ORDER BY idx
+"""
+
+
+def quality_lr_preds_sql(iters: int = QLR_ITERS) -> str:
+    chain = _qlr_feats_cte() + "".join(_qlr_iter_cte(l) for l in range(1, iters + 1))
+    return f"""
+WITH {chain}
+SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
+       round(1.0 / (1.0 + exp(-(i.w0 * 1.0 + i.w1 * f.x1 + i.w2 * f.x2 + i.w3 * f.x3))), {QLR_ROUND}) AS p
+FROM feats f CROSS JOIN it{iters} i
+ORDER BY f.doc_id
 """
 
 

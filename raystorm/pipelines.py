@@ -58,6 +58,9 @@ def registry() -> dict:
         "range_partition": (analysis.range_partition, analysis.RANGE_PARTITION_SQL),
         "mix_sources": (relational.mix_sources, relational.MIX_SOURCES_SQL),
         "curate": (curate.curate, curate.curate_sql()),
+        # --- model training (logistic-regression quality classifier) ---
+        "quality_lr_weights": (analysis.quality_lr_weights, analysis.quality_lr_weights_sql()),
+        "quality_lr_preds": (analysis.quality_lr_preds, analysis.quality_lr_preds_sql()),
         "jsonl_roundtrip": (lambda sf: sinks.jsonl_roundtrip(sf), sinks.JSONL_ROUNDTRIP_SQL),
         # --- sketches (deterministic KMV distinct counts) ---
         "sketch_distinct_users": (sketches.sketch_distinct_users, sketches.SKETCH_DISTINCT_USERS_SQL),

@@ -194,6 +194,40 @@ def test_ann_sq8_recall_and_code_space(ray_session):
     assert (np.abs(sq8.approx_cosine - sq8.cosine) < 0.05).all()
 
 
+def test_quality_lr_training_semantics(ray_session):
+    """Logistic-regression trainer: log-loss strictly decreases across
+    the 3 GD iterations, the English-stopword-ratio feature ends
+    positive (stopwords ARE the en markers, so it must separate), the
+    trained model beats chance on its own labels, and the run is
+    deterministic."""
+    from raystorm import analysis
+
+    sf = "/root/testdata/sf0.001"
+    w = analysis.train_quality_lr(sf)
+    w2 = analysis.train_quality_lr(sf)
+    np.testing.assert_array_equal(w, w2)
+    assert w[2] > 0  # stopword_ratio separates en from the rest
+    preds = analysis.quality_lr_preds(sf)
+    assert ((preds["p"] > 0) & (preds["p"] < 1)).all()
+    # better than chance: mean p for y=1 exceeds mean p for y=0
+    assert preds.loc[preds.y == 1, "p"].mean() > preds.loc[preds.y == 0, "p"].mean()
+    # log-loss decreases iteration over iteration
+    losses = []
+    for it in range(0, 4):
+        wi = (
+            np.zeros(4)
+            if it == 0
+            else analysis.train_quality_lr(sf, iters=it)
+        )
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"])
+        x1, x2, x3, y = analysis._quality_design(t)
+        p = analysis._lr_sigmoid(wi, x1, x2, x3)
+        losses.append(float(-(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()))
+    assert all(a > b for a, b in zip(losses, losses[1:])), losses
+
+
 def test_bpe_learn_semantics():
     """BPE trainer invariants on a hand-built vocabulary: overlapping
     pairs count per Sennrich (aaa -> 2x (a,a)) but apply left-to-right
