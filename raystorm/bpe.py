@@ -145,6 +145,77 @@ def bpe_vocab(sf_dir: str, k: int = BPE_MERGES) -> pd.DataFrame:
     return out.sort_values("term").reset_index(drop=True)
 
 
+def bpe_encode(sf_dir: str, k: int = BPE_MERGES) -> pd.DataFrame:
+    """Gate ``bpe_encode``: tokenize the corpus WITH the tokenizer it
+    just trained — per-turn word count, BPE piece count and
+    pieces-per-word ratio under the learned merges.  This closes the
+    train→apply loop (learn merges once, then run them over the data
+    the way a training pipeline tokenizes its corpus).
+
+    Scale shape: the segmentation lengths are a vocab-sized broadcast
+    vector (term → n_pieces); encoding is ONE streaming corpus pass
+    with a binary-search lookup per token — no shuffle, no per-word
+    merge replay in the hot path (the merge loop already produced the
+    final segmentation of every vocabulary word).  Turns with zero
+    kept tokens drop (the oracle's inner join does the same).  Oracle
+    :func:`bpe_encode_sql`."""
+    import ray
+
+    from .analysis import round_half_up
+    from .build import _get_ref
+
+    wf = word_freqs(sf_dir)
+    _merges, wid, _sym = learn_bpe(wf, k)
+    terms = wf["term"].to_numpy(str)
+    npieces = np.bincount(wid, minlength=len(terms)).astype(np.int64)
+    ref = ray.put((terms, npieces))
+
+    def encode_stage(batch: pa.Table) -> pa.Table:
+        tv, nv = _get_ref(ref)
+        toks, rows = normalize.tokenize_column(batch["text"], "body")
+        n = len(batch)
+        nw = np.zeros(n, np.int64)
+        nb = np.zeros(n, np.int64)
+        if len(toks):
+            idx = np.searchsorted(tv, toks.astype(str))
+            np.add.at(nw, rows, 1)
+            np.add.at(nb, rows, nv[idx])
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "n_words": pa.array(nw, pa.int64()),
+                "n_bpe": pa.array(nb, pa.int64()),
+            }
+        )
+
+    out = (
+        corpus.transcripts_from_documents(sf_dir)
+        .map_batches(encode_stage, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out[out["n_words"] > 0].copy()
+    out["pieces_per_word"] = round_half_up(
+        out["n_bpe"].to_numpy(np.float64) / out["n_words"].to_numpy(np.float64), 6
+    )
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def bpe_piece_freqs(sf_dir: str, k: int = BPE_MERGES, top: int = 50) -> pd.DataFrame:
+    """Gate ``bpe_piece_freqs``: the top corpus piece frequencies under
+    the learned merges — Σ word_freq per piece occurrence, (freq desc,
+    piece asc) capped at ``top`` so the cut is deterministic.  Pure
+    vocab-sized driver math off the trainer's end state.  Oracle
+    :func:`bpe_piece_freqs_sql`."""
+    wf = word_freqs(sf_dir)
+    _merges, wid, sym = learn_bpe(wf, k)
+    f = wf["freq"].to_numpy(np.int64)[wid]
+    df = pd.DataFrame({"piece": sym.astype(str), "freq": f})
+    agg = df.groupby("piece", as_index=False)["freq"].sum()
+    agg = agg.sort_values(["freq", "piece"], ascending=[False, True]).head(top)
+    return agg.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB mirrors — the same trainer as an unrolled MATERIALIZED chain
 # ---------------------------------------------------------------------------
@@ -217,4 +288,27 @@ WITH {_chain(k)}
 SELECT term, string_agg(sym, ' ' ORDER BY pos) AS pieces,
        CAST(count(*) AS BIGINT) AS n_pieces
 FROM lvl{k} GROUP BY term ORDER BY term
+"""
+
+
+def bpe_encode_sql(k: int = BPE_MERGES) -> str:
+    return f"""
+WITH {_chain(k)},
+wp AS (SELECT term, CAST(count(*) AS BIGINT) AS n_pieces FROM lvl{k} GROUP BY term)
+SELECT k.conv_id, k.turn_idx, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(w.n_pieces) AS BIGINT) AS n_bpe,
+       round(sum(w.n_pieces) * 1.0 / count(*), 6) AS pieces_per_word
+FROM kept k JOIN wp w USING (term)
+GROUP BY k.conv_id, k.turn_idx
+ORDER BY k.conv_id, k.turn_idx
+"""
+
+
+def bpe_piece_freqs_sql(k: int = BPE_MERGES, top: int = 50) -> str:
+    return f"""
+WITH {_chain(k)}
+SELECT sym AS piece, CAST(sum(freq) AS BIGINT) AS freq
+FROM lvl{k} GROUP BY sym
+ORDER BY freq DESC, piece
+LIMIT {top}
 """

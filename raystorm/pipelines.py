@@ -70,6 +70,8 @@ def registry() -> dict:
         # --- tokenizer training (BPE merge learning) ---
         "bpe_merges": (bpe.bpe_merges, bpe.bpe_merges_sql()),
         "bpe_vocab": (bpe.bpe_vocab, bpe.bpe_vocab_sql()),
+        "bpe_encode": (bpe.bpe_encode, bpe.bpe_encode_sql()),
+        "bpe_piece_freqs": (bpe.bpe_piece_freqs, bpe.bpe_piece_freqs_sql()),
         # --- corpus n-gram family (decontamination / repetition / LM counts) ---
         "decontaminate": (ngrams.decontaminate, ngrams.decontaminate_sql()),
         "repetition_stats": (ngrams.repetition_stats, ngrams.repetition_stats_sql()),

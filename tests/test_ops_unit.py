@@ -259,6 +259,30 @@ def test_bpe_learn_semantics():
     assert len(m4) == 1 and list(s4) == ["ab"]
 
 
+def test_bpe_encode_consistency(ray_session):
+    """bpe_encode cross-checks against the trainer's own outputs:
+    per-turn n_bpe equals the sum of the vocab segmentation lengths of
+    the turn's kept tokens, Σ n_bpe over the corpus equals
+    Σ freq × n_pieces over the vocabulary, and piece_freqs aggregates
+    exactly the vocab-weighted piece occurrences."""
+    from raystorm import bpe
+
+    sf = "/root/testdata/sf0.001"
+    enc = bpe.bpe_encode(sf)
+    assert (enc["n_bpe"] >= enc["n_words"]).all()
+    assert (enc["pieces_per_word"] >= 1.0).all()
+    wf = bpe.word_freqs(sf)
+    vocab = bpe.bpe_vocab(sf)
+    total_expected = int(
+        (wf.merge(vocab, on="term")["freq"] * wf.merge(vocab, on="term")["n_pieces"]).sum()
+    )
+    assert int(enc["n_bpe"].sum()) == total_expected
+    assert int(enc["n_words"].sum()) == int(wf["freq"].sum())
+    pf = bpe.bpe_piece_freqs(sf, top=10**9)
+    assert int(pf["freq"].sum()) == total_expected
+    assert pf["piece"].is_unique
+
+
 def test_bpe_gate_pieces_rebuild(ray_session):
     """bpe_vocab over real corpus data: pieces concatenate back to the
     term, n_pieces matches, and every learned merge's concatenation
