@@ -1369,3 +1369,86 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
 FROM words JOIN cf USING (w) CROSS JOIN tot
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature embeddings (the "hashing trick" — Weinberger et al.,
+# ICML 2009; public algorithm).  Turns text into fixed-dimension vectors
+# with NO trained model and NO vocabulary state: each word hashes to a
+# bucket and a sign, buckets accumulate, the vector L2-normalizes.  The
+# cheap "embed the corpus" stage that feeds the ANN / embedding-dedup
+# family (similarity.py, dedup.py) when no learned embedder is available.
+# ---------------------------------------------------------------------------
+
+#: embedding dimensionality (small so the long-format gate stays cheap;
+#: production would use 2^18+ buckets — the shape is identical)
+EMBED_D = 16
+
+
+def embed_hashed(sf_dir: str):
+    """Feature-hashed document embeddings in long form.
+
+    Per word ``w`` (lowercased, ``' '``-split, ``''`` dropped):
+    ``dim = md5int60(w) % EMBED_D`` and sign ``+1/-1`` from the next bit
+    (``(h // EMBED_D) % 2``) — the signed hashing trick, which makes
+    bucket collisions cancel in expectation.  Per-doc bucket sums are
+    L2-normalized; output rows ``(doc_id, dim, val)`` for nonzero
+    buckets only, ``val = round(raw / ||raw||, 6)``.
+
+    Scale shape: one stateless ``map_batches`` pass — each doc is one
+    row, so the (rows x EMBED_D) accumulation is per-batch dense numpy
+    with no shuffle, no model broadcast, no driver state; output is
+    corpus x EMBED_D long rows at most.  This is the degenerate-cheap
+    end of the reference's per-document feature extraction
+    (``/root/reference/src/cis5550/jobs/Indexer.java`` term loop), recast
+    as a vectorized batch kernel.
+    """
+    import ray.data as rd
+
+    def emb(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        warrow, rows = split_words_arrow(batch["text"])
+        warr = warrow.to_numpy(zero_copy_only=False)
+        mask = warr != ""
+        dense = np.zeros((n, EMBED_D), np.float64)
+        if mask.any():
+            h = md5int60_np(warr[mask])
+            dim = h % EMBED_D
+            sign = 1.0 - 2.0 * ((h // EMBED_D) % 2)
+            np.add.at(dense, (rows[mask], dim), sign)
+        nrm = np.sqrt((dense * dense).sum(axis=1))
+        r, d = np.nonzero(dense)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[r], pa.int64()),
+                "dim": pa.array(d.astype(np.int64), pa.int64()),
+                "val": pa.array(round_half_up(dense[r, d] / nrm[r], ROUND)),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(emb, batch_format="pyarrow").sort(["doc_id", "dim"])
+
+
+EMBED_HASHED_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {md5int60_sql('w')} AS hv
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+feat AS (
+  SELECT doc_id, hv % {EMBED_D} AS dim,
+         CAST(sum(CASE WHEN (hv // {EMBED_D}) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS raw
+  FROM h GROUP BY doc_id, dim
+),
+norms AS (
+  SELECT doc_id, sqrt(sum(CAST(raw * raw AS DOUBLE))) AS nrm FROM feat GROUP BY doc_id
+)
+SELECT f.doc_id, f.dim, round(f.raw / n.nrm, {ROUND}) AS val
+FROM feat f JOIN norms n USING (doc_id)
+WHERE f.raw <> 0
+ORDER BY f.doc_id, f.dim
+"""

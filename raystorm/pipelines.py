@@ -54,6 +54,7 @@ def registry() -> dict:
         "length_quantiles": (analysis.length_quantiles, analysis.LENGTH_QUANTILES_SQL),
         "keywords_tfidf": (analysis.keywords_tfidf, analysis.KEYWORDS_TFIDF_SQL),
         "unigram_logprob": (analysis.unigram_logprob, analysis.UNIGRAM_LOGPROB_SQL),
+        "embed_hashed": (analysis.embed_hashed, analysis.EMBED_HASHED_SQL),
         "pack_sequences": (analysis.pack_sequences, analysis.PACK_SEQUENCES_SQL),
         "range_partition": (analysis.range_partition, analysis.RANGE_PARTITION_SQL),
         "mix_sources": (relational.mix_sources, relational.MIX_SOURCES_SQL),

@@ -744,3 +744,35 @@ def test_percolate_sharded_matches_unsharded(ray_session):
     shards = percolate.shard_queries(compiled, 3)
     assert sum(len(s["qterms"]) for s in shards) == len(compiled["qterms"])
     assert sum(len(s["qterms"]) > 0 for s in shards) > 1
+
+
+def test_embed_hashed_invariants(ray_session):
+    """Hashed embeddings: unit L2 norm per doc, dims in range, and the
+    bucket/sign assignment recomputes from md5int60 by hand."""
+    import numpy as np
+    import pandas as pd
+
+    from raystorm import analysis
+
+    sf = "/root/testdata/sf0.001"
+    emb = analysis.embed_hashed(sf).to_pandas()
+    assert emb.dim.between(0, analysis.EMBED_D - 1).all()
+    assert (emb.val != 0).all()
+    # round-to-6 unit norms (tolerance: 16 dims x half-ulp rounding each)
+    norms = emb.groupby("doc_id").val.apply(lambda v: float((v**2).sum()))
+    assert np.allclose(norms, 1.0, atol=1e-4)
+    # hand recompute of one document
+    docs = pd.read_parquet(f"{sf}/documents.parquet").set_index("doc_id")
+    did = int(emb.doc_id.iloc[0])
+    raw = np.zeros(analysis.EMBED_D)
+    for w in docs.loc[did, "text"].lower().split(" "):
+        if not w:
+            continue
+        h = analysis.md5int60(w)
+        raw[h % analysis.EMBED_D] += 1.0 if (h // analysis.EMBED_D) % 2 == 0 else -1.0
+    raw = raw / np.sqrt((raw**2).sum())
+    mine = emb[emb.doc_id == did].set_index("dim").val
+    nz = np.flatnonzero(raw)
+    assert set(mine.index) == set(int(i) for i in nz)
+    for i in nz:
+        assert abs(mine.loc[int(i)] - raw[i]) < 1e-6
