@@ -1191,6 +1191,24 @@ def _q_topk_cross_fields(sf_dir: str):
     return query.batch_cross_fields(_index_for(sf_dir))
 
 
+def _q_topk_lm_dirichlet(sf_dir: str):
+    """LM-Dirichlet query-likelihood ranking over the same reference
+    queries as topk_bm25 — the third retrieval-model family next to
+    BM25/BM25F and classic TF-IDF.  Collection stats (cf, total
+    tokens) come from the index dictionary/manifest only
+    (query.SegmentIndex._score_lm_dirichlet; oracle
+    query.lm_topk_sql recomputes from the tokenized corpus)."""
+    return _run_reference_queries(sf_dir, "lm_dirichlet")
+
+
+def _q_topk_tfidf_classic(sf_dir: str):
+    """Classic vector-space TF-IDF with the coordination factor (the
+    Lucene ClassicSimilarity shape) over the reference queries
+    (query.SegmentIndex._score_tfidf_classic; oracle
+    query.tfidf_topk_sql)."""
+    return _run_reference_queries(sf_dir, "tfidf_classic")
+
+
 def _q_topk_boosting(sf_dir: str):
     """Boosting query (ES boosting): rank by the positive clause's
     BM25, demoted by negative_boost for docs also matching any
@@ -1422,6 +1440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_tuned": _q_topk_bm25_tuned,
         "topk_has_parent": _q_topk_has_parent,
         "topk_dis_max": _q_topk_dis_max,
+        "topk_lm_dirichlet": _q_topk_lm_dirichlet,
+        "topk_tfidf_classic": _q_topk_tfidf_classic,
         "topk_cross_fields": _q_topk_cross_fields,
         "topk_boosting": _q_topk_boosting,
         "topk_random_score": _q_topk_random_score,
@@ -1549,6 +1569,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_tuned": query.bm25_topk_sql(k1=TUNED_K1, b=TUNED_B),
         "topk_has_parent": query.has_parent_topk_sql(),
         "topk_dis_max": query.dis_max_topk_sql(query.DIS_MAX_QUERIES),
+        "topk_lm_dirichlet": query.lm_topk_sql(),
+        "topk_tfidf_classic": query.tfidf_topk_sql(),
         "topk_cross_fields": query.cross_fields_topk_sql(query.DIS_MAX_QUERIES),
         "topk_boosting": query.boosting_topk_sql(),
         "topk_random_score": query.random_score_sql(),

@@ -511,6 +511,10 @@ class SegmentIndex:
             return self._score_cross_fields(query_text)
         if mode == "faithful":
             return self._score_faithful(query_text)
+        if mode == "lm_dirichlet":
+            return self._score_lm_dirichlet(query_text)
+        if mode == "tfidf_classic":
+            return self._score_tfidf_classic(query_text)
         raise ValueError(mode)
 
     def topk_after(
@@ -1586,6 +1590,100 @@ class SegmentIndex:
         # stats ignore tombstones until vacuum); only candidates drop
         ids, totals = _accumulate(id_chunks, sc_chunks)
         return self._drop_deleted(ids, totals)
+
+    def _score_lm_dirichlet(self, query_text: str):
+        """Query-likelihood ranking with Dirichlet smoothing (the
+        Lucene ``LMDirichletSimilarity`` shape, unclamped): each
+        matching (doc, term) contributes
+
+            ln(1 + tf / (mu * (cf / TT))) + ln(mu / (dl + mu))
+
+        with ``cf`` the term's collection frequency, ``TT`` the corpus
+        token count and ``mu`` = :data:`LM_MU`.  The second (length
+        penalty) part rides per matched term, exactly as Lucene applies
+        its norm inside each term's score.  OOV query terms contribute
+        nothing — the same sparse-candidate semantics as BM25, so the
+        accumulator machinery is reused unchanged.  Collection stats
+        (``cf``, ``TT``) come from the dictionary / manifest — no
+        corpus access at query time.  Oracle: :func:`lm_topk_sql`.
+        """
+        toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
+        terms = sorted(set(toks.tolist()))
+        gs = self.global_stats["text"]
+        fd = self._dict.get("text")
+        tt = float(gs["total_tokens"])
+        id_chunks, sc_chunks = [], []
+        if fd is None or tt <= 0:
+            return _accumulate(id_chunks, sc_chunks)
+        for t in terms:
+            r = fd.rank_of(t)
+            if r < 0:
+                continue
+            s, e = int(fd.run_start[r]), int(fd.run_start[r + 1])
+            if s == e:
+                continue
+            parts = self._decode_runs(fd, range(s, e))
+            docids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts]).astype(np.float64)
+            dls = np.concatenate([p[2] for p in parts]).astype(np.float64)
+            cf = float(fd.cf[r])
+            sc = np.log(1.0 + tfs / (LM_MU * (cf / tt))) + np.log(
+                LM_MU / (dls + LM_MU)
+            )
+            id_chunks.append(docids)
+            sc_chunks.append(sc)
+        ids, totals = _accumulate(id_chunks, sc_chunks)
+        return self._drop_deleted(ids, totals)
+
+    def _score_tfidf_classic(self, query_text: str):
+        """Classic vector-space TF-IDF (the Lucene
+        ``ClassicSimilarity`` shape): per matching (doc, term)
+
+            sqrt(tf) * (1 + ln(N / (df + 1)))^2 / sqrt(dl)
+
+        summed per doc, then multiplied by the coordination factor
+        ``matched_terms / query_terms`` (OOV terms count in the
+        denominator, as Lucene's maxOverlap counts every clause).
+        The per-doc match count is a second pass through the same
+        accumulator with unit weights — ``np.unique`` orders both
+        passes identically, so the arrays align.  Oracle:
+        :func:`tfidf_topk_sql`.
+        """
+        toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
+        terms = sorted(set(toks.tolist()))
+        gs = self.global_stats["text"]
+        fd = self._dict.get("text")
+        id_chunks, sc_chunks, one_chunks = [], [], []
+        if fd is None or not terms:
+            return _accumulate(id_chunks, sc_chunks)
+        n = float(gs["N"])
+        for t in terms:
+            r = fd.rank_of(t)
+            if r < 0:
+                continue
+            s, e = int(fd.run_start[r]), int(fd.run_start[r + 1])
+            if s == e:
+                continue
+            parts = self._decode_runs(fd, range(s, e))
+            docids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts]).astype(np.float64)
+            dls = np.concatenate([p[2] for p in parts]).astype(np.float64)
+            idf_c = 1.0 + np.log(n / (float(fd.df[r]) + 1.0))
+            sc = np.sqrt(tfs) * (idf_c * idf_c) / np.sqrt(dls)
+            id_chunks.append(docids)
+            sc_chunks.append(sc)
+            one_chunks.append(np.ones(len(docids)))
+        ids, totals = _accumulate(id_chunks, sc_chunks)
+        if len(ids):
+            _, matches = _accumulate(id_chunks, one_chunks)
+            totals = totals * (matches / float(len(terms)))
+        return self._drop_deleted(ids, totals)
+
+
+#: Dirichlet pseudo-count for lm_dirichlet scoring — deliberately small
+#: next to the classic 2000 default so tf still discriminates at the
+#: short-turn test corpus scale (avgdl ~ tens of tokens).
+LM_MU = 100.0
 
 
 def _levenshtein(a: str, b: str) -> int:
@@ -3006,6 +3104,86 @@ SELECT r.query_id, CAST(r.rank - q.qk * {page - 1} AS INTEGER) AS rank,
        r.conv_id, r.turn_idx, r.score
 FROM ranked r JOIN queries q ON q.query_id = r.query_id
 WHERE r.rank > q.qk * {page - 1} AND r.rank <= q.qk * {page}
+ORDER BY r.query_id, rank
+"""
+
+
+def lm_topk_sql(queries=REFERENCE_QUERIES, mu: float | None = None) -> str:
+    """Oracle for :meth:`SegmentIndex._score_lm_dirichlet` — the
+    Dirichlet query-likelihood score recomputed from first principles
+    over the tokenized corpus (cf from a ``cfs`` CTE, TT from tokens).
+    Division order mirrors the engine exactly:
+    ``tf / (mu * (cf / tt))`` then ``mu / (dl + mu)``."""
+    mu = LM_MU if mu is None else mu
+    return f"""
+WITH {corpus_ctes()},
+cfs AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tfs GROUP BY term),
+tstats AS (SELECT count(*) * 1.0 AS tt FROM tokens),
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + t.tf / ({mu} * (c.cf / ts.tt)))
+              + ln({mu} / (dl.dl + {mu})) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN cfs c ON c.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN tstats ts
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, rank
+"""
+
+
+def tfidf_topk_sql(queries=REFERENCE_QUERIES) -> str:
+    """Oracle for :meth:`SegmentIndex._score_tfidf_classic` — classic
+    TF-IDF with the coordination factor.  ``count(*)`` per (query, doc)
+    group counts matched distinct terms (tfs has one row per doc-term
+    and qterms is deduped); the denominator counts ALL the query's
+    distinct terms including OOV ones, matching the engine's
+    ``len(terms)``."""
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( sqrt(t.tf) * pow(1 + ln(g.n / (d.df + 1)), 2) / sqrt(dl.dl) )
+         * (count(*) * 1.0 / (SELECT count(*) FROM qterms q2 WHERE q2.query_id = q.query_id)) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
 ORDER BY r.query_id, rank
 """
 

@@ -47,6 +47,34 @@ def test_bm25_rank_identical(index_dir, duck):
     )
 
 
+def test_lm_dirichlet_rank_identical(index_dir, duck):
+    engine = _engine_topk(index_dir, "lm_dirichlet")
+    oracle = duck.execute(query.lm_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        engine.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
+    )
+    # the LM order is a genuinely different model, not a BM25 re-label:
+    # at least one reference query must rank differently than BM25
+    bm25 = _engine_topk(index_dir, "bm25")
+    merged = engine.merge(bm25, on=["query_id", "rank"], suffixes=("_lm", "_bm"))
+    assert (
+        (merged["conv_id_lm"] != merged["conv_id_bm"])
+        | (merged["turn_idx_lm"] != merged["turn_idx_bm"])
+    ).any()
+
+
+def test_tfidf_classic_rank_identical(index_dir, duck):
+    engine = _engine_topk(index_dir, "tfidf_classic")
+    oracle = duck.execute(query.tfidf_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        engine.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
+    )
+    # coord factor engaged: a multi-term query's top hit must carry a
+    # fractional coordination multiplier somewhere in its page (scores
+    # would all be clause sums otherwise) — pin the column is non-empty
+    assert (engine[engine.query_id == "q10"]["score"] > 0).any()
+
+
 def test_faithful_rank_identical(index_dir, duck):
     engine = _engine_topk(index_dir, "faithful")
     oracle = duck.execute(query.faithful_topk_sql()).df()
