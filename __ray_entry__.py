@@ -857,6 +857,14 @@ def _q_search_top_terms(sf_dir: str):
     return facets.search_top_terms(sf_dir, _index_for(sf_dir))
 
 
+def _q_search_rare_terms(sf_dir: str):
+    """Rare-terms aggregation (the ES rare_terms long-tail dual of
+    top_terms): vocabulary terms with df <= RARE_MAX_DF straight off
+    the columnar term dictionary — no postings decode, no corpus scan
+    (facets.rare_terms; oracle facets.rare_terms_sql)."""
+    return facets.rare_terms(_index_for(sf_dir))
+
+
 def _q_search_significant_terms(sf_dir: str):
     """Significant-terms aggregation (ES significant_terms): hit-set
     terms with the largest document-frequency lift vs the background
@@ -1404,6 +1412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets_composite": _q_search_facets_composite,
         "search_adjacency": _q_search_adjacency,
         "search_top_hits": _q_search_top_hits,
+        "search_rare_terms": _q_search_rare_terms,
         "search_significant_terms": _q_search_significant_terms,
         "search_percentiles": _q_search_percentiles,
         "topk_collapsed": _q_topk_collapsed,
@@ -1531,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
         "search_facets_composite": facets.facets_composite_sql(),
         "search_adjacency": facets.adjacency_sql(),
         "search_top_hits": facets.top_hits_sql(),
+        "search_rare_terms": facets.rare_terms_sql(),
         "search_significant_terms": facets.significant_terms_sql(),
         "search_percentiles": facets.percentiles_sql(),
         "topk_collapsed": query.collapsed_topk_sql(),

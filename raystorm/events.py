@@ -702,3 +702,56 @@ SELECT CAST(g.cday AS BIGINT) AS cohort_day,
 FROM grid g LEFT JOIN counts c ON c.cday = g.cday AND c.off = g.off
 ORDER BY cohort_day, day_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# numeric histogram (the ES histogram aggregation — fixed-interval
+# buckets over a value column, the numeric dual of window_agg's
+# date_histogram)
+# ---------------------------------------------------------------------------
+
+#: fixed bucket width over events.value (domain ~0..500 at test scale)
+HIST_INTERVAL = 25.0
+
+
+def value_histogram(sf_dir: str):
+    """Fixed-interval numeric histogram over ``events.value``: bucket
+    key ``floor(value / interval) * interval``, per-bucket count and
+    value sum.  Same partial shape as :func:`window_agg` — per-batch
+    Arrow ``group_by`` partials over the bounded bucket domain, then one
+    tiny groupby; the shuffle moves at most
+    ``n_buckets x n_blocks`` rows at any corpus size.  Gate
+    ``value_histogram``; oracle :data:`VALUE_HISTOGRAM_SQL`.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / HIST_INTERVAL) * HIST_INTERVAL
+        t = pa.table({"bucket": pa.array(b), "value": batch["value"]})
+        return t.group_by(["bucket"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
+
+    out = (
+        _events(sf_dir, ["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("value_sum", alias_name="sum_value"),
+            Sum("count_all", alias_name="n_events"),
+        )
+    )
+    pdf = out.to_pandas().sort_values("bucket").reset_index(drop=True)
+    pdf["sum_value"] = round_half_up(pdf["sum_value"].to_numpy(), ROUND)
+    return pdf[["bucket", "n_events", "sum_value"]]
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT floor(value / {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), {ROUND}) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY bucket
+"""

@@ -1270,3 +1270,63 @@ def facets_daily_sql(queries=REFERENCE_QUERIES, k1=1.2, b=0.75) -> str:
         b=b,
         facet_expr="strftime(tr.ts, '%Y-%m-%d')",
     )
+
+
+# ---------------------------------------------------------------------------
+# rare terms (the ES rare_terms aggregation): the long-tail dual of
+# top_terms — vocabulary terms at or below a document-frequency ceiling
+# ---------------------------------------------------------------------------
+
+#: df ceiling and result cap.  The ES max_doc_count default is 1, but
+#: the synthetic corpus's base-26 vocabulary is dense (31 terms, min df
+#: ~25 at every sf) — 100 puts the ceiling between the one genuinely
+#: rare injected term and the ~700+ body of the vocabulary, so the gate
+#: returns the true long tail instead of an empty frame.
+RARE_MAX_DF = 100
+RARE_TERMS_N = 50
+
+
+def rare_terms(index_dir: str, max_df: int = RARE_MAX_DF, n: int = RARE_TERMS_N):
+    """Vocabulary terms with document frequency <= ``max_df``, ordered
+    (df asc, term asc), capped at ``n`` — the ES ``rare_terms``
+    aggregation (typo/noise mining over the long tail).
+
+    Pure dictionary scan: two vectorized numpy ops over the columnar
+    term dictionary — no postings decode, no corpus access.  The
+    dictionary is term-sorted, so a STABLE argsort on df yields term-asc
+    order within equal df without materializing a string sort key.  At
+    the 100M-term design point this is one actor-local pass over an
+    int64 column.  Gate ``search_rare_terms``; oracle
+    :func:`rare_terms_sql`.
+    """
+    from .query import SegmentIndex
+
+    idx = SegmentIndex(index_dir)
+    fd = idx._dict.get("text")
+    if fd is None:
+        return pd.DataFrame(
+            {"rank": np.empty(0, np.int32), "term": [], "df": np.empty(0, np.int64)}
+        )
+    sel = np.nonzero(fd.df <= max_df)[0]
+    order = np.argsort(fd.df[sel], kind="stable")[:n]
+    sel = sel[order]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+            "term": [fd.terms[int(i)].as_py() for i in sel],
+            "df": fd.df[sel].astype(np.int64),
+        }
+    )
+
+
+def rare_terms_sql(max_df: int = RARE_MAX_DF, n: int = RARE_TERMS_N) -> str:
+    """Oracle for :func:`rare_terms` — the dfs CTE filtered and windowed."""
+    return f"""
+WITH {corpus_ctes()},
+ranked AS (
+  SELECT term, CAST(df AS BIGINT) AS df,
+         CAST(row_number() OVER (ORDER BY df, term) AS INTEGER) AS rank
+  FROM dfs WHERE df <= {max_df}
+)
+SELECT rank, term, df FROM ranked WHERE rank <= {n} ORDER BY rank
+"""

@@ -43,6 +43,7 @@ def registry() -> dict:
         "topk_orders": (relational.topk_orders, relational.TOPK_ORDERS_SQL),
         "lineitem_totals": (relational.lineitem_totals, relational.LINEITEM_TOTALS_SQL),
         "pricing_summary": (relational.pricing_summary, relational.PRICING_SUMMARY_SQL),
+        "matrix_stats": (relational.matrix_stats, relational.matrix_stats_sql()),
         # --- text analysis ---
         "lang_id": (analysis.lang_id, analysis.lang_id_sql()),
         "quality_score": (analysis.quality_score, analysis.quality_score_sql()),
@@ -111,6 +112,7 @@ def registry() -> dict:
         "textrank_report": (textrank.textrank_report, textrank.textrank_report_sql()),
         # --- stream windows ---
         "window_agg": (events.window_agg, events.WINDOW_AGG_SQL),
+        "value_histogram": (events.value_histogram, events.VALUE_HISTOGRAM_SQL),
         "window_sliding": (events.window_sliding, events.WINDOW_SLIDING_SQL),
         "sessionize": (events.sessionize, events.SESSIONIZE_SQL),
         "funnel_counts": (events.funnel_counts, events.FUNNEL_COUNTS_SQL),

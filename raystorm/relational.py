@@ -824,3 +824,108 @@ WHERE CAST('0x' || substring(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 15) AS
       < n_chars * {W_SAMPLE_UNIT}
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# matrix stats (the ES matrix_stats aggregation): pairwise second-moment
+# statistics over numeric columns, as distributed raw-moment partials
+# ---------------------------------------------------------------------------
+
+#: numeric lineitem columns the matrix covers (kept alphabetical so the
+#: engine's pair emission order equals the oracle's ORDER BY)
+MATRIX_FIELDS = ("l_discount", "l_extendedprice", "l_quantity")
+
+
+def matrix_stats(sf_dir: str):
+    """Pairwise (count, means, population covariance, correlation) over
+    the lineitem numeric columns — the ES ``matrix_stats`` aggregation.
+
+    Scale shape: ONE streaming pass; each batch emits a single row of
+    raw-moment partials (n, per-field sums, per-pair product sums — a
+    ``1 + f + f(f+1)/2``-wide row regardless of batch size) and the
+    driver sums the block-count-sized partial table, then derives the
+    closed-form moments.  No shuffle at any scale.  Float parity with
+    the oracle comes from mirroring the SAME closed-form expressions
+    over the SAME sums in SQL (never DuckDB's ``corr()``/``covar_pop``
+    internals, whose streaming update order differs): covariances and
+    means round at 2 (magnitudes reach ~1e8, where round-2 absorbs the
+    ulp-order sum divergence) and the scale-free correlation at 6.
+    Gate ``matrix_stats``; oracle :func:`matrix_stats_sql`.
+    """
+    fields = MATRIX_FIELDS
+    pairs = [
+        (i, j) for i in range(len(fields)) for j in range(len(fields)) if i <= j
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = [
+            batch[f].to_numpy(zero_copy_only=False).astype(np.float64)
+            for f in fields
+        ]
+        row = {"n": pa.array([len(batch)], pa.int64())}
+        for i in range(len(fields)):
+            row[f"s_{i}"] = pa.array([float(np.sum(cols[i]))])
+        for i, j in pairs:
+            row[f"p_{i}_{j}"] = pa.array([float(np.sum(cols[i] * cols[j]))])
+        return pa.table(row)
+
+    part = (
+        _read(sf_dir, "lineitem", list(fields))
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # one ~10-float row per block
+        .sum()
+    )
+    n = float(part["n"])
+    rows = []
+    for i, j in pairs:
+        sa, sb = float(part[f"s_{i}"]), float(part[f"s_{j}"])
+        sab = float(part[f"p_{i}_{j}"])
+        saa, sbb = float(part[f"p_{i}_{i}"]), float(part[f"p_{j}_{j}"])
+        cov = (n * sab - sa * sb) / (n * n)
+        corr = (n * sab - sa * sb) / (
+            np.sqrt(n * saa - sa * sa) * np.sqrt(n * sbb - sb * sb)
+        )
+        rows.append(
+            {
+                "field_a": fields[i],
+                "field_b": fields[j],
+                "n": int(n),
+                "mean_a": float(round_half_up(np.float64(sa / n), 2)),
+                "mean_b": float(round_half_up(np.float64(sb / n), 2)),
+                "cov": float(round_half_up(np.float64(cov), 2)),
+                "corr": float(round_half_up(np.float64(corr), 6)),
+            }
+        )
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["field_a", "field_b"])
+        .reset_index(drop=True)
+    )
+
+
+def matrix_stats_sql(fields=MATRIX_FIELDS) -> str:
+    """Oracle for :func:`matrix_stats`: the same raw sums aggregated by
+    DuckDB, then the IDENTICAL closed-form expressions per pair."""
+    pairs = [
+        (i, j) for i in range(len(fields)) for j in range(len(fields)) if i <= j
+    ]
+    moment_cols = ", ".join(
+        [f"sum({f}) AS s_{i}" for i, f in enumerate(fields)]
+        + [f"sum({fields[i]} * {fields[j]}) AS p_{i}_{j}" for i, j in pairs]
+    )
+    sels = []
+    for i, j in pairs:
+        sels.append(
+            f"SELECT '{fields[i]}' AS field_a, '{fields[j]}' AS field_b, "
+            f"CAST(n AS BIGINT) AS n, "
+            f"round(s_{i} / n, 2) AS mean_a, round(s_{j} / n, 2) AS mean_b, "
+            f"round((n * p_{i}_{j} - s_{i} * s_{j}) / (n * n), 2) AS cov, "
+            f"round((n * p_{i}_{j} - s_{i} * s_{j}) / "
+            f"(sqrt(n * p_{i}_{i} - s_{i} * s_{i}) * sqrt(n * p_{j}_{j} - s_{j} * s_{j})), 6) AS corr "
+            f"FROM s"
+        )
+    body = " UNION ALL ".join(sels)
+    return (
+        f"WITH s AS (SELECT count(*) * 1.0 AS n, {moment_cols} FROM lineitem) "
+        f"SELECT * FROM ({body}) ORDER BY field_a, field_b"
+    )

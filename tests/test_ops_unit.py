@@ -776,3 +776,56 @@ def test_embed_hashed_invariants(ray_session):
     assert set(mine.index) == set(int(i) for i in nz)
     for i in nz:
         assert abs(mine.loc[int(i)] - raw[i]) < 1e-6
+
+
+def test_matrix_stats_invariants(ray_session):
+    from raystorm import relational
+
+    df = relational.matrix_stats("/root/testdata/sf0.001")
+    # upper triangle incl. diagonal of a 3-field matrix
+    assert len(df) == 6
+    diag = df[df.field_a == df.field_b]
+    assert len(diag) == 3
+    # diagonal correlation is exactly 1 after rounding
+    assert (diag["corr"] == 1.0).all()
+    # wide-domain fields carry real variance (l_discount's ~8e-4
+    # variance legitimately rounds to 0.00 at the round-2 money scale)
+    assert float(
+        diag[diag.field_a == "l_extendedprice"]["cov"].iloc[0]
+    ) > 1e6
+    # off-diagonal correlations live in [-1, 1]
+    off = df[df.field_a != df.field_b]
+    assert ((off["corr"] >= -1.0) & (off["corr"] <= 1.0)).all()
+
+
+def test_value_histogram_partitions_the_stream(ray_session):
+    from raystorm import events
+
+    df = events.value_histogram("/root/testdata/sf0.001")
+    # buckets tile the domain: counts sum to the table size
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata("/root/testdata/sf0.001/events.parquet").num_rows
+    assert int(df["n_events"].sum()) == n
+    # bucket keys are exact multiples of the interval, strictly increasing
+    b = df["bucket"].to_numpy()
+    assert np.allclose(b / events.HIST_INTERVAL, np.round(b / events.HIST_INTERVAL))
+    assert (np.diff(b) > 0).all()
+
+
+def test_rare_terms_ordering(ray_session, tmp_path):
+    from raystorm import build, corpus, facets
+
+    d = str(tmp_path / "idx")
+    ds = corpus.transcripts_from_documents("/root/testdata/sf0.001")
+    build.build_index(ds, d, input_fingerprint="rare", cfg=build.BuildConfig(num_partitions=4))
+    # an uncapped ceiling returns the whole vocabulary in (df asc, term
+    # asc) order — pins the stable-sort tie-break against a full resort
+    df = facets.rare_terms(d, max_df=10**9, n=10**9)
+    key = list(zip(df["df"].tolist(), df["term"].tolist()))
+    assert key == sorted(key)
+    assert df["rank"].tolist() == list(range(1, len(df) + 1))
+    # the default ceiling keeps only the genuinely rare tail
+    tail = facets.rare_terms(d)
+    assert (tail["df"] <= facets.RARE_MAX_DF).all()
+    assert len(tail) >= 1
