@@ -59,6 +59,7 @@ def registry() -> dict:
         "pack_sequences": (analysis.pack_sequences, analysis.PACK_SEQUENCES_SQL),
         "range_partition": (analysis.range_partition, analysis.RANGE_PARTITION_SQL),
         "mix_sources": (relational.mix_sources, relational.MIX_SOURCES_SQL),
+        "global_shuffle": (relational.global_shuffle, relational.GLOBAL_SHUFFLE_SQL),
         "curate": (curate.curate, curate.curate_sql()),
         # --- model training (logistic-regression quality classifier) ---
         "quality_lr_weights": (analysis.quality_lr_weights, analysis.quality_lr_weights_sql()),
@@ -97,6 +98,7 @@ def registry() -> dict:
         "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_TOPK_SQL),
         "ann_sq8_topk": (similarity.ann_sq8_topk, similarity.ANN_SQ8_TOPK_SQL),
         "kmeans_cells": (similarity.kmeans_cells, similarity.kmeans_cells_sql()),
+        "embedding_covariance": (similarity.embedding_covariance, similarity.EMBEDDING_COVARIANCE_SQL),
         # --- percolation (reverse search: stored queries vs doc stream) ---
         "percolate_docs": (percolate.percolate, percolate.percolate_sql()),
         "percolate_docs_sharded": (percolate.percolate_sharded, percolate.percolate_sql()),

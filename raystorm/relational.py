@@ -929,3 +929,70 @@ def matrix_stats_sql(fields=MATRIX_FIELDS) -> str:
         f"WITH s AS (SELECT count(*) * 1.0 AS n, {moment_cols} FROM lineitem) "
         f"SELECT * FROM ({body}) ORDER BY field_a, field_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle into training shards — the "shuffle the
+# corpus before training" step, reproducible because the permutation is
+# a keyed hash rather than an RNG
+# ---------------------------------------------------------------------------
+
+#: shard count for the test-scale gate.  At 100 TB the count scales with
+#: the corpus (corpus_bytes / target_shard_bytes), keeping per-shard
+#: state bounded; the assignment law below is shard-count-agnostic.
+N_SHUF_SHARDS = 8
+
+
+def global_shuffle(sf_dir: str):
+    """Seeded global shuffle of the documents table into training
+    shards: ``shard = md5int60('shuf|doc_id') % N`` and the within-shard
+    order is (hash, doc_id) — a deterministic permutation any worker can
+    recompute, so a failed export resumes per shard without replaying
+    the RNG stream.
+
+    Scale shape: one stateless hash pass, then ONE shuffle keyed by
+    shard (``groupby(shard).map_groups``) where each group sorts only
+    its own shard — per-group memory is bounded by target shard size
+    because shard COUNT grows with the corpus, not shard size.  The
+    writer side of this op is :func:`raystorm.sinks.write_partitioned`
+    over the shard column.  Output: (doc_id, shard, pos).  Gate
+    ``global_shuffle``; oracle :data:`GLOBAL_SHUFFLE_SQL`.
+    """
+    from .analysis import md5int60_np
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keys = np.array([f"shuf|{int(i)}" for i in ids], object)
+        h = md5int60_np(keys)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "shard": pa.array(h % N_SHUF_SHARDS, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+            }
+        )
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        return g[["doc_id", "shard", "pos"]]
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank_group, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values(["shard", "pos"]).reset_index(drop=True)
+
+
+GLOBAL_SHUFFLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('shuf|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, h % {N_SHUF_SHARDS} AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {N_SHUF_SHARDS} ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM h ORDER BY shard, pos
+"""

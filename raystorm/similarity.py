@@ -1005,3 +1005,85 @@ JOIN cent{KM_ITERS} c ON c.cell = f.cell
 WHERE f.rn = 1
 ORDER BY f.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed covariance of the embedding dimensions (the PCA moment):
+# the d x d second-moment matrix a dimensionality-reduction / whitening
+# stage eigendecomposes — computed as streaming per-batch Gram partials
+# ---------------------------------------------------------------------------
+
+EMB_COV_ROUND = 6
+
+
+def embedding_covariance(sf_dir: str):
+    """Centered covariance matrix of the embedding dimensions.
+
+    Scale shape: ONE streaming pass; each batch emits (n, sum-vector,
+    X^T X Gram block) — a d + d^2 payload per BLOCK regardless of row
+    count — and the driver adds the block-count-sized partial table,
+    then derives ``cov_ij = (G_ij - S_i S_j / n) / n`` (population).
+    This is the standard distributed-PCA moment step: no shuffle, the
+    only reduce is over d^2 floats per block.  The eigendecomposition
+    itself is a driver-local O(d^3) — deliberately out of the gate,
+    since eigenvector sign/order is not SQL-checkable.  Output: the
+    upper triangle as (i, j, cov) with 1-based dimension subscripts
+    (matching SQL ``generate_subscripts``).  Gate
+    ``embedding_covariance``; oracle :data:`EMBEDDING_COVARIANCE_SQL`.
+    """
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "s": pa.array([m.sum(axis=0).tolist()]),
+                "g": pa.array([(m.T @ m).ravel().tolist()]),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # one (1 + d + d^2)-float row per block
+    )
+    n = float(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    g = np.sum(np.stack(parts["g"].to_numpy()), axis=0)
+    d = len(s)
+    gm = g.reshape(d, d)
+    iu, ju = np.triu_indices(d)
+    cov = (gm[iu, ju] - s[iu] * s[ju] / n) / n
+    from .analysis import round_half_up
+
+    return pd.DataFrame(
+        {
+            "i": (iu + 1).astype(np.int32),
+            "j": (ju + 1).astype(np.int32),
+            "cov": round_half_up(cov, EMB_COV_ROUND),
+        }
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+s AS (SELECT i, sum(x) AS s, count(*) * 1.0 AS n FROM e GROUP BY i),
+g AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT CAST(g.i AS INTEGER) AS i, CAST(g.j AS INTEGER) AS j,
+       round((g.g - sa.s * sb.s / sa.n) / sa.n, {EMB_COV_ROUND}) AS cov
+FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j
+ORDER BY i, j
+"""

@@ -829,3 +829,36 @@ def test_rare_terms_ordering(ray_session, tmp_path):
     tail = facets.rare_terms(d)
     assert (tail["df"] <= facets.RARE_MAX_DF).all()
     assert len(tail) >= 1
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    from raystorm import similarity
+
+    df = similarity.embedding_covariance("/root/testdata/sf0.001")
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet", columns=["embedding"])
+    m = np.vstack(emb["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    full = np.cov(m, rowvar=False, bias=True)  # population covariance
+    iu, ju = df["i"].to_numpy() - 1, df["j"].to_numpy() - 1
+    assert np.allclose(df["cov"].to_numpy(), full[iu, ju], atol=2e-6)
+    # diagonal variances are non-negative; upper triangle is complete
+    assert (df[df.i == df.j]["cov"] >= 0).all()
+    d = m.shape[1]
+    assert len(df) == d * (d + 1) // 2
+
+
+def test_global_shuffle_invariants(ray_session):
+    from raystorm import relational
+
+    df = relational.global_shuffle("/root/testdata/sf0.001")
+    # shards partition the table; within-shard positions are dense 0..k-1
+    assert df["doc_id"].is_unique
+    for _, g in df.groupby("shard"):
+        assert sorted(g["pos"].tolist()) == list(range(len(g)))
+    # permutation actually permutes: shard-0's doc order differs from sorted
+    g0 = df[df.shard == 0]["doc_id"].tolist()
+    assert g0 != sorted(g0)
+    # deterministic: a rerun reproduces the identical assignment
+    again = relational.global_shuffle("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(df, again)
