@@ -60,6 +60,9 @@ def registry() -> dict:
         "range_partition": (analysis.range_partition, analysis.RANGE_PARTITION_SQL),
         "mix_sources": (relational.mix_sources, relational.MIX_SOURCES_SQL),
         "global_shuffle": (relational.global_shuffle, relational.GLOBAL_SHUFFLE_SQL),
+        "diversified_sample": (relational.diversified_sample, relational.DIVERSIFIED_SAMPLE_SQL),
+        "train_val_test_split": (relational.train_val_test_split, relational.TRAIN_VAL_TEST_SQL),
+        "upsample_sources": (relational.upsample_sources, relational.UPSAMPLE_SQL),
         "curate": (curate.curate, curate.curate_sql()),
         # --- model training (logistic-regression quality classifier) ---
         "quality_lr_weights": (analysis.quality_lr_weights, analysis.quality_lr_weights_sql()),

@@ -996,3 +996,211 @@ SELECT doc_id, h % {N_SHUF_SHARDS} AS shard,
        CAST(row_number() OVER (PARTITION BY h % {N_SHUF_SHARDS} ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
 FROM h ORDER BY shard, pos
 """
+
+
+# ---------------------------------------------------------------------------
+# diversified sampling (the ES diversified_sampler aggregation): a
+# deterministic global sample with a per-key cap — "give me K events but
+# never more than M from one type"
+# ---------------------------------------------------------------------------
+
+#: K below |event_types| x M so BOTH constraints bind at test scale
+#: (the per-key cap first trims each type to M, the global cut then
+#: drops the hash-latest survivors)
+DIV_SAMPLE_K = 15
+DIV_SAMPLE_PER_KEY = 5
+
+
+def diversified_sample(sf_dir: str):
+    """Deterministic diversified sample of events: order every row by
+    keyed hash, keep at most ``DIV_SAMPLE_PER_KEY`` per event_type, then
+    the global top-``DIV_SAMPLE_K`` of the survivors.
+
+    Scale shape: each block keeps its LOCAL per-key top-M (a global
+    winner's in-block per-key rank can only be <= its global rank, so
+    the block filter never loses one) — at most M x |keys| rows leave a
+    block; the driver re-applies the per-key cap and the global cut on
+    the tiny union.  The block-level GLOBAL cut is deliberately NOT
+    taken (a block row dropped later by the per-key cap could push a
+    true winner out of a premature top-K).  With corpus-scale key
+    cardinality the per-key cap stops shrinking blocks and the right
+    shape is one shuffle keyed by event_type first — documented, not
+    needed for the bounded key domains this targets.  Gate
+    ``diversified_sample``; oracle :data:`DIVERSIFIED_SAMPLE_SQL`.
+    """
+    from .analysis import md5int60_np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        h = md5int60_np(np.array([f"dsamp|{int(i)}" for i in ids], object))
+        # per-key rank within the block: lexsort by (key, h, id), run-detect
+        u, inv = np.unique(et, return_inverse=True)
+        order = np.lexsort((ids, h, inv))
+        ki = inv[order]
+        starts = np.flatnonzero(np.concatenate(([True], ki[1:] != ki[:-1])))
+        rank_in_key = np.arange(len(ki)) - np.repeat(starts, np.diff(np.concatenate((starts, [len(ki)]))))
+        keep = order[rank_in_key < DIV_SAMPLE_PER_KEY]
+        return pa.table(
+            {
+                "event_id": pa.array(ids[keep], pa.int64()),
+                "event_type": pa.array(et[keep], pa.string()),
+                "h": pa.array(h[keep], pa.int64()),
+            }
+        )
+
+    pdf = (
+        _read(sf_dir, "events", ["event_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    pdf = pdf.sort_values(["h", "event_id"]).reset_index(drop=True)
+    pdf = pdf[pdf.groupby("event_type").cumcount() < DIV_SAMPLE_PER_KEY]
+    pdf = pdf.head(DIV_SAMPLE_K).reset_index(drop=True)
+    pdf.insert(0, "rank", np.arange(1, len(pdf) + 1, dtype=np.int32))
+    return pdf[["rank", "event_id", "event_type"]]
+
+
+DIVERSIFIED_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT event_id, event_type,
+         CAST('0x' || substring(md5('dsamp|' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+  FROM h
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY h, event_id) AS gr
+  FROM capped WHERE rn <= {DIV_SAMPLE_PER_KEY}
+)
+SELECT CAST(gr AS INTEGER) AS rank, event_id, event_type
+FROM ranked WHERE gr <= {DIV_SAMPLE_K} ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# train/val/test split — the deterministic three-way hash split every
+# training pipeline runs before export (no RNG state, any worker can
+# recompute a row's membership)
+# ---------------------------------------------------------------------------
+
+#: cumulative hash thresholds out of 2^60: 80% train, 10% val, 10% test
+SPLIT_UNIT = 1 << 60
+SPLIT_TRAIN = int(0.8 * SPLIT_UNIT)
+SPLIT_VAL = int(0.9 * SPLIT_UNIT)
+
+
+def train_val_test_split(sf_dir: str):
+    """Label every document train/val/test by keyed hash thresholds
+    (80/10/10).  One stateless vectorized pass; membership is a pure
+    function of doc_id, so shards can be split independently and a
+    re-run (or a late-arriving shard) lands rows in the same split.
+    Gate ``train_val_test_split``; oracle :data:`TRAIN_VAL_TEST_SQL`.
+    """
+    from .analysis import md5int60_np
+
+    def label(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = md5int60_np(np.array([f"split|{int(i)}" for i in ids], object))
+        split = np.where(h < SPLIT_TRAIN, "train", np.where(h < SPLIT_VAL, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(label, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+TRAIN_VAL_TEST_SQL = f"""
+SELECT doc_id,
+       CASE WHEN h < {SPLIT_TRAIN} THEN 'train'
+            WHEN h < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# source upsampling — deterministic replication by per-source mixture
+# factor (integer copies + hash-resolved fractional copy), the
+# "oversample the rare high-quality source" step of mixture building
+# ---------------------------------------------------------------------------
+
+UPS_UNIT = 1 << 60
+
+
+def _source_factor_num(src_num: np.ndarray) -> np.ndarray:
+    """Mixture factor per source id: 1.0 / 1.5 / 2.0 / 2.5 cycling —
+    a stand-in for externally-supplied mixture weights, chosen so both
+    integer and fractional replication paths are exercised."""
+    return 1.0 + (src_num % 4) * 0.5
+
+
+def upsample_sources(sf_dir: str):
+    """Replicate documents by their source's mixture factor f: every doc
+    gets ``floor(f)`` copies plus one more iff
+    ``md5int60('ups|doc_id') < frac(f) * 2^60`` — deterministic
+    fractional upsampling with no RNG and no driver state.  Output one
+    row per (doc_id, copy_idx); a downstream packer treats copies as
+    independent rows.  Vectorized ``np.repeat`` explode per batch; no
+    shuffle.  Gate ``upsample_sources``; oracle :data:`UPSAMPLE_SQL`.
+    """
+    from .analysis import md5int60_np
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        num = np.array([int(s[3:]) for s in src], np.int64)
+        f = _source_factor_num(num)
+        base = np.floor(f).astype(np.int64)
+        frac_unit = ((f - np.floor(f)) * UPS_UNIT).astype(np.int64)
+        h = md5int60_np(np.array([f"ups|{int(i)}" for i in ids], object))
+        copies = base + (h < frac_unit)
+        out_ids = np.repeat(ids, copies)
+        # copy_idx 0..copies-1 per doc
+        ends = np.cumsum(copies)
+        starts = ends - copies
+        idx = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(starts, copies)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "copy_idx": pa.array(idx, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(explode, batch_format="pyarrow")
+        .sort(["doc_id", "copy_idx"])
+    )
+
+
+UPSAMPLE_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         1.0 + (CAST(substring(source, 4) AS BIGINT) % 4) * 0.5 AS f,
+         CAST('0x' || substring(md5('ups|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(floor(f) AS BIGINT)
+         + CASE WHEN h < CAST((f - floor(f)) * {UPS_UNIT} AS BIGINT) THEN 1 ELSE 0 END AS copies
+  FROM f
+)
+SELECT doc_id, unnest(range(0, copies)) AS copy_idx
+FROM c ORDER BY doc_id, copy_idx
+"""

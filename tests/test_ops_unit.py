@@ -862,3 +862,48 @@ def test_global_shuffle_invariants(ray_session):
     # deterministic: a rerun reproduces the identical assignment
     again = relational.global_shuffle("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(df, again)
+
+
+def test_diversified_sample_constraints(ray_session):
+    from raystorm import relational
+
+    df = relational.diversified_sample("/root/testdata/sf0.001")
+    assert len(df) == relational.DIV_SAMPLE_K
+    assert df.groupby("event_type").size().max() <= relational.DIV_SAMPLE_PER_KEY
+    assert df["rank"].tolist() == list(range(1, len(df) + 1))
+
+
+def test_train_val_test_split_ratios(ray_session):
+    from raystorm import relational
+
+    df = relational.train_val_test_split("/root/testdata/sf0.001").to_pandas()
+    counts = df["split"].value_counts()
+    n = len(df)
+    # hash thresholds: 80/10/10 within binomial slack at n=500
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.08
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+    assert df["doc_id"].is_unique
+
+
+def test_upsample_sources_copy_law(ray_session):
+    from raystorm import relational
+    from raystorm.analysis import md5int60
+
+    df = relational.upsample_sources("/root/testdata/sf0.001").to_pandas()
+    per_doc = df.groupby("doc_id").size()
+    # every copy count matches the closed-form law for its source factor
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas().set_index("doc_id")["source"]
+    for doc_id, n_copies in per_doc.items():
+        f = 1.0 + (int(src[doc_id][3:]) % 4) * 0.5
+        want = int(f) + (md5int60(f"ups|{doc_id}") < int((f - int(f)) * relational.UPS_UNIT))
+        assert n_copies == want, doc_id
+    # factor-1.0 sources contribute exactly one copy; 2.0 exactly two
+    merged = per_doc.to_frame("copies").join(src)
+    exact1 = merged[merged.source.str.slice(3).astype(int) % 4 == 0]
+    assert (exact1["copies"] == 1).all()
+    exact2 = merged[merged.source.str.slice(3).astype(int) % 4 == 2]
+    assert (exact2["copies"] == 2).all()
