@@ -73,6 +73,7 @@ def registry() -> dict:
         "sketch_union_users": (sketches.sketch_union_users, sketches.SKETCH_UNION_USERS_SQL),
         "heavy_hitters_users": (sketches.heavy_hitters_users, sketches.HEAVY_HITTERS_USERS_SQL),
         "sketch_quantiles_value": (sketches.sketch_quantiles_value, sketches.SKETCH_QUANTILES_VALUE_SQL),
+        "sketch_distinct_per_type": (sketches.sketch_distinct_per_type, sketches.SKETCH_DISTINCT_PER_TYPE_SQL),
         # --- tokenizer training (BPE merge learning) ---
         "bpe_merges": (bpe.bpe_merges, bpe.bpe_merges_sql()),
         "bpe_vocab": (bpe.bpe_vocab, bpe.bpe_vocab_sql()),
@@ -102,6 +103,9 @@ def registry() -> dict:
         "ann_sq8_topk": (similarity.ann_sq8_topk, similarity.ANN_SQ8_TOPK_SQL),
         "kmeans_cells": (similarity.kmeans_cells, similarity.kmeans_cells_sql()),
         "embedding_covariance": (similarity.embedding_covariance, similarity.EMBEDDING_COVARIANCE_SQL),
+        # rows-only by documented exception: eigendecomposition is not
+        # SQL-expressible; the trace identity is pinned in pytest
+        "pca_eigenvalues": (similarity.pca_eigenvalues, None),
         # --- percolation (reverse search: stored queries vs doc stream) ---
         "percolate_docs": (percolate.percolate, percolate.percolate_sql()),
         "percolate_docs_sharded": (percolate.percolate_sharded, percolate.percolate_sql()),

@@ -1016,21 +1016,10 @@ ORDER BY f.vec_id
 EMB_COV_ROUND = 6
 
 
-def embedding_covariance(sf_dir: str):
-    """Centered covariance matrix of the embedding dimensions.
-
-    Scale shape: ONE streaming pass; each batch emits (n, sum-vector,
-    X^T X Gram block) — a d + d^2 payload per BLOCK regardless of row
-    count — and the driver adds the block-count-sized partial table,
-    then derives ``cov_ij = (G_ij - S_i S_j / n) / n`` (population).
-    This is the standard distributed-PCA moment step: no shuffle, the
-    only reduce is over d^2 floats per block.  The eigendecomposition
-    itself is a driver-local O(d^3) — deliberately out of the gate,
-    since eigenvector sign/order is not SQL-checkable.  Output: the
-    upper triangle as (i, j, cov) with 1-based dimension subscripts
-    (matching SQL ``generate_subscripts``).  Gate
-    ``embedding_covariance``; oracle :data:`EMBEDDING_COVARIANCE_SQL`.
-    """
+def _cov_moments(sf_dir: str):
+    """Distributed raw moments of the embedding table: (n, sum vector,
+    d x d Gram matrix) from per-batch partials — the shared kernel of
+    :func:`embedding_covariance` and :func:`pca_eigenvalues`."""
     import ray.data as rd
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1055,9 +1044,26 @@ def embedding_covariance(sf_dir: str):
     n = float(parts["n"].sum())
     s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
     g = np.sum(np.stack(parts["g"].to_numpy()), axis=0)
-    d = len(s)
-    gm = g.reshape(d, d)
-    iu, ju = np.triu_indices(d)
+    return n, s, g.reshape(len(s), len(s))
+
+
+def embedding_covariance(sf_dir: str):
+    """Centered covariance matrix of the embedding dimensions.
+
+    Scale shape: ONE streaming pass; each batch emits (n, sum-vector,
+    X^T X Gram block) — a d + d^2 payload per BLOCK regardless of row
+    count — and the driver adds the block-count-sized partial table,
+    then derives ``cov_ij = (G_ij - S_i S_j / n) / n`` (population).
+    This is the standard distributed-PCA moment step: no shuffle, the
+    only reduce is over d^2 floats per block.  The eigendecomposition
+    itself is a driver-local O(d^3) — deliberately out of the gate,
+    since eigenvector sign/order is not SQL-checkable.  Output: the
+    upper triangle as (i, j, cov) with 1-based dimension subscripts
+    (matching SQL ``generate_subscripts``).  Gate
+    ``embedding_covariance``; oracle :data:`EMBEDDING_COVARIANCE_SQL`.
+    """
+    n, s, gm = _cov_moments(sf_dir)
+    iu, ju = np.triu_indices(len(s))
     cov = (gm[iu, ju] - s[iu] * s[ju] / n) / n
     from .analysis import round_half_up
 
@@ -1087,3 +1093,36 @@ SELECT CAST(g.i AS INTEGER) AS i, CAST(g.j AS INTEGER) AS j,
 FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j
 ORDER BY i, j
 """
+
+
+def pca_eigenvalues(sf_dir: str):
+    """The PCA spectrum of the embedding table: eigenvalues of the
+    centered covariance, descending, with cumulative explained-variance
+    ratios — the "how many components matter" readout a
+    dimensionality-reduction / whitening stage starts from.
+
+    The distributed part is exactly :func:`_cov_moments` (per-batch
+    Gram partials, no shuffle); the eigendecomposition is a
+    driver-local ``eigvalsh`` of the d x d moment — O(d^3) once, never
+    data-sized.  No SQL oracle: an eigendecomposition is not
+    SQL-expressible, so the driver records the documented rows-only
+    check; the pytest pins the trace identity (sum of eigenvalues ==
+    sum of per-dimension variances, which IS SQL-checkable through
+    ``embedding_covariance``) and agreement with numpy on the
+    materialized table.  Gate ``pca_eigenvalues`` (rows-only).
+    """
+    from .analysis import round_half_up
+
+    n, s, gm = _cov_moments(sf_dir)
+    d = len(s)
+    cov = (gm - np.outer(s, s) / n) / n
+    eig = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(eig.sum())
+    cum = np.cumsum(eig) / total
+    return pd.DataFrame(
+        {
+            "component": np.arange(1, d + 1, dtype=np.int32),
+            "eigenvalue": round_half_up(eig, EMB_COV_ROUND),
+            "cum_var_ratio": round_half_up(cum, EMB_COV_ROUND),
+        }
+    )

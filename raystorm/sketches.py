@@ -452,3 +452,110 @@ FROM qs ORDER BY q
 
 
 SKETCH_QUANTILES_VALUE_SQL = sketch_quantiles_sql()
+
+
+# ---------------------------------------------------------------------------
+# per-key KMV — the GROUP BY form of the distinct sketch ("distinct
+# users per event_type"), still one pass and fully deterministic
+# ---------------------------------------------------------------------------
+
+
+class _KMVKeyedStage:
+    """map_batches stage: one block -> per-key <=k smallest distinct
+    hashes.  At most k x |keys-in-block| rows leave a block."""
+
+    def __init__(self, key: str, col: str, k: int):
+        self.key = key
+        self.col = col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = (
+            pc.cast(batch[self.key], pa.string())
+            .to_numpy(zero_copy_only=False)
+            .astype(str)
+        )
+        vals = (
+            pc.cast(batch[self.col], pa.string())
+            .to_numpy(zero_copy_only=False)
+            .astype(str)
+        )
+        uk, kinv = np.unique(keys, return_inverse=True)
+        h = md5int60_np(vals.astype(object))
+        # distinct (key, hash) pairs then per-key rank: lexsort + runs
+        order = np.lexsort((h, kinv))
+        ks, hs = kinv[order], h[order]
+        first = np.concatenate(([True], (ks[1:] != ks[:-1]) | (hs[1:] != hs[:-1])))
+        ks, hs = ks[first], hs[first]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(ks)])))
+        rank = np.arange(len(ks)) - np.repeat(starts, counts)
+        sel = rank < self.k
+        return pa.table(
+            {
+                "key": pa.array(uk[ks[sel]], pa.string()),
+                "h": pa.array(hs[sel], pa.int64()),
+            }
+        )
+
+
+def sketch_distinct_per_key(
+    ds, key: str, col: str, k: int = K_DEFAULT
+) -> pd.DataFrame:
+    """Per-group distinct-count estimates from one streaming pass: each
+    block emits its per-key bottom-k partial, the driver merges
+    (k x |keys| x #blocks rows — sketch-sized) and applies the same
+    estimator per key.  The merge is the standard KMV union property
+    applied within each key."""
+    partials = (
+        ds.select_columns([key, col])
+        .map_batches(_KMVKeyedStage(key, col, k), batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for kv, g in partials.groupby("key"):
+        sk = np.unique(g["h"].to_numpy(np.int64))[:k]
+        rows.append({"key": kv, "k": k, "estimate": kmv_estimate(sk, k)})
+    return (
+        pd.DataFrame(rows, columns=["key", "k", "estimate"])
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+
+
+def sketch_distinct_per_type(sf_dir: str) -> pd.DataFrame:
+    """Distinct users per event_type (gate shape: key, k, estimate)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return sketch_distinct_per_key(ds, "event_type", "user_id")
+
+
+def distinct_per_key_sql(
+    table: str, key: str, col: str, k: int = K_DEFAULT
+) -> str:
+    """Per-key mirror: distinct hashes windowed per key, the k-th
+    smallest feeds the same estimator (exact-count branch when a key
+    holds fewer than k distinct values)."""
+    h = md5int60_sql(f"CAST({col} AS VARCHAR)")
+    return f"""
+WITH d AS (SELECT DISTINCT {key} AS key, {h} AS h FROM {table}),
+r AS (
+  SELECT key, h,
+         row_number() OVER (PARTITION BY key ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY key) AS nd
+  FROM d
+)
+SELECT key, CAST({k} AS BIGINT) AS k,
+       CASE WHEN max(nd) < {k} THEN max(nd) * 1.0
+            ELSE round(({k} - 1) * {HASH_SPACE:.1f} / max(CASE WHEN rn = {k} THEN h END), {ROUND})
+       END AS estimate
+FROM r GROUP BY key ORDER BY key
+"""
+
+
+SKETCH_DISTINCT_PER_TYPE_SQL = distinct_per_key_sql("events", "event_type", "user_id")

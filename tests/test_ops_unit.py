@@ -907,3 +907,43 @@ def test_upsample_sources_copy_law(ray_session):
     assert (exact1["copies"] == 1).all()
     exact2 = merged[merged.source.str.slice(3).astype(int) % 4 == 2]
     assert (exact2["copies"] == 2).all()
+
+
+def test_pca_eigenvalues_trace_identity(ray_session):
+    import pyarrow.parquet as pq
+
+    from raystorm import similarity
+
+    df = similarity.pca_eigenvalues("/root/testdata/sf0.001")
+    # spectrum is descending and non-negative (covariance is PSD)
+    eig = df["eigenvalue"].to_numpy()
+    assert (np.diff(eig) <= 1e-12).all()
+    assert (eig >= -1e-6).all()
+    assert abs(float(df["cum_var_ratio"].iloc[-1]) - 1.0) < 1e-5
+    # trace identity: sum of eigenvalues == sum of per-dim variances
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet", columns=["embedding"])
+    m = np.vstack(emb["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    cov = np.cov(m, rowvar=False, bias=True)
+    assert abs(eig.sum() - np.trace(cov)) < 1e-4
+    # and the spectrum matches a direct eigh of the materialized table
+    want = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(eig, want, atol=2e-6)
+
+
+def test_sketch_per_key_merge_property(ray_session):
+    """Per-key sketch from distributed partials == per-key sketch of the
+    whole column computed directly (the KMV union property per key),
+    and keys with < k distinct values report exact counts."""
+    import pyarrow.parquet as pq
+
+    from raystorm import sketches
+
+    sf = "/root/testdata/sf0.001"
+    got = sketches.sketch_distinct_per_type(sf)
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "user_id"]).to_pandas()
+    for _, row in got.iterrows():
+        vals = t[t.event_type == row["key"]]["user_id"].astype(str).unique()
+        h = np.unique(sketches.md5int60_np(vals.astype(object)))[: sketches.K_DEFAULT]
+        assert row["estimate"] == sketches.kmv_estimate(h)
+        if len(vals) < sketches.K_DEFAULT:
+            assert row["estimate"] == float(len(vals))
