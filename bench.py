@@ -194,6 +194,14 @@ def run_suite(
             idx.topk_has_parent(ptext, ctext, int(k))
         timings["query_session2_modes"] = time.perf_counter() - t0
 
+        # session-4 scoring families on the warm index: LM-Dirichlet
+        # query likelihood + classic TF-IDF with coordination
+        t0 = time.perf_counter()
+        for mode in ("lm_dirichlet", "tfidf_classic"):
+            for _qid, text, k in query.REFERENCE_QUERIES:
+                idx.topk(text, int(k), mode)
+        timings["query_session4_modes"] = time.perf_counter() - t0
+
         # hybrid lexical+dense fusion: collapsed-BM25 leg on the warm
         # index + exact-cosine leg over the sf embeddings table
         from raystorm import hybrid as _hybrid

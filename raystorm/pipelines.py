@@ -102,6 +102,7 @@ def registry() -> dict:
         "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_TOPK_SQL),
         "ann_sq8_topk": (similarity.ann_sq8_topk, similarity.ANN_SQ8_TOPK_SQL),
         "kmeans_cells": (similarity.kmeans_cells, similarity.kmeans_cells_sql()),
+        "topk_mmr": (similarity.mmr_topk, similarity.mmr_topk_sql()),
         "embedding_covariance": (similarity.embedding_covariance, similarity.EMBEDDING_COVARIANCE_SQL),
         # rows-only by documented exception: eigendecomposition is not
         # SQL-expressible; the trace identity is pinned in pytest
@@ -165,6 +166,11 @@ BENCH_NAMES = (
     "ann_sq8_topk",
     "bpe_merges",
     "sketch_quantiles_value",
+    # session-4 additions
+    "matrix_stats",
+    "embedding_covariance",
+    "global_shuffle",
+    "sketch_distinct_per_type",
 )
 
 

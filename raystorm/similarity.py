@@ -1126,3 +1126,161 @@ def pca_eigenvalues(sf_dir: str):
             "cum_var_ratio": round_half_up(cum, EMB_COV_ROUND),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR-diversified dense retrieval (maximal marginal relevance,
+# Carbonell & Goldstein 1998): rerank a bounded candidate pool so each
+# pick trades query relevance against redundancy with already-picked
+# results — the "don't return ten near-identical paragraphs" layer on
+# top of ANN
+# ---------------------------------------------------------------------------
+
+MMR_K = 8
+MMR_POOL = 25
+MMR_LAMBDA = 0.7
+_MMR_OM = 1.0 - MMR_LAMBDA
+#: pick ranking rounds at 9 (the repo's round-before-rank rule);
+#: emitted scores at ROUND
+MMR_RANK_ROUND = 9
+
+
+def mmr_topk(sf_dir: str):
+    """Greedy MMR over each query's exact top-``MMR_POOL`` candidates:
+    step score ``λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)`` (λ·cos alone
+    for the first pick), ties broken on vec_id asc after round-9.
+
+    Scale shape: the distributed part is the SAME partial-top-k pass as
+    ``ann_cosine_topk`` (per-block per-query partials, driver merge
+    sees O(q·pool·blocks) rows); the greedy rerank then touches only
+    pool vectors per query — a bounded point read
+    (``q·pool`` rows via parquet row-group filters) and an O(pool²)
+    sim matrix per query, never corpus-sized.  Both cosine legs round
+    at 6 BEFORE the MMR combination so the engine and the oracle
+    (:func:`mmr_topk_sql`, an unrolled-CTE greedy) agree bit-for-bit.
+    Gate ``topk_mmr``.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    qref = ray.put(_load_queries(sf_dir))
+    cand = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        .map_batches(_PartialTopK(qref, MMR_POOL), batch_format="pyarrow")
+        .to_pandas()
+    )
+    pool = _merge_topk(cand, MMR_POOL)  # cosine already rounded at ROUND
+
+    ids = sorted(set(int(v) for v in pool["vec_id"]))
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", ids)],
+    )
+    vid = tbl["vec_id"].to_numpy()
+    mat = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    index_of = {int(v): i for i, v in enumerate(vid)}
+
+    rows = []
+    for qid, g in pool.groupby("query_vec", sort=True):
+        cids = g["vec_id"].to_numpy(np.int64)
+        rel = g["cosine"].to_numpy(np.float64)
+        sub = mat[[index_of[int(v)] for v in cids]]
+        sims = round_half_up(sub @ sub.T, ROUND)
+        selected: list[int] = []
+        remaining = np.arange(len(cids))
+        for step in range(1, MMR_K + 1):
+            if not len(remaining):
+                break
+            if selected:
+                pen = sims[np.ix_(remaining, selected)].max(axis=1)
+                score = MMR_LAMBDA * rel[remaining] - _MMR_OM * pen
+            else:
+                score = MMR_LAMBDA * rel[remaining]
+            r9 = round_half_up(score, MMR_RANK_ROUND)
+            pos = int(np.lexsort((cids[remaining], -r9))[0])
+            j = int(remaining[pos])
+            rows.append(
+                (
+                    int(qid),
+                    step,
+                    int(cids[j]),
+                    float(round_half_up(np.float64(score[pos]), ROUND)),
+                )
+            )
+            selected.append(j)
+            remaining = np.delete(remaining, pos)
+    return pd.DataFrame(rows, columns=["query_vec", "rank", "vec_id", "mmr"]).astype(
+        {"rank": np.int32}
+    )
+
+
+def mmr_topk_sql(k: int = MMR_K, pool: int = MMR_POOL) -> str:
+    """Unrolled greedy oracle for :func:`mmr_topk`: candidate pool and
+    pairwise sims as MATERIALIZED CTEs (see the kmeans/textrank oracle
+    note — inlining would re-open the parquet per unrolled reference),
+    then one (score → pick → union) CTE triple per greedy step."""
+    lam, om = MMR_LAMBDA, _MMR_OM
+    parts = [
+        f"""
+cand AS MATERIALIZED (
+  SELECT query_vec, vec_id, cosine FROM (
+    SELECT query_vec, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_vec
+             ORDER BY cosine DESC, vec_id) AS rn
+    FROM (
+      SELECT q.vec_id AS query_vec, e.vec_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), {ROUND}) AS cosine
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      JOIN embeddings e ON e.vec_id <> q.vec_id
+    )
+  ) WHERE rn <= {pool}
+)""",
+        f"""
+pair AS MATERIALIZED (
+  SELECT a.query_vec, a.vec_id AS va, b.vec_id AS vb,
+         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), {ROUND}) AS sim
+  FROM cand a
+  JOIN cand b ON b.query_vec = a.query_vec AND b.vec_id <> a.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+)""",
+        f"""
+sel1 AS MATERIALIZED (
+  SELECT query_vec, CAST(1 AS INTEGER) AS rank, vec_id, round({lam} * cosine, {ROUND}) AS mmr FROM (
+    SELECT query_vec, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_vec
+             ORDER BY round({lam} * cosine, {MMR_RANK_ROUND}) DESC, vec_id) AS rn
+    FROM cand) WHERE rn = 1
+)""",
+    ]
+    for step in range(2, k + 1):
+        prev = f"sel{step - 1}"
+        parts.append(
+            f"""
+score{step} AS MATERIALIZED (
+  SELECT c.query_vec, c.vec_id,
+         {lam} * c.cosine - {om} * (
+           SELECT max(p.sim) FROM pair p
+           JOIN {prev} s ON s.query_vec = p.query_vec AND s.vec_id = p.vb
+           WHERE p.query_vec = c.query_vec AND p.va = c.vec_id) AS raw
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} s2
+                    WHERE s2.query_vec = c.query_vec AND s2.vec_id = c.vec_id)
+),
+sel{step} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT query_vec, CAST({step} AS INTEGER) AS rank, vec_id, round(raw, {ROUND}) AS mmr FROM (
+    SELECT query_vec, vec_id, raw,
+           row_number() OVER (PARTITION BY query_vec
+             ORDER BY round(raw, {MMR_RANK_ROUND}) DESC, vec_id) AS rn
+    FROM score{step}) WHERE rn = 1
+)""",
+        )
+    body = ",".join(parts)
+    return f"WITH {body} SELECT query_vec, rank, vec_id, mmr FROM sel{k} ORDER BY query_vec, rank"

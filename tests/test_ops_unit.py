@@ -947,3 +947,28 @@ def test_sketch_per_key_merge_property(ray_session):
         assert row["estimate"] == sketches.kmv_estimate(h)
         if len(vals) < sketches.K_DEFAULT:
             assert row["estimate"] == float(len(vals))
+
+
+def test_mmr_diversifies_vs_plain_topk(ray_session):
+    from raystorm import similarity
+
+    sf = "/root/testdata/sf0.001"
+    mmr = similarity.mmr_topk(sf)
+    plain = similarity.ann_cosine_topk(sf)
+    assert len(mmr) == similarity.N_QUERIES * similarity.MMR_K
+    for qid, g in mmr.groupby("query_vec"):
+        p = plain[plain.query_vec == qid]
+        # first pick is the relevance argmax (lambda scales monotonically)
+        assert int(g[g["rank"] == 1]["vec_id"].iloc[0]) == int(p[p["rank"] == 1]["vec_id"].iloc[0])
+        assert g["vec_id"].is_unique
+    # diversification engages: some query's order departs from pure
+    # relevance order within the shared prefix
+    k = similarity.MMR_K
+    diff = False
+    for qid, g in mmr.groupby("query_vec"):
+        p = plain[plain.query_vec == qid].head(k)
+        if g["vec_id"].tolist() != p["vec_id"].tolist():
+            diff = True
+    assert diff
+    # mmr scores never exceed the pure relevance leg
+    assert (mmr["mmr"] <= similarity.MMR_LAMBDA + 1e-9).all()
