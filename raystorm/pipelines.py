@@ -74,6 +74,7 @@ def registry() -> dict:
         "heavy_hitters_users": (sketches.heavy_hitters_users, sketches.HEAVY_HITTERS_USERS_SQL),
         "sketch_quantiles_value": (sketches.sketch_quantiles_value, sketches.SKETCH_QUANTILES_VALUE_SQL),
         "sketch_distinct_per_type": (sketches.sketch_distinct_per_type, sketches.SKETCH_DISTINCT_PER_TYPE_SQL),
+        "cms_user_counts": (sketches.cms_user_counts, sketches.CMS_USER_COUNTS_SQL),
         # --- tokenizer training (BPE merge learning) ---
         "bpe_merges": (bpe.bpe_merges, bpe.bpe_merges_sql()),
         "bpe_vocab": (bpe.bpe_vocab, bpe.bpe_vocab_sql()),
@@ -120,6 +121,7 @@ def registry() -> dict:
             textrank.textrank_converged_sql(),
         ),
         "textrank_report": (textrank.textrank_report, textrank.textrank_report_sql()),
+        "graph_distances": (textrank.graph_distances, textrank.graph_distances_sql()),
         # --- stream windows ---
         "window_agg": (events.window_agg, events.WINDOW_AGG_SQL),
         "value_histogram": (events.value_histogram, events.VALUE_HISTOGRAM_SQL),

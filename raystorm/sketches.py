@@ -559,3 +559,129 @@ FROM r GROUP BY key ORDER BY key
 
 
 SKETCH_DISTINCT_PER_TYPE_SQL = distinct_per_key_sql("events", "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch — fixed-size mergeable FREQUENCY summary (the
+# companion to KMV's cardinality): d hash rows x w counters, per-value
+# estimate = min over rows; deterministic hashes make the estimates
+# themselves oracle-checkable
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 256
+CMS_TOP = 10
+
+
+class _CMSStage:
+    """map_batches stage: one block -> its d x w partial counter matrix
+    as (r, b, c) rows — at most d·w rows per block regardless of size."""
+
+    def __init__(self, col: str):
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = (
+            pc.cast(batch[self.col], pa.string())
+            .to_numpy(zero_copy_only=False)
+            .astype(str)
+        )
+        # hash each DISTINCT value once per row, scale by its batch count
+        u, counts = np.unique(vals, return_counts=True)
+        rs, bs, cs = [], [], []
+        for r in range(CMS_D):
+            h = md5int60_np(
+                np.array([f"cms{r}|{v}" for v in u], object)
+            ) % CMS_W
+            acc = np.bincount(h, weights=counts, minlength=CMS_W)
+            nz = np.flatnonzero(acc)
+            rs.append(np.full(len(nz), r, np.int64))
+            bs.append(nz)
+            cs.append(acc[nz].astype(np.int64))
+        return pa.table(
+            {
+                "r": pa.array(np.concatenate(rs), pa.int64()),
+                "b": pa.array(np.concatenate(bs), pa.int64()),
+                "c": pa.array(np.concatenate(cs), pa.int64()),
+            }
+        )
+
+
+def cms_matrix(ds, col: str) -> np.ndarray:
+    """The column's merged d x w count-min matrix: per-block partials
+    summed on the driver (d·w·#blocks rows — sketch-sized)."""
+    partials = (
+        ds.select_columns([col])
+        .map_batches(_CMSStage(col), batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = np.zeros((CMS_D, CMS_W), np.int64)
+    np.add.at(m, (partials["r"].to_numpy(), partials["b"].to_numpy()), partials["c"].to_numpy())
+    return m
+
+
+def cms_estimate(m: np.ndarray, values) -> np.ndarray:
+    """Point-frequency estimates: min over the d rows' hashed counters
+    (never an underestimate; collisions only inflate)."""
+    ests = np.empty((CMS_D, len(values)), np.int64)
+    for r in range(CMS_D):
+        h = md5int60_np(np.array([f"cms{r}|{v}" for v in values], object)) % CMS_W
+        ests[r] = m[r, h]
+    return ests.min(axis=0)
+
+
+def cms_user_counts(sf_dir: str) -> pd.DataFrame:
+    """Gate shape: the CMS frequency estimate next to the exact count
+    for the top-``CMS_TOP`` users by event count — (user_id, exact_n,
+    cms_est), the standard "how tight is the sketch on the head"
+    readout.  The exact side is one value-count shuffle (bounded by
+    |users|); the sketch side is the streaming fixed-size matrix.
+    Oracle :data:`CMS_USER_COUNTS_SQL` recomputes both (the hashes are
+    the shared md5int60, so estimates match bit-for-bit)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    m = cms_matrix(ds, "user_id")
+    exact = (
+        ds.groupby("user_id")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "exact_n"})
+    )
+    exact = exact.sort_values(
+        ["exact_n", "user_id"], ascending=[False, True]
+    ).head(CMS_TOP)
+    vals = exact["user_id"].astype(str).to_numpy()
+    return pd.DataFrame(
+        {
+            "user_id": exact["user_id"].to_numpy(np.int64),
+            "exact_n": exact["exact_n"].to_numpy(np.int64),
+            "cms_est": cms_estimate(m, vals),
+        }
+    ).reset_index(drop=True)
+
+
+def _cms_hash_sql(r: str, val: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5('cms' || {r} || '|' || {val}), 1, 15) AS BIGINT) % {CMS_W}"
+    )
+
+
+CMS_USER_COUNTS_SQL = f"""
+WITH counts AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+top AS (SELECT user_id, n FROM counts ORDER BY n DESC, user_id LIMIT {CMS_TOP}),
+rows AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r),
+cells AS (
+  SELECT r.r, {_cms_hash_sql('r.r', 'CAST(e.user_id AS VARCHAR)')} AS b, count(*) AS c
+  FROM events e CROSS JOIN rows r
+  GROUP BY 1, 2
+)
+SELECT t.user_id, CAST(t.n AS BIGINT) AS exact_n, CAST(min(c.c) AS BIGINT) AS cms_est
+FROM top t CROSS JOIN rows r
+JOIN cells c ON c.r = r.r
+           AND c.b = {_cms_hash_sql('r.r', 'CAST(t.user_id AS VARCHAR)')}
+GROUP BY t.user_id, t.n
+ORDER BY exact_n DESC, t.user_id
+"""

@@ -466,3 +466,116 @@ FROM merged
 ORDER BY round(v, {ROUND}) DESC, node
 LIMIT {REPORT_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest distances over the same word-bigram graph — the frontier
+# traversal every graph pipeline needs next to rank (reachability,
+# radius-bounded neighborhoods)
+# ---------------------------------------------------------------------------
+
+BFS_SEED = "the"
+BFS_MAX_DEPTH = 4
+
+
+class _Frontier:
+    """edges batch + broadcast frontier mask -> this block's DISTINCT
+    dst node indices reachable in one hop from the frontier."""
+
+    def __init__(self, node_ref, frontier_ref):
+        self.node_ref = node_ref
+        self.frontier_ref = frontier_ref
+        self._n = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        if self._n is None:
+            obj = self.node_ref
+            self._n = _ray.get(obj) if not isinstance(obj, np.ndarray) else obj
+        obj = self.frontier_ref
+        f = _ray.get(obj) if not isinstance(obj, np.ndarray) else obj
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        si = np.searchsorted(self._n, src)
+        hit = f[si]
+        di = np.unique(np.searchsorted(self._n, dst[hit]))
+        return pa.table({"di": pa.array(di, pa.int64())})
+
+
+def graph_distances(
+    sf_dir: str, seed: str = BFS_SEED, max_depth: int = BFS_MAX_DEPTH
+):
+    """BFS shortest hop-distances from ``seed`` over the word-bigram
+    graph, capped at ``max_depth`` — (node, dist) for every reached
+    node.
+
+    Scale shape: the textrank layout applied to traversal.  The edge
+    set stays a materialized Dataset (never driver-pulled — it is
+    vocab²-bounded, not vocab-bounded); each BFS level is ONE
+    map_batches pass over it with the current frontier broadcast as a
+    node-index boolean mask, blocks emitting their DISTINCT
+    newly-reachable dst indices (vocab-bounded partials).  The driver
+    keeps only the vocab-sized distance vector and stops at an empty
+    frontier or the depth cap — so the pass count is the graph's
+    (capped) eccentricity, each pass streaming.  Oracle:
+    :func:`graph_distances_sql` (a recursive CTE over the same edge
+    derivation).  Gate ``graph_distances``.
+    """
+    import ray
+
+    edges, node_arr, _deg = _graph(sf_dir)
+    dist = np.full(len(node_arr), -1, np.int64)
+    pos = int(np.searchsorted(node_arr, seed))
+    if pos >= len(node_arr) or node_arr[pos] != seed:
+        return pd.DataFrame({"node": [], "dist": np.empty(0, np.int32)})
+    dist[pos] = 0
+    node_ref = ray.put(node_arr)
+    frontier = np.zeros(len(node_arr), bool)
+    frontier[pos] = True
+    for d in range(max_depth):
+        reached = (
+            edges.map_batches(
+                _Frontier(node_ref, ray.put(frontier)), batch_format="pyarrow"
+            )
+            .to_pandas()
+        )
+        idx = (
+            np.unique(reached["di"].to_numpy(np.int64))
+            if len(reached)
+            else np.empty(0, np.int64)
+        )
+        new = idx[dist[idx] < 0]
+        if not len(new):
+            break
+        dist[new] = d + 1
+        frontier = np.zeros(len(node_arr), bool)
+        frontier[new] = True
+    keep = dist >= 0
+    return (
+        pd.DataFrame(
+            {"node": node_arr[keep], "dist": dist[keep].astype(np.int32)}
+        )
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def graph_distances_sql(
+    seed: str = BFS_SEED, max_depth: int = BFS_MAX_DEPTH
+) -> str:
+    """Recursive-CTE mirror of :func:`graph_distances`: level-bounded
+    expansion, min(dist) per node (the UNION dedups (node, dist) pairs,
+    so a node reached at several depths keeps its earliest)."""
+    return f"""
+WITH RECURSIVE {_textrank_ctes()},
+bfs(node, dist) AS (
+  SELECT '{seed}' AS node, 0 AS dist
+  UNION
+  SELECT e.dst, b.dist + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.dist < {max_depth}
+)
+SELECT node, CAST(min(dist) AS INTEGER) AS dist
+FROM bfs GROUP BY node ORDER BY node
+"""

@@ -972,3 +972,36 @@ def test_mmr_diversifies_vs_plain_topk(ray_session):
     assert diff
     # mmr scores never exceed the pure relevance leg
     assert (mmr["mmr"] <= similarity.MMR_LAMBDA + 1e-9).all()
+
+
+def test_graph_distances_bfs_semantics(ray_session):
+    from raystorm import textrank
+
+    df = textrank.graph_distances("/root/testdata/sf0.001")
+    # seed at distance 0, everything else positive, within the cap
+    assert int(df[df.node == textrank.BFS_SEED]["dist"].iloc[0]) == 0
+    assert (df["dist"] <= textrank.BFS_MAX_DEPTH).all()
+    assert df["node"].is_unique
+    # BFS levels are contiguous: if distance d>0 occurs, so does d-1
+    dists = set(df["dist"].tolist())
+    assert dists == set(range(max(dists) + 1))
+    # unknown seed reaches nothing
+    empty = textrank.graph_distances("/root/testdata/sf0.001", seed="zzznotaword")
+    assert len(empty) == 0
+
+
+def test_cms_overestimates_and_merges(ray_session):
+    import ray.data as rd
+
+    from raystorm import sketches
+
+    df = sketches.cms_user_counts("/root/testdata/sf0.001")
+    # count-min never underestimates
+    assert (df["cms_est"] >= df["exact_n"]).all()
+    assert len(df) == sketches.CMS_TOP
+    # merge property: matrix of the whole == sum of split matrices
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["user_id"])
+    full = sketches.cms_matrix(ds, "user_id")
+    a = sketches.cms_matrix(ds.filter(lambda r: r["user_id"] % 2 == 0), "user_id")
+    b = sketches.cms_matrix(ds.filter(lambda r: r["user_id"] % 2 == 1), "user_id")
+    assert (full == a + b).all()
