@@ -1217,6 +1217,14 @@ def _q_topk_tfidf_classic(sf_dir: str):
     return _run_reference_queries(sf_dir, "tfidf_classic")
 
 
+def _q_topk_pinned(sf_dir: str):
+    """Pinned / promoted-results query (ES pinned): editorial ids rank
+    first in given order (score 0 when the query never matched them),
+    organic BM25 continues below with pins excluded
+    (query.batch_pinned; oracle query.pinned_topk_sql)."""
+    return query.batch_pinned(_index_for(sf_dir))
+
+
 def _q_topk_boosting(sf_dir: str):
     """Boosting query (ES boosting): rank by the positive clause's
     BM25, demoted by negative_boost for docs also matching any
@@ -1452,6 +1460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_lm_dirichlet": _q_topk_lm_dirichlet,
         "topk_tfidf_classic": _q_topk_tfidf_classic,
         "topk_cross_fields": _q_topk_cross_fields,
+        "topk_pinned": _q_topk_pinned,
         "topk_boosting": _q_topk_boosting,
         "topk_random_score": _q_topk_random_score,
         "topk_bm25_deleted_pruned": _q_topk_bm25_deleted_pruned,
@@ -1582,6 +1591,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_lm_dirichlet": query.lm_topk_sql(),
         "topk_tfidf_classic": query.tfidf_topk_sql(),
         "topk_cross_fields": query.cross_fields_topk_sql(query.DIS_MAX_QUERIES),
+        "topk_pinned": query.pinned_topk_sql(),
         "topk_boosting": query.boosting_topk_sql(),
         "topk_random_score": query.random_score_sql(),
         "topk_bm25_deleted_pruned": query.bm25_topk_sql(mask_pred=DELETE_PRED_SQL),

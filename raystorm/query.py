@@ -4833,3 +4833,123 @@ FROM ranked r JOIN queries q ON q.query_id = r.query_id
 WHERE r.rank <= q.qk
 ORDER BY r.query_id, r.rank
 """
+
+
+# ---------------------------------------------------------------------------
+# pinned query (the ES pinned / "promoted results" query): editorially
+# chosen documents rank first in their given order, organic BM25 fills
+# the remainder — the search-merchandising surface
+# ---------------------------------------------------------------------------
+
+#: (query_id, text, k, ((conv_id, turn_idx), ...)) — turn 0 pins only:
+#: conv ids are shared across sf scales but per-conv turn counts are not
+PINNED_QUERIES = (
+    ("p01", "merge", 10, (("conv-00000005", 0), ("conv-00000011", 0))),
+    ("p02", "hash join", 10, (("conv-00000002", 0),)),
+    # query with no organic hits: the result is exactly the pins
+    ("p03", "zzzabsent", 5, (("conv-00000007", 0), ("conv-00000001", 0))),
+)
+
+
+def topk_pinned(idx: "SegmentIndex", query_text: str, k: int, pinned) -> pd.DataFrame:
+    """Pinned evaluation: the ``pinned`` (conv_id, turn_idx) list ranks
+    1..p in its GIVEN order — even documents the query never matched
+    (score 0, the ES semantics) — and organic BM25 continues at p+1
+    with pinned docs excluded.  Pinned scores report the organic BM25
+    value where one exists, so the emitted frame stays score-auditable
+    rather than inventing ES's 1.7e38 sentinel."""
+    docids, scores = idx._score_bm25(query_text)
+    pids = idx.codec.encode(
+        np.array([c for c, _ in pinned]), np.array([t for _, t in pinned], np.int64)
+    )
+    rows = []
+    pos = np.searchsorted(docids, pids)
+    for i, pid in enumerate(pids):
+        sc = 0.0
+        if pos[i] < len(docids) and docids[pos[i]] == pid:
+            sc = float(scores[pos[i]])
+        rows.append(
+            (
+                np.int32(i + 1),
+                pinned[i][0],
+                np.int32(pinned[i][1]),
+                float(round_half_up(np.float64(sc), SCORE_ROUND)),
+            )
+        )
+    head = pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"])
+    keep = ~np.isin(docids, pids)
+    tail = idx._format_topk(docids[keep], scores[keep], max(0, k - len(pids)))
+    tail["rank"] = (tail["rank"] + len(pids)).astype(np.int32)
+    out = pd.concat([head, tail], ignore_index=True)
+    return out.astype({"rank": np.int32, "turn_idx": np.int32}, errors="ignore")
+
+
+def batch_pinned(index_dir: str, queries=PINNED_QUERIES) -> pd.DataFrame:
+    """Pinned evaluation over the fixture set (gate ``topk_pinned``;
+    oracle :func:`pinned_topk_sql`)."""
+    idx = SegmentIndex(index_dir)
+    out = []
+    for qid, text, k, pins in queries:
+        df = topk_pinned(idx, text, int(k), pins)
+        df.insert(0, "query_id", qid)
+        out.append(df)
+    return pd.concat(out, ignore_index=True)
+
+
+def pinned_topk_sql(queries=PINNED_QUERIES, k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of :func:`topk_pinned`: pins LEFT-JOIN their organic
+    score (coalesce 0), organic rows exclude pins and offset their
+    row_number by the query's pin count."""
+    base = tuple((q[0], q[1], q[2]) for q in queries)
+    pin_values = ", ".join(
+        f"('{qid}', '{c}', {t}, {i + 1})"
+        for qid, _t, _k, pins in queries
+        for i, (c, t) in enumerate(pins)
+    )
+    np_values = ", ".join(f"('{q[0]}', {len(q[3])})" for q in queries)
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(base)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(base, dedup=True)}),
+pins(query_id, conv_id, turn_idx, pidx) AS (VALUES {pin_values}),
+npins(query_id, np) AS (VALUES {np_values}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+head AS (
+  SELECT p.query_id, p.pidx AS rank, p.conv_id, p.turn_idx,
+         round(coalesce(s.score, 0), {SCORE_ROUND}) AS score
+  FROM pins p
+  LEFT JOIN scores s ON s.query_id = p.query_id
+        AND s.conv_id = p.conv_id AND s.turn_idx = p.turn_idx
+),
+organic AS (
+  SELECT s.query_id,
+         row_number() OVER (PARTITION BY s.query_id
+           ORDER BY round(s.score, {RANK_ROUND}) DESC, s.conv_id, s.turn_idx) AS rn,
+         s.conv_id, s.turn_idx, round(s.score, {SCORE_ROUND}) AS score
+  FROM scores s
+  WHERE NOT EXISTS (SELECT 1 FROM pins p WHERE p.query_id = s.query_id
+                    AND p.conv_id = s.conv_id AND p.turn_idx = s.turn_idx)
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, conv_id,
+       CAST(turn_idx AS INTEGER) AS turn_idx, score
+FROM (
+  SELECT * FROM head
+  UNION ALL
+  SELECT o.query_id, o.rn + n.np AS rank, o.conv_id, o.turn_idx, o.score
+  FROM organic o JOIN npins n ON n.query_id = o.query_id
+  JOIN queries q ON q.query_id = o.query_id
+  WHERE o.rn <= q.qk - n.np
+)
+ORDER BY query_id, rank
+"""

@@ -1005,3 +1005,24 @@ def test_cms_overestimates_and_merges(ray_session):
     a = sketches.cms_matrix(ds.filter(lambda r: r["user_id"] % 2 == 0), "user_id")
     b = sketches.cms_matrix(ds.filter(lambda r: r["user_id"] % 2 == 1), "user_id")
     assert (full == a + b).all()
+
+
+def test_pinned_query_semantics(ray_session, tmp_path):
+    from raystorm import build, corpus, query
+
+    d = str(tmp_path / "idx")
+    ds = corpus.transcripts_from_documents("/root/testdata/sf0.001")
+    build.build_index(ds, d, input_fingerprint="pin", cfg=build.BuildConfig(num_partitions=4))
+    idx = query.SegmentIndex(d)
+    pins = (("conv-00000005", 0), ("conv-00000011", 0))
+    df = query.topk_pinned(idx, "merge", 10, pins)
+    # pins occupy ranks 1..p in the given order
+    assert list(zip(df["conv_id"].head(2), df["turn_idx"].head(2))) == [
+        ("conv-00000005", 0), ("conv-00000011", 0)]
+    # organic tail never repeats a pin and continues the rank sequence
+    tail = df.iloc[2:]
+    assert not set(zip(tail["conv_id"], tail["turn_idx"])) & set(pins)
+    assert df["rank"].tolist() == list(range(1, len(df) + 1))
+    # a query with no organic hits returns exactly the pins at score 0
+    df0 = query.topk_pinned(idx, "zzzabsent", 5, pins)
+    assert len(df0) == 2 and (df0["score"] == 0.0).all()
