@@ -1217,6 +1217,16 @@ def _q_topk_tfidf_classic(sf_dir: str):
     return _run_reference_queries(sf_dir, "tfidf_classic")
 
 
+def _q_topk_most_fields(sf_dir: str):
+    """multi_match most_fields: per-field BM25 summed over all matching
+    fields — cumulative evidence across analyses, the third ES
+    multi_match family next to best_fields (dis_max) and cross_fields.
+    Sum == the dis_max combination at tie 1.0, so the oracle is
+    query.dis_max_topk_sql(tie=1.0) over the same fixture
+    (query.batch_most_fields)."""
+    return query.batch_most_fields(_index_for(sf_dir))
+
+
 def _q_topk_pinned(sf_dir: str):
     """Pinned / promoted-results query (ES pinned): editorial ids rank
     first in given order (score 0 when the query never matched them),
@@ -1460,6 +1470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_lm_dirichlet": _q_topk_lm_dirichlet,
         "topk_tfidf_classic": _q_topk_tfidf_classic,
         "topk_cross_fields": _q_topk_cross_fields,
+        "topk_most_fields": _q_topk_most_fields,
         "topk_pinned": _q_topk_pinned,
         "topk_boosting": _q_topk_boosting,
         "topk_random_score": _q_topk_random_score,
@@ -1591,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_lm_dirichlet": query.lm_topk_sql(),
         "topk_tfidf_classic": query.tfidf_topk_sql(),
         "topk_cross_fields": query.cross_fields_topk_sql(query.DIS_MAX_QUERIES),
+        "topk_most_fields": query.dis_max_topk_sql(query.DIS_MAX_QUERIES, tie=1.0),
         "topk_pinned": query.pinned_topk_sql(),
         "topk_boosting": query.boosting_topk_sql(),
         "topk_random_score": query.random_score_sql(),

@@ -509,6 +509,8 @@ class SegmentIndex:
             return self._score_dis_max(query_text)
         if mode == "cross_fields":
             return self._score_cross_fields(query_text)
+        if mode == "most_fields":
+            return self._score_most_fields(query_text)
         if mode == "faithful":
             return self._score_faithful(query_text)
         if mode == "lm_dirichlet":
@@ -1413,6 +1415,21 @@ class SegmentIndex:
             tot[pos] += sc
         scores = best + tie * (tot - best)
         return self._drop_deleted(all_ids, scores)
+
+    def _score_most_fields(self, query_text: str):
+        """Per-field BM25 summed over ALL matching fields (the ES
+        ``multi_match`` ``most_fields`` scorer): where best_fields
+        ranks by the single winning field (:meth:`_score_dis_max`) and
+        cross_fields by per-term field maxima
+        (:meth:`_score_cross_fields`), most_fields treats each field as
+        independent cumulative evidence — the right semantics when the
+        SAME text is analyzed different ways per field (stemmed vs
+        exact) and matching several analyses means a better doc.  The
+        sum over unweighted per-field BM25 is exactly the dis_max
+        combination at tie == 1.0 (``max + 1.0·(sum − max) == sum``),
+        so the scorer delegates; the identity is pytest-pinned.
+        """
+        return self._score_dis_max(query_text, tie=1.0)
 
     def _score_cross_fields(self, query_text: str):
         """Term-centric multi-field scoring (ES ``multi_match``
@@ -4755,6 +4772,19 @@ def batch_cross_fields(index_dir: str, queries=DIS_MAX_QUERIES) -> pd.DataFrame:
     out = []
     for qid, text, k in queries:
         df = idx.topk(text, int(k), "cross_fields")
+        df.insert(0, "query_id", qid)
+        out.append(df)
+    return pd.concat(out, ignore_index=True)
+
+
+def batch_most_fields(index_dir: str, queries=DIS_MAX_QUERIES) -> pd.DataFrame:
+    """multi_match most_fields evaluation over the multi-field fixture
+    set (gate ``topk_most_fields``; oracle ``dis_max_topk_sql(tie=1.0)``
+    — the sum-over-fields combination IS dis_max at tie 1.0)."""
+    idx = SegmentIndex(index_dir)
+    out = []
+    for qid, text, k in queries:
+        df = idx.topk(text, int(k), "most_fields")
         df.insert(0, "query_id", qid)
         out.append(df)
     return pd.concat(out, ignore_index=True)

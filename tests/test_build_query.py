@@ -865,6 +865,34 @@ def test_cross_fields_semantics(index_dir):
     assert tol.any()
 
 
+def test_most_fields_is_sum_over_fields(index_dir):
+    """most_fields sums per-field BM25 — exactly dis_max at tie 1.0
+    (the delegation the scorer relies on), strictly above the default
+    dis_max wherever more than one field matches, and mode-dispatched
+    end to end through topk()."""
+    idx = query.SegmentIndex(index_dir)
+    text = "merge python"  # straddles body vocab and tool names
+    ids, sc = idx._score_most_fields(text)
+    ids1, s1 = idx._score_dis_max(text, tie=1.0)
+    np.testing.assert_array_equal(ids, ids1)
+    np.testing.assert_array_equal(sc, s1)
+    # cumulative evidence: >= default dis_max, strictly > somewhere
+    idst, st = idx._score_dis_max(text)
+    np.testing.assert_array_equal(ids, idst)
+    assert (sc >= st - 1e-12).all() and (sc > st + 1e-12).any()
+    # the two modes genuinely rank differently on the fixture set
+    df_mf = query.batch_most_fields(index_dir)
+    df_dm = query.batch_dis_max(index_dir)
+    assert not df_mf.equals(df_dm)
+    # single-field query degenerates to plain BM25 scores
+    ids_b, sc_b = idx._score_bm25("merge")
+    ids_m, sc_m = idx._score_most_fields("merge")
+    both = np.intersect1d(ids_b, ids_m)
+    pos_b = np.searchsorted(ids_b, both)
+    pos_m = np.searchsorted(ids_m, both)
+    assert (np.abs(sc_m[pos_m] - sc_b[pos_b]) < 1e-12).any()
+
+
 def test_phrase_suggest_context_semantics(index_dir):
     """Phrase suggester invariants: suggestions are candidate products
     (every emitted token within PHRASE_MAX_DIST of its input token),
