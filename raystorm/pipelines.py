@@ -102,6 +102,7 @@ def registry() -> dict:
         "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ann_lsh_topk_sql()),
         "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_TOPK_SQL),
         "ann_sq8_topk": (similarity.ann_sq8_topk, similarity.ANN_SQ8_TOPK_SQL),
+        "ann_pq_topk": (similarity.ann_pq_topk, similarity.ANN_PQ_TOPK_SQL),
         "kmeans_cells": (similarity.kmeans_cells, similarity.kmeans_cells_sql()),
         "topk_mmr": (similarity.mmr_topk, similarity.mmr_topk_sql()),
         "embedding_covariance": (similarity.embedding_covariance, similarity.EMBEDDING_COVARIANCE_SQL),
@@ -170,6 +171,7 @@ BENCH_NAMES = (
     "sketch_quantiles_value",
     # session-4 additions
     "matrix_stats",
+    "ann_pq_topk",
     "embedding_covariance",
     "global_shuffle",
     "sketch_distinct_per_type",

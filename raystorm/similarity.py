@@ -812,6 +812,266 @@ WHERE rank <= {TOP_K} ORDER BY query_vec, rank
 
 
 # ---------------------------------------------------------------------------
+# product-quantized ANN (PQ codes + asymmetric-distance scan + exact
+# rescore window)
+# ---------------------------------------------------------------------------
+
+#: subspaces: DIM splits into PQ_M contiguous blocks of DIM/PQ_M dims
+PQ_M = 16
+#: data-derived per-subspace codebook: the sub-vectors of every vector
+#: whose vec_id is a multiple of PQ_STRIDE (k = n/PQ_STRIDE centroids
+#: per subspace — corpus-scaled like IVF_STRIDE's; swap in
+#: kmeans_cells-style trained codebooks at a fixed k for production)
+PQ_STRIDE = 10
+#: rescore window: global top-PQ_WINDOW by ADC distance get their exact
+#: full-precision cosine; the final top-k ranks by that
+PQ_WINDOW = 50
+
+
+def _pq_sub(mat: np.ndarray, m: int) -> np.ndarray:
+    sub = DIM // PQ_M
+    return mat[:, m * sub : (m + 1) * sub]
+
+
+def _pq_sqdist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """All-pairs squared L2 between integer-valued float64 rows —
+    ``|a|² + |b|² − 2a·b`` keeps every term an exact integer (sums of
+    products of int8-range values stay far below 2^53), so engine and
+    oracle agree EXACTLY with no rounding anchor at all."""
+    return (
+        (a * a).sum(axis=1)[:, None]
+        + (b * b).sum(axis=1)[None, :]
+        - 2.0 * (a @ b.T)
+    )
+
+
+def _pq_codebook(sf_dir: str, absmax: float):
+    """Distributed codebook load (the `_load_centroids` shape): a
+    map_batches filter keeps vec_id % PQ_STRIDE == 0 rows inside the
+    read tasks; only the codebook crosses to the driver.  Returns
+    (cids sorted asc, SQ8 integer code matrix k×DIM)."""
+    import ray.data as rd
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        return b.filter(pa.array(ids % PQ_STRIDE == 0))
+
+    pdf = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cids = pdf["vec_id"].to_numpy(np.int64)
+    order = np.argsort(cids)
+    cids = cids[order]
+    cmat = np.vstack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+    return cids, _sq8_codes(cmat, absmax)
+
+
+def _pq_encode(codes: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n×DIM int codes, k×DIM int codebook) -> (n×PQ_M) int32 PQ codes:
+    per subspace the index of the nearest centroid (exact integer
+    distances; np.argmin's first-minimum rule == smallest centroid id
+    since the codebook is cid-sorted — the oracle's ORDER BY d, cid)."""
+    out = np.empty((len(codes), PQ_M), np.int32)
+    for m in range(PQ_M):
+        out[:, m] = np.argmin(_pq_sqdist(_pq_sub(codes, m), _pq_sub(cent, m)), axis=1)
+    return out
+
+
+def ann_pq_topk(sf_dir: str, k: int = TOP_K, window: int = PQ_WINDOW):
+    """Product-quantized approximate top-k with exact rescoring — the
+    Jégou-style ADC path (the FAISS ``IVFPQ`` scan without the IVF
+    routing, which :func:`ivf_topk` already covers): vectors compress
+    to PQ_M one-byte-ish centroid ids (DIM floats → PQ_M codes; at
+    100 TB the code table is what stays resident per node), queries
+    precompute a PQ_M×k distance table once, and scanning a vector is
+    PQ_M table lookups + adds — no float math per candidate.  The
+    global top-``window`` by ADC distance get their exact cosine; the
+    final top-``k`` ranks by that.
+
+    Determinism: quantization happens in SQ8 integer code space
+    (:func:`_sq8_codes`), so subspace distances, the encode argmin and
+    every ADC sum are EXACT integers — engine and oracle agree with no
+    rounding anchor anywhere in the approximate leg (sharper than the
+    float-cosine anchors the kmeans/MMR oracles need).  The exact
+    rescore cosine rounds at ROUND as everywhere else.
+
+    Gate ``ann_pq_topk``; oracle :data:`ANN_PQ_TOPK_SQL` (the same
+    slices via ``list_slice``, dots via ``list_inner_product``, encode
+    via a windowed first-minimum).  Recall vs the exact baseline is
+    pinned in pytest."""
+    import ray
+    import ray.data as rd
+
+    absmax = _sq8_absmax(sf_dir)
+    cids, cent = _pq_codebook(sf_dir, absmax)
+    qids, qraw = _load_queries_raw(sf_dir)
+    qmat = qraw / np.linalg.norm(qraw, axis=1, keepdims=True)
+    qcodes = _sq8_codes(qraw, absmax)
+    # per-query ADC tables: dtabs[i][m, c] = sqdist(q_m, centroid c_m)
+    dtabs = np.stack(
+        [
+            np.stack(
+                [_pq_sqdist(_pq_sub(qcodes[i : i + 1], m), _pq_sub(cent, m))[0] for m in range(PQ_M)]
+            )
+            for i in range(len(qids))
+        ]
+    )
+    ref = ray.put((qids, qmat, dtabs, absmax, cent))
+
+    class PqPartial:
+        """block -> per-query top-``window`` by ADC distance, with each
+        emitted row's exact cosine attached (rescore-in-place)."""
+
+        def __init__(self, ref, window):
+            self.ref = ref
+            self.window = window
+            self._m = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._m is None:
+                obj = self.ref
+                self._m = _get_ref(obj) if not isinstance(obj, tuple) else obj
+            qids, qmat, dtabs, absmax, cent = self._m
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            pq = _pq_encode(_sq8_codes(m, absmax), cent)
+            mnorm = m / np.linalg.norm(m, axis=1, keepdims=True)
+            out = []
+            for i, qid in enumerate(qids):
+                # ADC: PQ_M table lookups + adds per candidate
+                approx = dtabs[i][np.arange(PQ_M)[:, None], pq.T].sum(axis=0)
+                idx = np.nonzero(vids != qid)[0]
+                if len(idx) == 0:
+                    continue
+                take = idx[np.lexsort((vids[idx], approx[idx]))[: self.window]]
+                exact = mnorm[take] @ qmat[i]
+                out.append(
+                    (np.full(len(take), qid, np.int64), vids[take], approx[take], exact)
+                )
+            if not out:
+                return pa.table(
+                    {
+                        "query_vec": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "approx_dist": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_vec": pa.array(np.concatenate([o[0] for o in out]), pa.int64()),
+                    "vec_id": pa.array(np.concatenate([o[1] for o in out]), pa.int64()),
+                    "approx_dist": pa.array(
+                        np.concatenate([o[2] for o in out]).astype(np.int64), pa.int64()
+                    ),
+                    "cosine": pa.array(np.concatenate([o[3] for o in out]), pa.float64()),
+                }
+            )
+
+    cand = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        .map_batches(PqPartial(ref, window), batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = []
+    for qid, g in cand.groupby("query_vec", sort=True):
+        # global window by ADC distance (same rule as the per-block
+        # partials — integer-exact, no rounding), final rank by cosine
+        wsel = g.iloc[
+            np.lexsort((g["vec_id"].to_numpy(), g["approx_dist"].to_numpy()))[:window]
+        ]
+        re = round_half_up(wsel["cosine"].to_numpy(), ROUND)
+        sel = wsel.iloc[np.lexsort((wsel["vec_id"].to_numpy(), -re))[:k]]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_vec": np.full(len(sel), qid, np.int64),
+                    "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                    "vec_id": sel["vec_id"].to_numpy(),
+                    "cosine": round_half_up(sel["cosine"].to_numpy(), ROUND),
+                    "approx_dist": sel["approx_dist"].to_numpy(np.int64),
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(
+            {"query_vec": [], "rank": [], "vec_id": [], "cosine": [], "approx_dist": []}
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+_PQ_SUB = DIM // PQ_M
+
+ANN_PQ_TOPK_SQL = f"""
+WITH amax AS (
+  SELECT max(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')) AS a
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, {_SQ8_CODE_LAMBDA.format(col='embedding')} AS c
+  FROM embeddings CROSS JOIN amax
+),
+subs AS (SELECT CAST(range AS INTEGER) AS m FROM range({PQ_M})),
+vsub AS (
+  SELECT vec_id, m, list_slice(c, m * {_PQ_SUB} + 1, (m + 1) * {_PQ_SUB}) AS s
+  FROM codes CROSS JOIN subs
+),
+csub AS (SELECT vec_id AS cid, m, s FROM vsub WHERE vec_id % {PQ_STRIDE} = 0),
+dists AS (
+  SELECT v.vec_id, v.m, c.cid,
+         list_inner_product(v.s, v.s) + list_inner_product(c.s, c.s)
+         - 2 * list_inner_product(v.s, c.s) AS d
+  FROM vsub v JOIN csub c ON c.m = v.m
+),
+enc AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT qd.vec_id AS query_vec, e.vec_id, CAST(sum(qd.d) AS BIGINT) AS approx_dist
+  FROM enc e
+  JOIN dists qd ON qd.m = e.m AND qd.cid = e.cid
+  WHERE qd.vec_id < {N_QUERIES} AND e.vec_id <> qd.vec_id
+  GROUP BY qd.vec_id, e.vec_id
+),
+wind AS (
+  SELECT query_vec, vec_id, approx_dist FROM (
+    SELECT query_vec, vec_id, approx_dist,
+           row_number() OVER (PARTITION BY query_vec
+             ORDER BY approx_dist, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {PQ_WINDOW}
+),
+resc AS (
+  SELECT w.query_vec, w.vec_id,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ee.embedding AS DOUBLE[])), {ROUND}) AS cosine,
+         w.approx_dist
+  FROM wind w
+  JOIN embeddings qe ON qe.vec_id = w.query_vec
+  JOIN embeddings ee ON ee.vec_id = w.vec_id
+),
+ranked AS (
+  SELECT query_vec,
+         CAST(row_number() OVER (PARTITION BY query_vec ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank,
+         vec_id, cosine, approx_dist
+  FROM resc
+)
+SELECT query_vec, rank, vec_id, cosine, approx_dist FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_vec, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # spherical k-means (iterative algorithm over embeddings — Lloyd's
 # iterations with a deterministic data-derived init, so the SQL oracle
 # can unroll them exactly like textrank's)
