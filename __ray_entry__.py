@@ -900,6 +900,15 @@ def _q_topk_hybrid_rrf_ivf(sf_dir: str):
     return hybrid.hybrid_rrf_topk(sf_dir, _index_for(sf_dir), dense="ivf")
 
 
+def _q_topk_hybrid_linear(sf_dir: str):
+    """Linear min-max-normalized hybrid (the OpenSearch
+    normalization-processor shape): the same two windowed legs as the
+    RRF gates, fused on per-query min-max-calibrated SCORES at
+    W_LEX=0.5 instead of ranks — preserves score gaps RRF discards
+    (hybrid.hybrid_linear_topk; oracle hybrid.hybrid_linear_sql)."""
+    return hybrid.hybrid_linear_topk(sf_dir, _index_for(sf_dir))
+
+
 def _q_search_percentiles(sf_dir: str):
     """Percentiles aggregation (ES percentiles) of the ts doc value over
     each query's full hit set — rank-exact (value at ascending rank
@@ -1436,6 +1445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_collapsed": _q_topk_collapsed,
         "topk_hybrid_rrf": _q_topk_hybrid_rrf,
         "topk_hybrid_rrf_ivf": _q_topk_hybrid_rrf_ivf,
+        "topk_hybrid_linear": _q_topk_hybrid_linear,
         "more_like_this": _q_more_like_this,
         "topk_bm25f": _q_topk_bm25f,
         "search_snippets": _q_search_snippets,
@@ -1566,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_collapsed": query.collapsed_topk_sql(),
         "topk_hybrid_rrf": hybrid.hybrid_rrf_sql(),
         "topk_hybrid_rrf_ivf": hybrid.hybrid_rrf_sql(dense="ivf"),
+        "topk_hybrid_linear": hybrid.hybrid_linear_sql(),
         "more_like_this": query.mlt_sql(),
         "topk_bm25f": query.bm25f_topk_sql(),
         "search_snippets": snippets.snippets_sql(),

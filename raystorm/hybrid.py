@@ -88,9 +88,9 @@ def _conv_of(vec_ids: np.ndarray) -> np.ndarray:
     return np.array([f"conv-{int(v):08d}" for v in vec_ids])
 
 
-def _lex_ranks(index_dir: str, queries) -> pd.DataFrame:
+def _lex_ranks(index_dir: str, queries, keep: tuple = ()) -> pd.DataFrame:
     """Lexical leg: collapsed BM25 via the QueryScorer actor pool,
-    windowed to RRF_WINDOW -> (query_id, conv_id, r_lex)."""
+    windowed to RRF_WINDOW -> (query_id, conv_id, r_lex[, *keep])."""
     import ray.data as rd
 
     q3 = tuple((qid, text, RRF_WINDOW) for qid, text, _v, _k in queries)
@@ -105,7 +105,9 @@ def _lex_ranks(index_dir: str, queries) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    return out.rename(columns={"rank": "r_lex"})[["query_id", "conv_id", "r_lex"]]
+    return out.rename(columns={"rank": "r_lex"})[
+        ["query_id", "conv_id", "r_lex", *keep]
+    ]
 
 
 def _query_matrix(sf_dir: str, queries):
@@ -128,7 +130,7 @@ def _query_matrix(sf_dir: str, queries):
     return ids, qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
 
 
-def _fan_to_queries(merged: pd.DataFrame, queries) -> pd.DataFrame:
+def _fan_to_queries(merged: pd.DataFrame, queries, keep: tuple = ()) -> pd.DataFrame:
     """Per-vector dense ranking -> per-query (a vec_id may back several
     hybrid queries), conv-keyed."""
     merged = merged.copy()
@@ -140,13 +142,13 @@ def _fan_to_queries(merged: pd.DataFrame, queries) -> pd.DataFrame:
         }
     )
     out = qmap.merge(merged, on="query_vec").rename(columns={"rank": "r_dense"})
-    return out[["query_id", "conv_id", "r_dense"]]
+    return out[["query_id", "conv_id", "r_dense", *keep]]
 
 
-def _dense_ranks(sf_dir: str, queries) -> pd.DataFrame:
+def _dense_ranks(sf_dir: str, queries, keep: tuple = ()) -> pd.DataFrame:
     """Dense leg, exact path: cosine partial-top-k over the embeddings
     table (query matrix broadcast once; self-match kept), windowed to
-    RRF_WINDOW -> (query_id, conv_id, r_dense)."""
+    RRF_WINDOW -> (query_id, conv_id, r_dense[, *keep])."""
     import ray
     import ray.data as rd
 
@@ -163,7 +165,7 @@ def _dense_ranks(sf_dir: str, queries) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    return _fan_to_queries(sim._merge_topk(cand, RRF_WINDOW), queries)
+    return _fan_to_queries(sim._merge_topk(cand, RRF_WINDOW), queries, keep)
 
 
 def _dense_ranks_ivf(sf_dir: str, queries) -> pd.DataFrame:
@@ -340,6 +342,196 @@ ranked AS (
   FROM fused
 )
 SELECT r.query_id, r.rank, r.conv_id, r.rrf_score, r.r_lex, r.r_dense
+FROM ranked r JOIN hq h ON h.query_id = r.query_id
+WHERE r.rank <= h.qk
+ORDER BY r.query_id, r.rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# linear (min-max normalized) hybrid — the score-combination alternative
+# ---------------------------------------------------------------------------
+
+#: lexical weight of the convex combination (0.5 == the arithmetic-mean
+#: combination OpenSearch's normalization-processor defaults to)
+W_LEX = 0.5
+
+
+def _minmax_norm(df: pd.DataFrame, col: str, out: str) -> pd.DataFrame:
+    """Per-query min-max normalization of a leg's windowed scores —
+    single-valued (or constant) windows normalize to 1.0, the engine
+    convention for "the only evidence this leg has is its best"."""
+    if not len(df):
+        return df.assign(**{out: np.empty(0, np.float64)})
+    g = df.groupby("query_id")[col]
+    mn = g.transform("min").to_numpy(np.float64)
+    mx = g.transform("max").to_numpy(np.float64)
+    v = df[col].to_numpy(np.float64)
+    flat = mx == mn
+    return df.assign(
+        **{out: np.where(flat, 1.0, (v - mn) / np.where(flat, 1.0, mx - mn))}
+    )
+
+
+def hybrid_linear_topk(
+    sf_dir: str, index_dir: str, queries=HYBRID_QUERIES
+) -> pd.DataFrame:
+    """Linear score-combination hybrid (gate ``topk_hybrid_linear``;
+    oracle :func:`hybrid_linear_sql`): the same two windowed legs as
+    :func:`hybrid_rrf_topk`, but fused on CALIBRATED SCORES instead of
+    ranks — each leg min-max normalizes within its per-query window,
+    then ``h = W_LEX·n_lex + (1−W_LEX)·n_dense`` (a conv missing from a
+    leg's window contributes 0 on that leg).  This is the OpenSearch
+    ``normalization-processor`` (min_max + arithmetic_mean) shape: it
+    preserves score GAPS the rank-only RRF deliberately discards, at
+    the price of needing the per-window calibration.
+
+    Determinism: both legs' scores are already rounded at their emit
+    precision (SCORE_ROUND / COS_ROUND); min, max and the normalization
+    division are then single correctly-rounded IEEE ops on identical
+    doubles, so engine and oracle agree bit-for-bit before the final
+    rounding — no extra anchor needed.
+    """
+    lex = _minmax_norm(
+        _lex_ranks(index_dir, queries, keep=("score",)), "score", "n_lex"
+    )
+    den = _minmax_norm(
+        _dense_ranks(sf_dir, queries, keep=("cosine",)), "cosine", "n_dense"
+    )
+    fused = lex[["query_id", "conv_id", "n_lex"]].merge(
+        den[["query_id", "conv_id", "n_dense"]],
+        on=["query_id", "conv_id"],
+        how="outer",
+    )
+    nl = fused["n_lex"].fillna(0.0).to_numpy(np.float64)
+    nd = fused["n_dense"].fillna(0.0).to_numpy(np.float64)
+    h = W_LEX * nl + (1.0 - W_LEX) * nd
+    fused = fused.assign(n_lex=nl, n_dense=nd, h=h)
+
+    ks = {qid: int(k) for qid, _t, _v, k in queries}
+    out = []
+    for qid, g in fused.groupby("query_id", sort=True):
+        key = round_half_up(g["h"].to_numpy(), q.RANK_ROUND)
+        order = np.lexsort((g["conv_id"].to_numpy(), -key))[: ks[qid]]
+        sel = g.iloc[order]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                    "conv_id": sel["conv_id"].to_numpy(),
+                    "hybrid_score": round_half_up(
+                        sel["h"].to_numpy(), q.SCORE_ROUND
+                    ),
+                    "n_lex": round_half_up(sel["n_lex"].to_numpy(), COS_ROUND),
+                    "n_dense": round_half_up(sel["n_dense"].to_numpy(), COS_ROUND),
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(
+            columns=["query_id", "rank", "conv_id", "hybrid_score", "n_lex", "n_dense"]
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def hybrid_linear_sql(
+    queries=HYBRID_QUERIES, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Mirror of :func:`hybrid_linear_topk`: the collapsed-BM25 and
+    exact-cosine legs of :func:`hybrid_rrf_sql`, each windowed then
+    min-max normalized per query with the same flat-window→1.0 rule,
+    fused as the W_LEX convex combination."""
+    q3 = tuple((qid, text, RRF_WINDOW) for qid, text, _v, _k in queries)
+    hq = ", ".join(
+        f"('{qid}', {int(v)}, {int(k)})" for qid, _t, v, k in queries
+    )
+    return f"""
+WITH {q.corpus_ctes()},
+hq(query_id, qvec, qk) AS (VALUES {hq}),
+qterms(query_id, term) AS (VALUES {q._qterms_values(q3, dedup=True)}),
+scores AS (
+  SELECT qt.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms qt
+  JOIN tfs t ON t.term = qt.term
+  JOIN dfs d ON d.term = qt.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY qt.query_id, t.conv_id, t.turn_idx
+),
+best AS (
+  SELECT query_id, conv_id, turn_idx, score,
+         row_number() OVER (
+           PARTITION BY query_id, conv_id
+           ORDER BY round(score, {q.RANK_ROUND}) DESC, turn_idx) AS rn
+  FROM scores
+),
+lex AS (
+  SELECT query_id, conv_id, round(score, {q.SCORE_ROUND}) AS s_lex,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {q.RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS r_lex
+  FROM best WHERE rn = 1
+),
+lexw AS (SELECT * FROM lex WHERE r_lex <= {RRF_WINDOW}),
+lexn AS (
+  SELECT query_id, conv_id,
+         CASE WHEN mx = mn THEN 1.0 ELSE (s_lex - mn) / (mx - mn) END AS n_lex
+  FROM (
+    SELECT query_id, conv_id, s_lex,
+           min(s_lex) OVER (PARTITION BY query_id) AS mn,
+           max(s_lex) OVER (PARTITION BY query_id) AS mx
+    FROM lexw
+  )
+),
+qv AS (
+  SELECT h.query_id, e.embedding FROM hq h JOIN embeddings e ON e.vec_id = h.qvec
+),
+dscored AS (
+  SELECT v.query_id, e.vec_id,
+         round(list_cosine_similarity(
+           CAST(v.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), {COS_ROUND}) AS cosine
+  FROM qv v CROSS JOIN embeddings e
+),
+dense AS (
+  SELECT query_id,
+         'conv-' || lpad(CAST(vec_id AS VARCHAR), 8, '0') AS conv_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS r_dense
+  FROM dscored
+),
+densew AS (SELECT * FROM dense WHERE r_dense <= {RRF_WINDOW}),
+densen AS (
+  SELECT query_id, conv_id,
+         CASE WHEN mx = mn THEN 1.0 ELSE (cosine - mn) / (mx - mn) END AS n_dense
+  FROM (
+    SELECT query_id, conv_id, cosine,
+           min(cosine) OVER (PARTITION BY query_id) AS mn,
+           max(cosine) OVER (PARTITION BY query_id) AS mx
+    FROM densew
+  )
+),
+fused AS (
+  SELECT query_id, conv_id,
+         coalesce(l.n_lex, 0.0) AS n_lex,
+         coalesce(d.n_dense, 0.0) AS n_dense,
+         {W_LEX} * coalesce(l.n_lex, 0.0)
+           + {1.0 - W_LEX} * coalesce(d.n_dense, 0.0) AS h
+  FROM lexn l FULL OUTER JOIN densen d USING (query_id, conv_id)
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(h, {q.RANK_ROUND}) DESC, conv_id) AS INTEGER) AS rank,
+         conv_id, round(h, {q.SCORE_ROUND}) AS hybrid_score,
+         round(n_lex, {COS_ROUND}) AS n_lex, round(n_dense, {COS_ROUND}) AS n_dense
+  FROM fused
+)
+SELECT r.query_id, r.rank, r.conv_id, r.hybrid_score, r.n_lex, r.n_dense
 FROM ranked r JOIN hq h ON h.query_id = r.query_id
 WHERE r.rank <= h.qk
 ORDER BY r.query_id, r.rank

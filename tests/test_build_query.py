@@ -621,6 +621,34 @@ def test_hybrid_rrf_fusion(ray_session, index_dir, duck):
     )
 
 
+def test_hybrid_linear_fusion(ray_session, index_dir, duck):
+    """Linear min-max hybrid: oracle parity at sf0.001, normalized legs
+    bounded to [0,1], leg-exclusion (h04 lexical-absent -> dense-only,
+    so hybrid <= 0.5 there), the fused score recomputes from the
+    emitted norms, and per query the window's best-scoring leg member
+    normalizes to exactly 1.0."""
+    from raystorm import hybrid
+
+    got = hybrid.hybrid_linear_topk(SF, index_dir)
+    want = duck.execute(hybrid.hybrid_linear_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    assert ((got.n_lex >= 0) & (got.n_lex <= 1)).all()
+    assert ((got.n_dense >= 0) & (got.n_dense <= 1)).all()
+    h04 = got[got.query_id == "h04"]
+    assert len(h04) > 0 and (h04.n_lex == 0).all()
+    assert (h04.hybrid_score <= hybrid.W_LEX * 0 + (1 - hybrid.W_LEX) + 1e-12).all()
+    comb = hybrid.W_LEX * got.n_lex + (1 - hybrid.W_LEX) * got.n_dense
+    assert np.allclose(got.hybrid_score, comb, atol=2e-6)
+    # each leg's per-query max normalizes to 1.0 somewhere in the window
+    for qid, g in got.groupby("query_id"):
+        assert np.isclose(g.n_dense.max(), 1.0)
+    # the two fusion rules genuinely disagree on this corpus
+    rrf = hybrid.hybrid_rrf_topk(SF, index_dir)
+    assert not got.conv_id.equals(rrf.conv_id)
+
+
 def test_explain_contribs_sum_to_score(ray_session, index_dir, duck):
     """Explain breakdown: oracle parity, and per-term contributions sum
     to the explained hit's own BM25 score (round-6)."""
