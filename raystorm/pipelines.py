@@ -103,6 +103,7 @@ def registry() -> dict:
         "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_TOPK_SQL),
         "ann_sq8_topk": (similarity.ann_sq8_topk, similarity.ANN_SQ8_TOPK_SQL),
         "ann_pq_topk": (similarity.ann_pq_topk, similarity.ANN_PQ_TOPK_SQL),
+        "ann_ivfpq_topk": (similarity.ann_ivfpq_topk, similarity.ANN_IVFPQ_TOPK_SQL),
         "kmeans_cells": (similarity.kmeans_cells, similarity.kmeans_cells_sql()),
         "topk_mmr": (similarity.mmr_topk, similarity.mmr_topk_sql()),
         "embedding_covariance": (similarity.embedding_covariance, similarity.EMBEDDING_COVARIANCE_SQL),

@@ -1072,6 +1072,227 @@ WHERE rank <= {TOP_K} ORDER BY query_vec, rank
 
 
 # ---------------------------------------------------------------------------
+# IVF+PQ ANN — the composed 100 TB path (coarse cell routing, then an
+# ADC scan of only the probed cells' codes)
+# ---------------------------------------------------------------------------
+
+
+def ann_ivfpq_topk(sf_dir: str, k: int = TOP_K, window: int = PQ_WINDOW):
+    """IVF+PQ approximate top-k — the canonical FAISS ``IVFPQ`` shape
+    and this module's composed scale path: coarse centroids route each
+    query to its N_PROBE nearest cells (:func:`ivf_topk`'s rule,
+    verbatim), and only the probed cells' vectors are scanned — by PQ
+    ADC table lookups (:func:`ann_pq_topk`'s integer-exact distances),
+    not float math.  The global top-``window`` ADC candidates get their
+    exact cosine; top-``k`` ranks by that.  At 100 TB this is the only
+    layout where BOTH the scan set (cell routing) and the per-candidate
+    cost (PQ codes) stay sublinear in the corpus.
+
+    Both stages reuse the gated pieces' exact tie rules, so the SQL
+    oracle (:data:`ANN_IVFPQ_TOPK_SQL`) composes the IVF cell CTEs with
+    the PQ encode/ADC CTEs unchanged.  Recall vs exact is pinned in
+    pytest; candidates are pytest-pinned to be a subset of the plain
+    IVF gate's probed-cell membership."""
+    import ray
+    import ray.data as rd
+
+    # IVF routing state (float centroids, rounded-cosine probe rule)
+    icids, icmat = _load_centroids(sf_dir)
+    qids, qraw = _load_queries_raw(sf_dir)
+    qmat = qraw / np.linalg.norm(qraw, axis=1, keepdims=True)
+    qsims = round_half_up(qmat @ icmat.T, ROUND)
+    probe = {}
+    for i, qid in enumerate(qids):
+        order = np.lexsort((icids, -qsims[i]))[:N_PROBE]
+        probe[int(qid)] = set(int(c) for c in icids[order])
+    # PQ scan state (integer code space)
+    absmax = _sq8_absmax(sf_dir)
+    _pcids, cent = _pq_codebook(sf_dir, absmax)
+    qcodes = _sq8_codes(qraw, absmax)
+    dtabs = np.stack(
+        [
+            np.stack(
+                [_pq_sqdist(_pq_sub(qcodes[i : i + 1], m), _pq_sub(cent, m))[0] for m in range(PQ_M)]
+            )
+            for i in range(len(qids))
+        ]
+    )
+    ref = ray.put((qids, qmat, probe, icids, icmat, dtabs, absmax, cent))
+
+    class IvfPqPartial:
+        """block -> per-query top-``window`` ADC candidates from the
+        query's probed cells only, exact cosine attached."""
+
+        def __init__(self, ref, window):
+            self.ref = ref
+            self.window = window
+            self._m = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._m is None:
+                obj = self.ref
+                self._m = _get_ref(obj) if not isinstance(obj, tuple) else obj
+            qids, qmat, probe, icids, icmat, dtabs, absmax, cent = self._m
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            mnorm = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cells = _assign_cells(mnorm, icids, icmat)
+            pq = _pq_encode(_sq8_codes(m, absmax), cent)
+            out = []
+            for i, qid in enumerate(qids):
+                member = np.isin(cells, list(probe[int(qid)])) & (vids != qid)
+                idx = np.nonzero(member)[0]
+                if len(idx) == 0:
+                    continue
+                approx = dtabs[i][np.arange(PQ_M)[:, None], pq[idx].T].sum(axis=0)
+                take = idx[np.lexsort((vids[idx], approx))[: self.window]]
+                tpos = np.searchsorted(idx, take)
+                exact = mnorm[take] @ qmat[i]
+                out.append(
+                    (
+                        np.full(len(take), qid, np.int64),
+                        vids[take],
+                        approx[tpos],
+                        exact,
+                    )
+                )
+            if not out:
+                return pa.table(
+                    {
+                        "query_vec": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "approx_dist": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_vec": pa.array(np.concatenate([o[0] for o in out]), pa.int64()),
+                    "vec_id": pa.array(np.concatenate([o[1] for o in out]), pa.int64()),
+                    "approx_dist": pa.array(
+                        np.concatenate([o[2] for o in out]).astype(np.int64), pa.int64()
+                    ),
+                    "cosine": pa.array(np.concatenate([o[3] for o in out]), pa.float64()),
+                }
+            )
+
+    cand = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        .map_batches(IvfPqPartial(ref, window), batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = []
+    for qid, g in cand.groupby("query_vec", sort=True):
+        wsel = g.iloc[
+            np.lexsort((g["vec_id"].to_numpy(), g["approx_dist"].to_numpy()))[:window]
+        ]
+        re = round_half_up(wsel["cosine"].to_numpy(), ROUND)
+        sel = wsel.iloc[np.lexsort((wsel["vec_id"].to_numpy(), -re))[:k]]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_vec": np.full(len(sel), qid, np.int64),
+                    "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                    "vec_id": sel["vec_id"].to_numpy(),
+                    "cosine": round_half_up(sel["cosine"].to_numpy(), ROUND),
+                    "approx_dist": sel["approx_dist"].to_numpy(np.int64),
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(
+            {"query_vec": [], "rank": [], "vec_id": [], "cosine": [], "approx_dist": []}
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+ANN_IVFPQ_TOPK_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), {ROUND}) DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+qprobe AS (
+  SELECT q.vec_id AS query_vec, c.cid AS cell,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), {ROUND}) DESC, c.cid) AS rn
+  FROM embeddings q CROSS JOIN cents c
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_vec, m.vec_id
+  FROM (SELECT * FROM qprobe WHERE rn <= {N_PROBE}) p
+  JOIN cells m ON m.cell = p.cell AND m.vec_id <> p.query_vec
+),
+amax AS (
+  SELECT max(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')) AS a
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, {_SQ8_CODE_LAMBDA.format(col='embedding')} AS c
+  FROM embeddings CROSS JOIN amax
+),
+subs AS (SELECT CAST(range AS INTEGER) AS m FROM range({PQ_M})),
+vsub AS (
+  SELECT vec_id, m, list_slice(c, m * {_PQ_SUB} + 1, (m + 1) * {_PQ_SUB}) AS s
+  FROM codes CROSS JOIN subs
+),
+csub AS (SELECT vec_id AS pcid, m, s FROM vsub WHERE vec_id % {PQ_STRIDE} = 0),
+dists AS (
+  SELECT v.vec_id, v.m, c.pcid,
+         list_inner_product(v.s, v.s) + list_inner_product(c.s, c.s)
+         - 2 * list_inner_product(v.s, c.s) AS d
+  FROM vsub v JOIN csub c ON c.m = v.m
+),
+enc AS (
+  SELECT vec_id, m, pcid FROM (
+    SELECT vec_id, m, pcid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, pcid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT ca.query_vec, ca.vec_id, CAST(sum(qd.d) AS BIGINT) AS approx_dist
+  FROM cand ca
+  JOIN enc e ON e.vec_id = ca.vec_id
+  JOIN dists qd ON qd.m = e.m AND qd.pcid = e.pcid AND qd.vec_id = ca.query_vec
+  GROUP BY ca.query_vec, ca.vec_id
+),
+wind AS (
+  SELECT query_vec, vec_id, approx_dist FROM (
+    SELECT query_vec, vec_id, approx_dist,
+           row_number() OVER (PARTITION BY query_vec
+             ORDER BY approx_dist, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {PQ_WINDOW}
+),
+resc AS (
+  SELECT w.query_vec, w.vec_id,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ee.embedding AS DOUBLE[])), {ROUND}) AS cosine,
+         w.approx_dist
+  FROM wind w
+  JOIN embeddings qe ON qe.vec_id = w.query_vec
+  JOIN embeddings ee ON ee.vec_id = w.vec_id
+),
+ranked AS (
+  SELECT query_vec,
+         CAST(row_number() OVER (PARTITION BY query_vec ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank,
+         vec_id, cosine, approx_dist
+  FROM resc
+)
+SELECT query_vec, rank, vec_id, cosine, approx_dist FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_vec, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # spherical k-means (iterative algorithm over embeddings — Lloyd's
 # iterations with a deterministic data-derived init, so the SQL oracle
 # can unroll them exactly like textrank's)

@@ -224,6 +224,48 @@ def test_ann_pq_adc_recall_and_integer_space(ray_session):
             assert c == ex[(q, v)]
 
 
+def test_ann_ivfpq_composition(ray_session):
+    """IVF+PQ: every hit comes from the query's probed cells (the IVF
+    routing contract), ADC distances are exact non-negative integers
+    (the PQ contract), exact cosines match the brute-force baseline on
+    shared hits, and recall vs exact stays useful for a doubly-
+    approximate path."""
+    import pyarrow.parquet as pq_mod
+    from raystorm import similarity
+
+    sf = "/root/testdata/sf0.001"
+    res = similarity.ann_ivfpq_topk(sf)
+    ad = res.approx_dist.to_numpy()
+    assert ad.dtype == np.int64 and (ad >= 0).all()
+    # recompute cell membership + probes on the (tiny) corpus
+    icids, icmat = similarity._load_centroids(sf)
+    tbl = pq_mod.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vids = tbl["vec_id"].to_numpy()
+    m = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    mnorm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cells = dict(zip(vids.tolist(), similarity._assign_cells(mnorm, icids, icmat).tolist()))
+    qids, qraw = similarity._load_queries_raw(sf)
+    qmat = qraw / np.linalg.norm(qraw, axis=1, keepdims=True)
+    qsims = similarity.round_half_up(qmat @ icmat.T, similarity.ROUND)
+    for i, qid in enumerate(qids):
+        probed = set(
+            icids[np.lexsort((icids, -qsims[i]))[: similarity.N_PROBE]].tolist()
+        )
+        hits = res[res.query_vec == qid]
+        assert all(cells[int(v)] in probed for v in hits.vec_id)
+    exact = similarity.ann_cosine_topk(sf)
+    ex = {(q, v): c for q, v, c in zip(exact.query_vec, exact.vec_id, exact.cosine)}
+    shared = 0
+    for q, v, c in zip(res.query_vec, res.vec_id, res.cosine):
+        if (q, v) in ex:
+            assert c == ex[(q, v)]
+            shared += 1
+    recall = shared / len(ex)
+    assert recall >= 0.4, recall  # doubly approximate; measured on sf data
+
+
 def test_quality_lr_training_semantics(ray_session):
     """Logistic-regression trainer: log-loss strictly decreases across
     the 3 GD iterations, the English-stopword-ratio feature ends
