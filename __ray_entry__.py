@@ -475,6 +475,14 @@ def _q_topk_bm25_pruned(sf_dir: str):
     return _run_reference_queries(sf_dir, "bm25_pruned")
 
 
+def _q_topk_bm25_bmw(sf_dir: str):
+    """Document-space block-max WAND BM25 (run-directory interval
+    sweep, theta from the strongest term's partials) — same oracle as
+    topk_bm25, proving the docid-range pruning lossless next to the
+    term-at-a-time MaxScore of topk_bm25_pruned."""
+    return _run_reference_queries(sf_dir, "bm25_bmw")
+
+
 def _q_topk_bm25_sharded(sf_dir: str):
     """Distributed query path: partition-parallel partial scoring ->
     (query_id, docid) reduction shuffle -> per-query top-k.  Same oracle
@@ -1412,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": _q_corpus_stats,
         "topk_bm25": _q_topk_bm25,
         "topk_bm25_pruned": _q_topk_bm25_pruned,
+        "topk_bm25_bmw": _q_topk_bm25_bmw,
         "topk_bm25_sharded": _q_topk_bm25_sharded,
         "topk_bm25_updated": _q_topk_bm25_updated,
         "topk_bm25_updated_pruned": _q_topk_bm25_updated_pruned,
@@ -1539,6 +1548,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_split": query.bm25_topk_sql(),
         "topk_bm25": query.bm25_topk_sql(),
         "topk_bm25_pruned": query.bm25_topk_sql(),
+        "topk_bm25_bmw": query.bm25_topk_sql(),
         "topk_bm25_sharded": query.bm25_topk_sql(),
         "topk_bm25_updated": query.bm25_topk_sql(),
         "topk_bm25_updated_pruned": query.bm25_topk_sql(),

@@ -472,6 +472,8 @@ class SegmentIndex:
     def topk(self, query_text: str, k: int, mode: str = "bm25") -> pd.DataFrame:
         if mode == "bm25_pruned":
             return self.topk_pruned(query_text, k)
+        if mode == "bm25_bmw":
+            return self.topk_bmw(query_text, k)
         if mode == "phrase":
             return self.topk_phrase(query_text, k)
         if mode == "collapsed":
@@ -1585,6 +1587,142 @@ class SegmentIndex:
                 "score": round_half_up(acc_sc[order], SCORE_ROUND),
             }
         )
+
+    def topk_bmw(self, query_text: str, k: int) -> pd.DataFrame:
+        """BM25 top-k with document-space block-max pruning — the
+        block-max WAND family (Ding & Suel 2011, SIGIR), rank-identical
+        to :meth:`topk` in ``bm25`` mode (pytest-pinned), next to the
+        term-at-a-time MaxScore of :meth:`topk_pruned`.
+
+        Where MaxScore prunes whole TERMS once their summed bounds fall
+        under theta, this prunes DOCID RANGES: the run directory's
+        (first_docid, last_docid, block max) triples are swept into
+        elementary docid intervals, each interval's upper bound is the
+        sum over query terms of the block max of the run covering it,
+        and only runs intersecting an interval whose bound reaches
+        theta are ever decoded.  theta bootstraps from the strongest
+        term's posting list alone — partial scores are lower bounds of
+        full scores, so the k-th best partial is a sound threshold
+        (the WAND invariant).
+
+        Soundness notes: runs within a term are docid-disjoint in every
+        index this engine writes (the build partitions by docid and
+        updates append strictly-later docid ranges), which the sweep
+        verifies per term; if a foreign layout ever violated it, the
+        term falls back to a running-max open-ended bound — looser, but
+        still an upper bound, so pruning stays lossless.  Tombstones
+        mask BEFORE theta accumulates (a dead doc must never raise
+        theta, CLAUDE.md round-2 gotcha), and docs landing in pruned
+        intervals are dropped after accumulation — their totals may be
+        partial because their other runs were skipped.
+
+        Skip accounting lands in ``self._last_bmw`` (runs_total /
+        runs_decoded) so tests can assert real block skipping happened.
+        """
+        if self._tuned:
+            raise ValueError(
+                "topk_bmw requires the build-time k1/b: the stored "
+                "block qmax bounds were quantized under them and are "
+                "not valid upper bounds for tuned parameters"
+            )
+        toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
+        terms = sorted(set(toks.tolist()))
+        gs = self.global_stats["text"]
+        fd = self._dict.get("text")
+        infos = []
+        if fd is not None:
+            for t in terms:
+                r = fd.rank_of(t)
+                if r < 0:
+                    continue
+                s, e = int(fd.run_start[r]), int(fd.run_start[r + 1])
+                if e > s:
+                    infos.append((t, r, s, e, float(fd.max_score[s:e].max())))
+        if not infos:
+            return self._format_topk(np.empty(0, np.int64), np.empty(0), k)
+        infos.sort(key=lambda x: (-x[4], x[0]))
+        self._last_bmw = {
+            "runs_total": int(sum(e - s for _t, _r, s, e, _m in infos)),
+            "runs_decoded": 0,
+        }
+
+        # phase 1 — theta bootstrap: fully score the strongest term;
+        # every partial score is a lower bound of that doc's full score
+        _t0, r0, s0, e0, _m0 = infos[0]
+        chunks = self._decode_runs(fd, range(s0, e0))
+        self._last_bmw["runs_decoded"] += e0 - s0
+        ids0 = np.concatenate([c[0] for c in chunks])
+        tf0 = np.concatenate([c[1] for c in chunks])
+        dl0 = np.concatenate([c[2] for c in chunks])
+        ids0, tf0, dl0 = self._drop_deleted(ids0, tf0, dl0)
+        sc0 = segments.bm25_term_scores(
+            tf0, dl0, float(fd.idf[r0]), gs["avgdl"], self.k1, self.b
+        )
+        theta = (
+            float(np.partition(sc0, len(sc0) - k)[len(sc0) - k])
+            if len(sc0) >= k
+            else -np.inf
+        )
+
+        # phase 2 — elementary-interval sweep: bounds are every run
+        # endpoint across the query's terms; each interval lies inside
+        # at most one run per term, so its upper bound is one gather
+        bounds = np.unique(
+            np.concatenate(
+                [fd.first_docid[s:e] for _t, _r, s, e, _m in infos]
+                + [fd.last_docid[s:e] + 1 for _t, _r, s, e, _m in infos]
+            )
+        )
+        starts = bounds[:-1]
+        ub = np.zeros(len(starts), np.float64)
+        for _t, _r, s, e, _m in infos:
+            f, l, m = fd.first_docid[s:e], fd.last_docid[s:e], fd.max_score[s:e]
+            idx = np.searchsorted(f, starts, side="right") - 1
+            has = idx >= 0
+            idxc = np.maximum(idx, 0)
+            if len(f) < 2 or bool(np.all(l[:-1] < f[1:])):
+                ub += np.where(has & (l[idxc] >= starts), m[idxc], 0.0)
+            else:  # overlapping runs (foreign layout): open-ended bound
+                ub += np.where(has, np.maximum.accumulate(m)[idxc], 0.0)
+        keep_iv = ub + self.PRUNE_EPS >= theta
+        kcs = np.concatenate([[0], np.cumsum(keep_iv.astype(np.int64))])
+
+        # phase 3 — decode only runs intersecting a surviving interval,
+        # exact-score, then drop docs whose interval was pruned (their
+        # accumulated totals may be partial)
+        id_chunks, sc_chunks = [ids0], [sc0]
+        for i, (_t, r, s, e, _m) in enumerate(infos):
+            if i == 0:
+                continue  # phase-1 chunks reused above
+            f, l = fd.first_docid[s:e], fd.last_docid[s:e]
+            i0 = np.maximum(np.searchsorted(bounds, f, side="right") - 1, 0)
+            i1 = np.minimum(
+                np.searchsorted(bounds, l, side="right"), len(keep_iv)
+            )
+            need = (kcs[i1] - kcs[i0]) > 0
+            idxs = np.arange(s, e)[need]
+            if len(idxs) == 0:
+                continue
+            self._last_bmw["runs_decoded"] += len(idxs)
+            ch = self._decode_runs(fd, idxs)
+            ids = np.concatenate([c[0] for c in ch])
+            tfs = np.concatenate([c[1] for c in ch])
+            dls = np.concatenate([c[2] for c in ch])
+            ids, tfs, dls = self._drop_deleted(ids, tfs, dls)
+            if not len(ids):
+                continue
+            id_chunks.append(ids)
+            sc_chunks.append(
+                segments.bm25_term_scores(
+                    tfs, dls, float(fd.idf[r]), gs["avgdl"], self.k1, self.b
+                )
+            )
+        ids, totals = _accumulate(id_chunks, sc_chunks)
+        iv = np.searchsorted(bounds, ids, side="right") - 1
+        inb = (iv >= 0) & (iv < len(keep_iv))
+        mkeep = np.zeros(len(ids), bool)
+        mkeep[inb] = keep_iv[iv[inb]]
+        return self._format_topk(ids[mkeep], totals[mkeep], k)
 
     def _score_faithful(self, query_text: str):
         # reference loop: raw lowercase whitespace tokens, duplicates kept
