@@ -274,6 +274,141 @@ FROM base ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style quality rule flags (Rae et al. 2021 §A1.1, adapted to the
+# word-level rules that are SQL-mirrorable): per-document booleans, one
+# per rule, plus the conjunctive keep verdict — the rule-based filter
+# stage a training-data pipeline runs before model-based scoring.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WLEN = 3.0
+GOPHER_MAX_WLEN = 10.0
+GOPHER_MIN_ALPHA = 0.8  # fraction of words containing an [a-z] char
+GOPHER_MIN_STOP_HITS = 2  # >= 2 hits of the en stop set
+GOPHER_MAX_SYMBOL = 0.1  # '#'/'…' occurrences per word
+
+
+def gopher_rules(sf_dir: str, sort: bool = True):
+    """Per-document Gopher rule flags over ``documents``.
+
+    Emits the rule inputs (n_words, mean word length, alpha-word ratio,
+    stop hits, symbol ratio) and int32 flags ok_word_count /
+    ok_mean_wlen / ok_alpha_words / ok_stopwords / ok_symbol_ratio plus
+    ``keep`` = their conjunction.  Rule comparisons run on the raw
+    float64 ratios (identical operands both sides — sum/div of the same
+    integers — so the engine and the SQL mirror agree without a rounding
+    step); the emitted ratio columns round at {ROUND} like every gate
+    float.  One stateless Arrow pass; the corpus-wide sort is gate-only.
+    """
+    import ray.data as rd
+
+    sw = np.array(QUALITY_STOPWORDS, object)
+
+    def rules(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        text = batch["text"]
+        warrow, rows = split_words_arrow(text)
+        warr = warrow.to_numpy(zero_copy_only=False)
+        wlen = pc.utf8_length(warrow).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = warr != ""
+        rnz = rows[nonempty]
+        n_words = np.bincount(rnz, minlength=n).astype(np.int64)
+        sum_wlen = np.bincount(rnz, weights=wlen[nonempty], minlength=n)
+        has_alpha = (
+            pc.count_substring_regex(warrow, "[a-z]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            > 0
+        )
+        alpha_words = np.bincount(rows[nonempty & has_alpha], minlength=n)
+        sw_hits = np.bincount(rows[nonempty & np.isin(warr, sw)], minlength=n)
+        syms = sum(
+            pc.count_substring(text, s).to_numpy(zero_copy_only=False).astype(np.int64)
+            for s in ("#", "…")
+        )
+        nw = np.maximum(n_words, 1).astype(np.float64)
+        mean_wlen = sum_wlen / nw
+        alpha_ratio = alpha_words / nw
+        symbol_ratio = syms / nw
+        ok_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+        ok_mw = (mean_wlen >= GOPHER_MIN_WLEN) & (mean_wlen <= GOPHER_MAX_WLEN)
+        ok_al = alpha_ratio >= GOPHER_MIN_ALPHA
+        ok_sw = sw_hits >= GOPHER_MIN_STOP_HITS
+        ok_sy = symbol_ratio <= GOPHER_MAX_SYMBOL
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "mean_wlen": pa.array(round_half_up(mean_wlen, ROUND)),
+                "alpha_word_ratio": pa.array(round_half_up(alpha_ratio, ROUND)),
+                "sw_hits": pa.array(sw_hits.astype(np.int64), pa.int64()),
+                "symbol_ratio": pa.array(round_half_up(symbol_ratio, ROUND)),
+                "ok_word_count": pa.array(ok_wc.astype(np.int32), pa.int32()),
+                "ok_mean_wlen": pa.array(ok_mw.astype(np.int32), pa.int32()),
+                "ok_alpha_words": pa.array(ok_al.astype(np.int32), pa.int32()),
+                "ok_stopwords": pa.array(ok_sw.astype(np.int32), pa.int32()),
+                "ok_symbol_ratio": pa.array(ok_sy.astype(np.int32), pa.int32()),
+                "keep": pa.array(
+                    (ok_wc & ok_mw & ok_al & ok_sw & ok_sy).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(rules, batch_format="pyarrow")
+    return out.sort("doc_id") if sort else out
+
+
+def gopher_rules_sql() -> str:
+    sw = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+), agg AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE w <> '') AS n_words,
+         coalesce(sum(length(w)) FILTER (WHERE w <> ''), 0) AS sum_wlen,
+         count(*) FILTER (WHERE w <> '' AND regexp_matches(w, '[a-z]')) AS alpha_words,
+         count(*) FILTER (WHERE w IN ({sw})) AS sw_hits
+  FROM w GROUP BY doc_id
+), base AS (
+  SELECT d.doc_id,
+         coalesce(a.n_words, 0) AS n_words,
+         coalesce(a.sum_wlen, 0) AS sum_wlen,
+         coalesce(a.alpha_words, 0) AS alpha_words,
+         coalesce(a.sw_hits, 0) AS sw_hits,
+         (length(d.text) - length(replace(d.text, '#', '')))
+           + (length(d.text) - length(replace(d.text, '…', ''))) AS syms
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+), r AS (
+  SELECT doc_id, n_words, sw_hits,
+         sum_wlen * 1.0 / greatest(n_words, 1) AS mean_wlen,
+         alpha_words * 1.0 / greatest(n_words, 1) AS alpha_ratio,
+         syms * 1.0 / greatest(n_words, 1) AS symbol_ratio,
+         CAST(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} AS INTEGER) AS ok_word_count,
+         CAST(sum_wlen * 1.0 / greatest(n_words, 1) >= {GOPHER_MIN_WLEN}
+              AND sum_wlen * 1.0 / greatest(n_words, 1) <= {GOPHER_MAX_WLEN} AS INTEGER) AS ok_mean_wlen,
+         CAST(alpha_words * 1.0 / greatest(n_words, 1) >= {GOPHER_MIN_ALPHA} AS INTEGER) AS ok_alpha_words,
+         CAST(sw_hits >= {GOPHER_MIN_STOP_HITS} AS INTEGER) AS ok_stopwords,
+         CAST(syms * 1.0 / greatest(n_words, 1) <= {GOPHER_MAX_SYMBOL} AS INTEGER) AS ok_symbol_ratio
+  FROM base
+)
+SELECT doc_id, n_words,
+       round(mean_wlen, {ROUND}) AS mean_wlen,
+       round(alpha_ratio, {ROUND}) AS alpha_word_ratio,
+       sw_hits, round(symbol_ratio, {ROUND}) AS symbol_ratio,
+       ok_word_count, ok_mean_wlen, ok_alpha_words, ok_stopwords, ok_symbol_ratio,
+       ok_word_count * ok_mean_wlen * ok_alpha_words * ok_stopwords * ok_symbol_ratio AS keep
+FROM r ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # quality-classifier training (logistic regression by distributed GD)
 # ---------------------------------------------------------------------------
 

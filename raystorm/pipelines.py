@@ -47,6 +47,7 @@ def registry() -> dict:
         # --- text analysis ---
         "lang_id": (analysis.lang_id, analysis.lang_id_sql()),
         "quality_score": (analysis.quality_score, analysis.quality_score_sql()),
+        "gopher_rules": (analysis.gopher_rules, analysis.gopher_rules_sql()),
         "token_count": (analysis.token_count, analysis.token_count_sql()),
         "fingerprint": (analysis.fingerprint, analysis.fingerprint_sql()),
         "winnow_fingerprints": (lambda sf: analysis.winnow_fingerprints(sf).to_pandas(), analysis.winnow_fingerprints_sql()),

@@ -1098,3 +1098,21 @@ def test_pinned_query_semantics(ray_session, tmp_path):
     # a query with no organic hits returns exactly the pins at score 0
     df0 = query.topk_pinned(idx, "zzzabsent", 5, pins)
     assert len(df0) == 2 and (df0["score"] == 0.0).all()
+
+
+def test_gopher_rules_semantics(ray_session):
+    """Rule flags must bind both ways on the sf corpus (word-count and
+    stopword rules split it), keep must equal the flag conjunction, and
+    the ratio inputs must be consistent with the flags."""
+    df = analysis.gopher_rules("/root/testdata/sf0.01").to_pandas()
+    assert len(df) == 500
+    assert df.keep.nunique() == 2  # both kept and dropped docs exist
+    flags = ["ok_word_count", "ok_mean_wlen", "ok_alpha_words", "ok_stopwords", "ok_symbol_ratio"]
+    assert (df.keep == df[flags].prod(axis=1)).all()
+    # the word-count rule must match its emitted input
+    wc = (df.n_words >= analysis.GOPHER_MIN_WORDS) & (df.n_words <= analysis.GOPHER_MAX_WORDS)
+    assert (df.ok_word_count == wc.astype(int)).all()
+    sw = df.sw_hits >= analysis.GOPHER_MIN_STOP_HITS
+    assert (df.ok_stopwords == sw.astype(int)).all()
+    # pure-alpha corpus: alpha and symbol rules pass everywhere
+    assert (df.ok_alpha_words == 1).all() and (df.ok_symbol_ratio == 1).all()
