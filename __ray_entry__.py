@@ -1300,6 +1300,33 @@ def _q_topk_decay_recency(sf_dir: str):
     )
 
 
+def _q_topk_decay_exp(sf_dir: str):
+    """Exponential decay function_score (ES exp decay): multiplier
+    exp(lam·d), lam = ln(decay)/scale — same doc-value plumbing as the
+    gaussian gate, different decay family."""
+    return _run_reference_queries(
+        sf_dir, "bm25_decay_exp", index_dir=_docvalues_index_for(sf_dir)
+    )
+
+
+def _q_topk_decay_linear(sf_dir: str):
+    """Linear decay function_score (ES linear decay): multiplier
+    max(0, (s-d)/s), s = scale/(1-decay) — hits zero in finite time,
+    unlike gauss/exp (old matches drop out entirely)."""
+    return _run_reference_queries(
+        sf_dir, "bm25_decay_linear", index_dir=_docvalues_index_for(sf_dir)
+    )
+
+
+def _q_topk_script_score(sf_dir: str):
+    """field_value_factor function_score (ES script_score, ln1p
+    modifier, multiply): every BM25 candidate's score is multiplied by
+    1 + w·ln(1 + turn_idx) — a per-document numeric field folded into
+    relevance at query time (query.SegmentIndex.topk_script_score;
+    oracle query.script_score_topk_sql)."""
+    return _run_reference_queries(sf_dir, "script_score")
+
+
 def _q_reindexed_topk(sf_dir: str):
     """Reindex-from-docstore (ES _reindex): rebuild a text-only index
     from another index's doc-store (no original corpus), then run the
@@ -1475,6 +1502,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_synonyms": _q_topk_bm25_synonyms,
         "topk_rescored": _q_topk_rescored,
         "topk_decay_recency": _q_topk_decay_recency,
+        "topk_decay_exp": _q_topk_decay_exp,
+        "topk_decay_linear": _q_topk_decay_linear,
+        "topk_script_score": _q_topk_script_score,
         "topk_has_child": _q_topk_has_child,
         "analyze_text": _q_analyze_text,
         "search_profile": _q_search_profile,
@@ -1607,6 +1637,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_synonyms": query.synonyms_topk_sql(),
         "topk_rescored": query.rescored_topk_sql(),
         "topk_decay_recency": query.decay_topk_sql(),
+        "topk_decay_exp": query.decay_topk_sql(shape="exp"),
+        "topk_decay_linear": query.decay_topk_sql(shape="linear"),
+        "topk_script_score": query.script_score_topk_sql(),
         "topk_has_child": query.has_child_topk_sql(),
         "analyze_text": normalize.analyze_sql(),
         "search_profile": query.profile_sql(),

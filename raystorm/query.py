@@ -482,6 +482,12 @@ class SegmentIndex:
             return self.topk_rescored(query_text, k)
         if mode == "bm25_decay":
             return self.topk_decayed(query_text, k)
+        if mode == "bm25_decay_exp":
+            return self.topk_decayed(query_text, k, shape="exp")
+        if mode == "bm25_decay_linear":
+            return self.topk_decayed(query_text, k, shape="linear")
+        if mode == "script_score":
+            return self.topk_script_score(query_text, k)
         docids, scores = self._score_mode(query_text, mode)
         return self._format_topk(docids, scores, k)
 
@@ -663,6 +669,8 @@ class SegmentIndex:
     DECAY_SCALE_US = 14 * 86_400 * 1_000_000
     DECAY_OFFSET_US = 86_400 * 1_000_000
     DECAY_AT_SCALE = 0.5
+    #: field_value_factor weight (topk_script_score)
+    FVF_WEIGHT = 0.25
 
     def topk_decayed(
         self,
@@ -672,6 +680,7 @@ class SegmentIndex:
         offset_us: int | None = None,
         decay: float | None = None,
         mode: str = "bm25",
+        shape: str = "gauss",
     ) -> pd.DataFrame:
         """Gaussian decay ``function_score`` (ES ``gauss`` decay,
         ``multiply`` boost mode): every candidate's BM25 score is
@@ -691,6 +700,11 @@ class SegmentIndex:
         Oracle: :func:`decay_topk_sql` — ``lam`` is inlined as the
         same Python double and the delta squared as ``d*d`` (not
         ``pow``) so both sides run identical float64 ops.
+
+        ``shape`` selects the ES decay family: ``gauss``
+        (exp(lam·d²), lam = ln(decay)/scale²), ``exp`` (exp(lam·d),
+        lam = ln(decay)/scale), or ``linear`` (max(0, (s-d)/s),
+        s = scale/(1-decay)); all hit ``decay`` at offset+scale.
         """
         import math
 
@@ -704,9 +718,45 @@ class SegmentIndex:
         if not found.all():
             raise KeyError("decay candidate missing its ts_us doc value")
         ts = vals.astype(np.float64)
-        lam = math.log(decay) / (float(scale_us) ** 2)
         d = np.maximum(ts.max() - ts - float(offset_us), 0.0)
-        return self._format_topk(docids, scores * np.exp(lam * (d * d)), k)
+        if shape == "gauss":
+            lam = math.log(decay) / (float(scale_us) ** 2)
+            mult = np.exp(lam * (d * d))
+        elif shape == "exp":
+            lam = math.log(decay) / float(scale_us)
+            mult = np.exp(lam * d)
+        elif shape == "linear":
+            s = float(scale_us) / (1.0 - decay)
+            mult = np.maximum((s - d) / s, 0.0)
+        else:
+            raise ValueError(shape)
+        return self._format_topk(docids, scores * mult, k)
+
+    def topk_script_score(
+        self, query_text: str, k: int, mode: str = "bm25"
+    ) -> pd.DataFrame:
+        """``function_score`` field_value_factor (ES ``script_score`` /
+        ``field_value_factor`` with modifier ``ln1p``, boost mode
+        multiply): every candidate's BM25 score is multiplied by
+        ``1 + FVF_WEIGHT * ln(1 + turn_idx)`` — a per-document numeric
+        field folded into relevance at query time, the third
+        function_score flavor next to the gaussian decay
+        (:meth:`topk_decayed`) and the additive rank prior
+        (``_topk_boosted``).
+
+        The field here is ``turn_idx`` (decoded from the docid itself,
+        so the factor needs no doc-value lookup — candidate-bounded
+        arithmetic only; a doc-values field would slot in via
+        ``self.docvalues().lookup`` exactly like :meth:`topk_decayed`).
+        Written ``ln(1.0 + t)`` with the same float64 operand order as
+        the SQL mirror.
+        """
+        docids, scores = self._score_mode(query_text, mode)
+        if not len(docids):
+            return self._format_topk(docids, scores, k)
+        _conv, turn = self.codec.decode(docids)
+        factor = 1.0 + self.FVF_WEIGHT * np.log(1.0 + turn.astype(np.float64))
+        return self._format_topk(docids, scores * factor, k)
 
     def _conv_best(self, docids: np.ndarray, scores: np.ndarray):
         """Per-conversation best turn (rounded score desc, turn asc) —
@@ -4246,19 +4296,30 @@ ORDER BY r.query_id, r.rank
 
 
 def decay_topk_sql(
-    queries=REFERENCE_QUERIES, k1: float = 1.2, b: float = 0.75
+    queries=REFERENCE_QUERIES, k1: float = 1.2, b: float = 0.75, shape: str = "gauss"
 ) -> str:
     """Mirror of :meth:`SegmentIndex.topk_decayed`: the plain BM25
-    chain over ALL candidates, each multiplied by the gaussian decay
-    of its ts against the query's own max candidate ts.  ``lam`` is
-    the engine's Python double inlined verbatim; the squared delta is
-    written ``d*d`` so SQL and numpy run the same float64 ops."""
+    chain over ALL candidates, each multiplied by the ``shape`` decay
+    (gauss/exp/linear) of its ts against the query's own max candidate
+    ts.  ``lam`` (or the linear span ``s``) is the engine's Python
+    double inlined verbatim; the squared delta is written ``d*d`` so
+    SQL and numpy run the same float64 ops."""
     import math
 
     scale = SegmentIndex.DECAY_SCALE_US
     offset = SegmentIndex.DECAY_OFFSET_US
-    lam = math.log(SegmentIndex.DECAY_AT_SCALE) / (float(scale) ** 2)
     d = f"CAST(greatest(origin - ts - {offset}, 0) AS DOUBLE)"
+    if shape == "gauss":
+        lam = math.log(SegmentIndex.DECAY_AT_SCALE) / (float(scale) ** 2)
+        mult = f"exp({lam!r} * ({d} * {d}))"
+    elif shape == "exp":
+        lam = math.log(SegmentIndex.DECAY_AT_SCALE) / float(scale)
+        mult = f"exp({lam!r} * {d})"
+    elif shape == "linear":
+        s = float(scale) / (1.0 - SegmentIndex.DECAY_AT_SCALE)
+        mult = f"greatest(({s!r} - {d}) / {s!r}, 0.0)"
+    else:
+        raise ValueError(shape)
     return f"""
 WITH {corpus_ctes()},
 queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
@@ -4283,7 +4344,7 @@ tsd AS (
 ),
 dec AS (
   SELECT query_id, conv_id, turn_idx,
-         score * exp({lam!r} * ({d} * {d})) AS score
+         score * {mult} AS score
   FROM tsd
 ),
 ranked AS (
@@ -4294,6 +4355,51 @@ ranked AS (
          conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
          round(score, {SCORE_ROUND}) AS score
   FROM dec
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""
+
+
+def script_score_topk_sql(
+    queries=REFERENCE_QUERIES, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Mirror of :meth:`SegmentIndex.topk_script_score`: the plain BM25
+    chain, each candidate multiplied by ``1 + w * ln(1 + turn_idx)``
+    with the engine's weight inlined and the same float64 operand
+    order (``1.0 + CAST(turn_idx AS DOUBLE)``)."""
+    w = SegmentIndex.FVF_WEIGHT
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+fvf AS (
+  SELECT query_id, conv_id, turn_idx,
+         score * (1.0 + {w!r} * ln(1.0 + CAST(turn_idx AS DOUBLE))) AS score
+  FROM scores
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM fvf
 )
 SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
 FROM ranked r JOIN queries q ON q.query_id = r.query_id

@@ -359,6 +359,42 @@ def test_decay_semantics(ray_session, dv_index, duck):
         assert list(flat.turn_idx) == list(base.turn_idx)
 
 
+def test_decay_shapes_semantics(ray_session, dv_index, duck):
+    """exp / linear decay shapes: oracle parity, and the family's
+    pointwise order gauss >= exp (within scale) while linear reaches
+    exactly zero past s = scale/(1-decay)."""
+    import numpy as np
+
+    idx = query.SegmentIndex(dv_index)
+    for shape, mode in (("exp", "bm25_decay_exp"), ("linear", "bm25_decay_linear")):
+        rows = []
+        for qid, text, k in query.REFERENCE_QUERIES:
+            df = idx.topk(text, k, mode)
+            df.insert(0, "query_id", qid)
+            rows.append(df)
+        got = pd.concat(rows, ignore_index=True)
+        want = duck.execute(query.decay_topk_sql(shape=shape)).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False, obj=shape,
+        )
+    # multiplier math: all three agree at d=0 (1.0) and d=scale (decay);
+    # linear is 0 past its span, gauss/exp never are
+    sc = float(query.SegmentIndex.DECAY_SCALE_US)
+    dc = query.SegmentIndex.DECAY_AT_SCALE
+    span = sc / (1.0 - dc)
+    for d in (0.0, sc, 2 * span):
+        g = np.exp(np.log(dc) / sc**2 * d * d)
+        e = np.exp(np.log(dc) / sc * d)
+        l = max((span - d) / span, 0.0)
+        if d == 0.0:
+            assert g == e == l == 1.0
+        elif d == sc:
+            assert abs(g - dc) < 1e-12 and abs(e - dc) < 1e-12
+        else:
+            assert l == 0.0 and g > 0.0 and e > 0.0
+
+
 def test_has_child_semantics(ray_session, dv_index, duck):
     """has_child: oracle parity at sf0.001; every result conv has a
     user-turn match for clause 1 AND an assistant-turn match for
