@@ -831,6 +831,14 @@ def _q_search_facets_stats(sf_dir: str):
     return facets.search_facets_stats(_docvalues_index_for(sf_dir))
 
 
+def _q_search_range_agg(sf_dir: str):
+    """Range aggregation (ES range over a date field): per query,
+    hits bucketed by whole days since the query's oldest hit with
+    half-open bounds, per-bucket n_hits/top_score
+    (facets.search_range_agg; oracle facets.range_agg_sql)."""
+    return facets.search_range_agg(_docvalues_index_for(sf_dir))
+
+
 def _q_search_top_hits(sf_dir: str):
     """top_hits sub-aggregation (ES top_hits inside a terms bucket):
     the k best actual hits of each (query, role bucket), ranked within
@@ -1471,6 +1479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": _q_term_vectors,
         "mget_docs": _q_mget_docs,
         "search_facets_stats": _q_search_facets_stats,
+        "search_range_agg": _q_search_range_agg,
         "search_top_terms": _q_search_top_terms,
         "search_facets_composite": _q_search_facets_composite,
         "search_adjacency": _q_search_adjacency,
@@ -1606,6 +1615,7 @@ def oracle_sql() -> dict[str, str]:
         "term_vectors": _term_vectors_oracle_sql(),
         "mget_docs": _mget_oracle_sql(),
         "search_facets_stats": facets.facets_stats_sql(),
+        "search_range_agg": facets.range_agg_sql(),
         "search_top_terms": facets.top_terms_sql(),
         "search_facets_composite": facets.facets_composite_sql(),
         "search_adjacency": facets.adjacency_sql(),

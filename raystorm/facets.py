@@ -1132,6 +1132,103 @@ ORDER BY v.query_id, q
 """
 
 
+#: range-aggregation bucket bounds, in days relative to each query's
+#: oldest hit (ES ``range`` agg over a date field; relative so the
+#: buckets are corpus-clock-free, like the decay origin)
+RANGE_BOUNDS_DAYS = (7, 14)
+_DAY_US = 86_400_000_000
+
+
+def _range_label(i: int, bounds) -> str:
+    lo = "*" if i == 0 else str(bounds[i - 1])
+    hi = "*" if i == len(bounds) else str(bounds[i])
+    return f"{lo}-{hi}"
+
+
+def search_range_agg(
+    index_dir: str,
+    queries=REFERENCE_QUERIES,
+    bounds=RANGE_BOUNDS_DAYS,
+    mode: str = "bm25",
+) -> pd.DataFrame:
+    """Range aggregation (ES ``range`` over a date field): each query's
+    hits bucket by whole days since the query's OLDEST hit, with
+    half-open bucket bounds ``bounds`` — per bucket n_hits and
+    top_score.  Day index = int64 µs floor-division (exact), so the SQL
+    mirror (``//``) agrees bit-for-bit.  Candidate-bounded like
+    :func:`search_percentiles`.  Oracle: :func:`range_agg_sql`."""
+    from .docvalues import DocValues
+    from .query import SegmentIndex
+
+    idx = SegmentIndex(index_dir)
+    dv = DocValues(index_dir)
+    b = np.asarray(bounds, np.int64)
+    rows = []
+    for qid, text, _k in queries:
+        ids, sc = idx._score_mode(text, mode)
+        if not len(ids):
+            continue
+        vals, found = dv.lookup(ids, "ts_us")
+        if not found.all():
+            raise KeyError("range agg candidate missing its ts_us doc value")
+        days = (vals.astype(np.int64) - int(vals.min())) // _DAY_US
+        which = np.searchsorted(b, days, side="right")
+        scr = round_half_up(sc, SCORE_ROUND)
+        for i in range(len(b) + 1):
+            m = which == i
+            if m.any():
+                rows.append(
+                    (qid, _range_label(i, bounds), int(m.sum()), float(scr[m].max()))
+                )
+    return pd.DataFrame(
+        rows, columns=["query_id", "bucket", "n_hits", "top_score"]
+    ).sort_values(["query_id", "bucket"]).reset_index(drop=True)
+
+
+def range_agg_sql(
+    queries=REFERENCE_QUERIES, bounds=RANGE_BOUNDS_DAYS, k1=1.2, b=0.75
+) -> str:
+    """Mirror of :func:`search_range_agg`: BM25 hit sets bucketed by
+    integer day offset (``//`` floor division of int64 µs) from each
+    query's min hit ts, CASE-labelled with the same half-open bounds."""
+    cases = " ".join(
+        f"WHEN d < {bd} THEN '{_range_label(i, bounds)}'"
+        for i, bd in enumerate(bounds)
+    )
+    last = _range_label(len(bounds), bounds)
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+dd AS (
+  SELECT s.query_id, s.score,
+         (epoch_us(m.ts) - min(epoch_us(m.ts)) OVER (PARTITION BY s.query_id))
+           // {_DAY_US} AS d
+  FROM scores s
+  JOIN transcripts m ON m.conv_id = s.conv_id AND m.turn_idx = s.turn_idx
+)
+SELECT query_id,
+       CASE {cases} ELSE '{last}' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       max(round(score, {SCORE_ROUND})) AS top_score
+FROM dd
+GROUP BY query_id, bucket
+ORDER BY query_id, bucket
+"""
+
+
 def facets_sql(
     queries=REFERENCE_QUERIES,
     facet: str = "role",

@@ -395,6 +395,27 @@ def test_decay_shapes_semantics(ray_session, dv_index, duck):
             assert l == 0.0 and g > 0.0 and e > 0.0
 
 
+def test_range_agg_semantics(ray_session, dv_index, duck):
+    """Range aggregation: oracle parity at sf0.001; per query the
+    bucket n_hits sum to the full hit-set size and labels use the
+    half-open bound format."""
+    from raystorm import facets
+
+    got = facets.search_range_agg(dv_index)
+    want = duck.execute(facets.range_agg_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.sort_values(["query_id", "bucket"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+    idx = query.SegmentIndex(dv_index)
+    for qid, text, _k in query.REFERENCE_QUERIES:
+        ids, _ = idx._score_mode(text, "bm25")
+        sub = got[got.query_id == qid]
+        assert sub.n_hits.sum() == len(ids)
+    assert set(got.bucket) <= {"*-7", "7-14", "14-*"}
+
+
 def test_has_child_semantics(ray_session, dv_index, duck):
     """has_child: oracle parity at sf0.001; every result conv has a
     user-turn match for clause 1 AND an assistant-turn match for
