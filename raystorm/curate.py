@@ -35,6 +35,7 @@ from .analysis import (
     QUALITY_STOPWORDS,
     UNKNOWN_LANG,
     md5int60,
+    md5int60_np,
     md5int60_sql,
     round_half_up,
     split_words_arrow,
@@ -119,6 +120,189 @@ def curate(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection by importance resampling (Xie et al. 2023,
+# NeurIPS; public algorithm).  Two add-one-smoothed unigram LMs — the
+# target domain's and the whole corpus's — give each document an
+# importance log-weight Σ_tokens (ln p_t(w) − ln p_c(w)); resampling is
+# Gumbel-top-k over those weights, derandomized with the engine's
+# md5int60 hash so the SQL oracle draws the identical "noise".
+# ---------------------------------------------------------------------------
+
+#: target domain for the importance weights (one of the corpus sources)
+DSIR_TARGET_SOURCE = "src0"
+#: resampled set size (Gumbel-top-k)
+DSIR_KEEP = 100
+_TWO60 = float(1 << 60)
+
+
+def dsir_weights(sf_dir: str):
+    """Per-document DSIR importance weights + Gumbel-top-k keep flags.
+
+    Pass 1 (vocab-bounded, the ``unigram_logprob`` shape): per-block
+    partial term counts for the corpus AND the target source fused in
+    one kernel, reduced by a vocabulary-sized groupby; the smoothed
+    log-ratio vector broadcasts once.  Pass 2: per-doc token log-ratio
+    sums + the deterministic Gumbel key ``round(lw − ln(−ln(u)), 6)``
+    with ``u = (md5int60('dsir|'||doc_id)+1)/2^60``.  The top-k
+    boundary comes from per-block partial top-k (never a global sort);
+    the per-doc result table is doc-count-sized — the same budget class
+    as every per-doc gate.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def cf_partial(batch: pa.Table) -> pa.Table:
+        words, rows = split_words_arrow(batch["text"])
+        enc = words.dictionary_encode()
+        vocab = np.asarray(enc.dictionary, dtype=object)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = vocab[codes] != "" if len(codes) else np.empty(0, bool)
+        codes_k, rows_k = codes[keep], rows[keep]
+        if not len(codes_k):
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "cfc_part": pa.array([], pa.int64()),
+                    "cft_part": pa.array([], pa.int64()),
+                }
+            )
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        tmask = (src == DSIR_TARGET_SOURCE)[rows_k]
+        cfc = np.bincount(codes_k, minlength=len(vocab))
+        cft = np.bincount(codes_k[tmask], minlength=len(vocab))
+        nz = np.flatnonzero(cfc)
+        return pa.table(
+            {
+                "word": pa.array(vocab[nz].astype(str)),
+                "cfc_part": pa.array(cfc[nz], pa.int64()),
+                "cft_part": pa.array(cft[nz], pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(path, columns=["doc_id", "text", "source"])
+    cf_pd = (
+        ds.map_batches(cf_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cfc_part", alias_name="cfc"), Sum("cft_part", alias_name="cft"))
+        .to_pandas()
+    )
+    v = len(cf_pd)
+    tc = float(cf_pd["cfc"].sum() + v)
+    tt = float(cf_pd["cft"].sum() + v)
+    order = np.argsort(cf_pd["word"].to_numpy())
+    # (c+1)*1.0/(T+V): divide-then-log in the SQL mirror's op order
+    lr_vec = np.log((cf_pd["cft"].to_numpy()[order] + 1) * 1.0 / tt) - np.log(
+        (cf_pd["cfc"].to_numpy()[order] + 1) * 1.0 / tc
+    )
+    lr_ref = ray.put((cf_pd["word"].to_numpy()[order].astype(str), lr_vec))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_sorted, lrs = ray.get(lr_ref)
+        words, rows = split_words_arrow(batch["text"])
+        wnp = words.to_numpy(zero_copy_only=False)
+        keep = wnp != ""
+        wnp, rows = wnp[keep], rows[keep]
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "log_ratio": pa.array([], pa.float64()),
+                "gkey": pa.array([], pa.float64()),
+            }
+        )
+        if not len(rows):
+            return empty
+        lr = lrs[np.searchsorted(vocab_sorted, wnp.astype(str))]
+        n_rows = int(rows[-1]) + 1
+        lw = np.bincount(rows, weights=lr, minlength=n_rows)
+        counts = np.bincount(rows, minlength=n_rows)
+        nz = np.flatnonzero(counts)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)[nz]
+        u = (
+            md5int60_np(np.array([f"dsir|{d}" for d in did], object)) + 1
+        ) / _TWO60
+        g = -np.log(-np.log(u))
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "n_words": pa.array(counts[nz], pa.int64()),
+                "log_ratio": pa.array(round_half_up(lw[nz], ROUND)),
+                "gkey": pa.array(round_half_up(lw[nz] + g, ROUND)),
+            }
+        )
+
+    res = ds.map_batches(score, batch_format="pyarrow").materialize()
+
+    # top-k boundary via per-block partial top-k (a global winner is in
+    # its block's top-k), tiny driver merge — never a global sort
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        gk = batch["gkey"].to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((did, -gk))[:DSIR_KEEP]
+        return pa.table(
+            {"gkey": pa.array(gk[o]), "doc_id": pa.array(did[o], pa.int64())}
+        )
+
+    cand = res.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    o = np.lexsort((cand["doc_id"].to_numpy(), -cand["gkey"].to_numpy()))
+    bk = cand["gkey"].to_numpy()[o][: DSIR_KEEP][-1]
+    bd = cand["doc_id"].to_numpy()[o][: DSIR_KEEP][-1]
+
+    def flag(batch: pa.Table) -> pa.Table:
+        gk = batch["gkey"].to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (gk > bk) | ((gk == bk) & (did <= bd))
+        return batch.append_column("keep", pa.array(keep.astype(np.int32), pa.int32()))
+
+    return (
+        res.map_batches(flag, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def dsir_weights_sql() -> str:
+    h = md5int60_sql("'dsir|' || doc_id")
+    return f"""
+WITH words AS (
+  SELECT doc_id, source, w
+  FROM (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+cf AS (
+  SELECT w, count(*) AS cc,
+         count(*) FILTER (WHERE source = '{DSIR_TARGET_SOURCE}') AS ct
+  FROM words GROUP BY w
+),
+tot AS (SELECT sum(cc) AS tc, sum(ct) AS tt, count(*) AS v FROM cf),
+lr AS (
+  SELECT w, ln((ct + 1) * 1.0 / (tt + v)) - ln((cc + 1) * 1.0 / (tc + v)) AS lr
+  FROM cf CROSS JOIN tot
+),
+dw AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, sum(lr) AS lw
+  FROM words JOIN lr USING (w) GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, n_words, round(lw, {ROUND}) AS log_ratio,
+         round(lw + -ln(-ln(({h} + 1) / {_TWO60!r})), {ROUND}) AS gkey
+  FROM dw
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY gkey DESC, doc_id) AS rn FROM keyed
+)
+SELECT doc_id, n_words, log_ratio, gkey,
+       CAST(rn <= {DSIR_KEEP} AS INTEGER) AS keep
+FROM ranked ORDER BY doc_id
+"""
 
 
 def curate_sql() -> str:

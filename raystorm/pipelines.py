@@ -65,6 +65,7 @@ def registry() -> dict:
         "train_val_test_split": (relational.train_val_test_split, relational.TRAIN_VAL_TEST_SQL),
         "upsample_sources": (relational.upsample_sources, relational.UPSAMPLE_SQL),
         "curate": (curate.curate, curate.curate_sql()),
+        "dsir_weights": (curate.dsir_weights, curate.dsir_weights_sql()),
         # --- model training (logistic-regression quality classifier) ---
         "quality_lr_weights": (analysis.quality_lr_weights, analysis.quality_lr_weights_sql()),
         "quality_lr_preds": (analysis.quality_lr_preds, analysis.quality_lr_preds_sql()),

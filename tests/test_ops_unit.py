@@ -1116,3 +1116,23 @@ def test_gopher_rules_semantics(ray_session):
     assert (df.ok_stopwords == sw.astype(int)).all()
     # pure-alpha corpus: alpha and symbol rules pass everywhere
     assert (df.ok_alpha_words == 1).all() and (df.ok_symbol_ratio == 1).all()
+
+
+def test_dsir_weights_semantics(ray_session):
+    """DSIR importance resampling: exactly DSIR_KEEP docs kept, the
+    keep set is the Gumbel-top-k of the keys, and the target source's
+    documents carry higher average importance (KL property of fitting
+    the target LM on them) and dominate the resampled set."""
+    from raystorm import curate
+
+    df = curate.dsir_weights("/root/testdata/sf0.01")
+    src = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")[["doc_id", "source"]]
+    m = df.merge(src, on="doc_id")
+    assert df.keep.sum() == curate.DSIR_KEEP
+    o = np.lexsort((df.doc_id.to_numpy(), -df.gkey.to_numpy()))
+    topk = set(df.doc_id.to_numpy()[o][: curate.DSIR_KEEP])
+    assert set(df[df.keep == 1].doc_id) == topk
+    is_t = m.source == curate.DSIR_TARGET_SOURCE
+    assert m[is_t].log_ratio.mean() > m[~is_t].log_ratio.mean() + 0.5
+    kept_by_src = m[m.keep == 1].source.value_counts()
+    assert kept_by_src.idxmax() == curate.DSIR_TARGET_SOURCE
