@@ -797,6 +797,21 @@ def _q_topk_bm25_federated(sf_dir: str):
     )
 
 
+def _q_topk_bm25_selective(sf_dir: str):
+    """Federated search with RESOURCE SELECTION: members evaluate in
+    descending dictionary-level upper-bound order (local run max-scores
+    rescaled to merged stats by the update-path sound factor) and a
+    member whose bound can't reach the running top-k threshold skips
+    without reading a posting byte — Taily/ReDDE-style shard selection.
+    Rank-identical to topk_bm25_federated, so the oracle is the plain
+    full-corpus BM25 SQL (federate.SelectiveFederatedIndex)."""
+    from raystorm import federate
+
+    return federate.batch_evaluate_federated(
+        _split_indexes_for(sf_dir), query.REFERENCE_QUERIES, selective=True
+    )
+
+
 def _q_search_count(sf_dir: str):
     """Hit counting (the ES _count API): distinct match-any candidates
     per query via the accumulator, no ranking work; zero-hit queries
@@ -1474,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets_docvalues": _q_search_facets_docvalues,
         "topk_sorted_page2": _q_topk_sorted_page2,
         "topk_bm25_federated": _q_topk_bm25_federated,
+        "topk_bm25_selective": _q_topk_bm25_selective,
         "topk_bm25_rollover": _q_topk_bm25_rollover,
         "search_count": _q_search_count,
         "term_vectors": _q_term_vectors,
@@ -1610,6 +1626,7 @@ def oracle_sql() -> dict[str, str]:
         "search_facets_docvalues": facets.facets_sql(),
         "topk_sorted_page2": query.sorted_topk_sql(page=2),
         "topk_bm25_federated": query.bm25_topk_sql(),
+        "topk_bm25_selective": query.bm25_topk_sql(),
         "topk_bm25_rollover": query.bm25_topk_sql(),
         "search_count": query.count_sql(),
         "term_vectors": _term_vectors_oracle_sql(),

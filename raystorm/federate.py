@@ -142,13 +142,142 @@ class FederatedIndex:
         )
 
 
+def _topk_rows(conv, turn, sc, k):
+    """Shared federated ranking tail: boundary-tight partial top-k,
+    exact (score desc, conv_id, turn_idx) order over the boundary set."""
+    r = round_half_up(sc, RANK_ROUND)
+    if len(conv) > k:
+        top = np.argpartition(-r, k - 1)[:k]
+        boundary = np.min(r[top])
+        cand = np.nonzero(r >= boundary)[0]
+    else:
+        cand = np.arange(len(conv))
+    tail = (
+        pd.DataFrame(
+            {"conv_id": conv[cand], "turn_idx": turn[cand], "r": r[cand], "score": sc[cand]}
+        )
+        .sort_values(["r", "conv_id", "turn_idx"], ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(tail) + 1, dtype=np.int32),
+            "conv_id": tail["conv_id"],
+            "turn_idx": tail["turn_idx"].astype(np.int32),
+            "score": round_half_up(tail["score"].to_numpy(), SCORE_ROUND),
+        }
+    )
+
+
+class SelectiveFederatedIndex(FederatedIndex):
+    """Federated search with RESOURCE SELECTION (shard skipping): a
+    member index is only evaluated if its dictionary-level upper bound
+    can still reach the current top-k threshold.
+
+    Per member and query term, the stored run max-scores (quantized
+    under the member's LOCAL idf/avgdl) convert to a sound bound under
+    the MERGED stats by the update-path factor ``(idf_g/idf_l) *
+    max(1, avgdl_g/avgdl_l)`` (proof in update.py's module docstring:
+    the BM25 denominator shrinks by at most ``avgdl_l/avgdl_g`` and the
+    numerator is idf-linear).  Members evaluate in descending bound
+    order; docs never span members, so every evaluated member yields
+    FULL scores and theta is the raw k-th best so far — once the next
+    member's bound falls under ``theta - PRUNE_EPS``, it and every
+    later member skip without reading one posting byte.  This is the
+    Taily/ReDDE-style shard selection that lets a 100 TB corpus built
+    as per-day generations answer most queries from a few generations.
+
+    Rank-identical to :class:`FederatedIndex` (pytest-pinned; gate
+    shares the full-corpus oracle).  Skip accounting in
+    ``self._last_selective``.
+    """
+
+    PRUNE_EPS = 1e-6
+
+    def _member_bound(self, ix: SegmentIndex, terms, field: str, gs) -> float:
+        fd = ix._dict.get(field)
+        if fd is None:
+            return 0.0
+        lgs = ix.global_stats.get(field, {})
+        lavg = lgs.get("avgdl", 0.0)
+        avg_ratio = max(1.0, gs["avgdl"] / lavg) if lavg else 1.0
+        ub = 0.0
+        for t in terms:
+            r = fd.rank_of(t)
+            if r < 0:
+                continue
+            s, e = int(fd.run_start[r]), int(fd.run_start[r + 1])
+            if e <= s:
+                continue
+            idf_l = float(fd.idf[r])
+            if idf_l <= 0.0:
+                return np.inf  # degenerate local idf: no sound rescale
+            idf_g = float(lucene_idf(gs["N"], np.array([self._merged_df(t, field)]))[0])
+            ub += float(fd.max_score[s:e].max()) * (idf_g / idf_l) * avg_ratio
+        return ub
+
+    def topk(self, query_text: str, k: int, field: str = "text") -> pd.DataFrame:
+        toks, _ = normalize.tokenize_column(pa.array([query_text]), "body")
+        terms = sorted(set(toks.tolist()))
+        gs = self.global_stats.get(field, {"N": 0, "avgdl": 0.0})
+        bounds = [self._member_bound(ix, terms, field, gs) for ix in self.indexes]
+        order = np.argsort(-np.asarray(bounds), kind="stable")
+        self._last_selective = {"shards_total": len(self.indexes), "shards_evaluated": 0}
+        convs, turns, scores = [], [], []
+        theta = -np.inf
+        all_sc = np.empty(0, np.float64)
+        for oi in order:
+            if bounds[oi] + self.PRUNE_EPS < theta:
+                break  # bounds descend: every later member skips too
+            self._last_selective["shards_evaluated"] += 1
+            ix = self.indexes[oi]
+            id_chunks, sc_chunks = [], []
+            for t in terms:
+                p = ix.postings(t, field)
+                if p is None:
+                    continue
+                docids, tfs, dls = p
+                idf = float(
+                    lucene_idf(gs["N"], np.array([self._merged_df(t, field)]))[0]
+                )
+                sc_chunks.append(
+                    segments.bm25_term_scores(tfs, dls, idf, gs["avgdl"], self.k1, self.b)
+                )
+                id_chunks.append(docids)
+            ids, totals = _accumulate(id_chunks, sc_chunks)
+            ids, totals = ix._drop_deleted(ids, totals)
+            if not len(ids):
+                continue
+            conv, turn = ix.codec.decode(ids)
+            convs.append(conv)
+            turns.append(turn)
+            scores.append(totals)
+            all_sc = np.concatenate([all_sc, totals])
+            if len(all_sc) >= k:
+                theta = float(np.partition(all_sc, len(all_sc) - k)[len(all_sc) - k])
+        if not convs:
+            return pd.DataFrame(
+                {
+                    "rank": np.empty(0, np.int32),
+                    "conv_id": [],
+                    "turn_idx": np.empty(0, np.int32),
+                    "score": [],
+                }
+            )
+        return _topk_rows(
+            np.concatenate(convs), np.concatenate(turns), np.concatenate(scores), k
+        )
+
+
 class FederatedScorer:
     """Actor-pool stage: queries batch -> federated top-k rows (the
     QueryScorer shape over a FederatedIndex; member indexes load once
     per actor)."""
 
-    def __init__(self, index_dirs):
-        self.fed = FederatedIndex(index_dirs)
+    def __init__(self, index_dirs, selective: bool = False):
+        cls = SelectiveFederatedIndex if selective else FederatedIndex
+        self.fed = cls(index_dirs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -170,10 +299,11 @@ class FederatedScorer:
         return pa.Table.from_pandas(res, preserve_index=False)
 
 
-def batch_evaluate_federated(index_dirs, queries) -> pd.DataFrame:
+def batch_evaluate_federated(index_dirs, queries, selective: bool = False) -> pd.DataFrame:
     """Actor-pool federated evaluation over a query set — the gate
     entry (rank-identical to one index over the union corpus, so the
-    oracle is the plain full-corpus BM25 SQL)."""
+    oracle is the plain full-corpus BM25 SQL).  ``selective`` routes
+    through :class:`SelectiveFederatedIndex` (shard skipping)."""
     import ray.data as rd
 
     from .query import queries_table
@@ -182,7 +312,7 @@ def batch_evaluate_federated(index_dirs, queries) -> pd.DataFrame:
     return (
         qds.map_batches(
             FederatedScorer,
-            fn_constructor_kwargs={"index_dirs": list(index_dirs)},
+            fn_constructor_kwargs={"index_dirs": list(index_dirs), "selective": selective},
             batch_format="pyarrow",
             concurrency=2,
             batch_size=4,

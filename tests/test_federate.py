@@ -87,3 +87,61 @@ def test_mismatched_scoring_config_rejected(indexes, tmp_path, ray_session):
     )
     with pytest.raises(ValueError, match="disagree"):
         federate.FederatedIndex([lo, d])
+
+
+def test_selective_identical_to_federated(indexes):
+    """Resource selection must be rank- AND score-identical to the
+    plain federated evaluation on every reference query."""
+    _full, lo, hi = indexes
+    fed = federate.FederatedIndex([lo, hi])
+    sel = federate.SelectiveFederatedIndex([lo, hi])
+    for _qid, text, k in query.REFERENCE_QUERIES:
+        pd.testing.assert_frame_equal(fed.topk(text, k), sel.topk(text, k), obj=text)
+        st = sel._last_selective
+        assert 0 <= st["shards_evaluated"] <= st["shards_total"] == 2
+
+
+def test_selective_skips_shard_without_rare_term(ray_session, tmp_path):
+    """The skip case: a term living only in shard A makes shard B's
+    dictionary bound fall under theta after A evaluates — B is never
+    read.  (The uniform half-corpus shards can't skip: every term has
+    comparable mass in both halves.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raystorm.corpus import TRANSCRIPTS_SCHEMA
+
+    def mk(tag, texts):
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array([f"{tag}-{i:05d}" for i in range(len(texts))], pa.string()),
+                pa.array(np.zeros(len(texts), np.int32)),
+                pa.array(["user"] * len(texts), pa.string()),
+                pa.array(texts, pa.string()),
+                pa.array([""] * len(texts), pa.string()),
+                pa.array(
+                    np.arange(len(texts), dtype=np.int64) * 1_000_000,
+                    pa.timestamp("us"),
+                ),
+            ],
+            schema=TRANSCRIPTS_SCHEMA,
+        )
+        src = tmp_path / f"{tag}.parquet"
+        pq.write_table(tbl, str(src))
+        d = tmp_path / f"idx_{tag}"
+        cfg = build.BuildConfig(num_partitions=2, split_target=500)
+        build.build_index(rd.read_parquet(str(src)), str(d), input_fingerprint=tag, cfg=cfg)
+        return str(d)
+
+    fill = ["alpha beta gamma delta", "beta gamma delta epsilon", "gamma delta epsilon zeta"]
+    a = mk("aa", [f"common raretrend {fill[i % 3]}" for i in range(40)])
+    b = mk("bb", [f"common {fill[i % 3]}" for i in range(400)])
+    sel = federate.SelectiveFederatedIndex([a, b])
+    fed = federate.FederatedIndex([a, b])
+    got = sel.topk("raretrend common", 5)
+    pd.testing.assert_frame_equal(fed.topk("raretrend common", 5), got)
+    st = sel._last_selective
+    assert st == {"shards_total": 2, "shards_evaluated": 1}, st
+    # every hit comes from the rare shard
+    assert all(c.startswith("aa-") for c in got.conv_id)
