@@ -202,6 +202,19 @@ def run_suite(
                 idx.topk(text, int(k), mode)
         timings["query_session4_modes"] = time.perf_counter() - t0
 
+        # session-5 scoring families on the warm index: document-space
+        # block-max WAND, field_value_factor script score, exp/linear
+        # decay over the sidecar, the date-range aggregation
+        t0 = time.perf_counter()
+        for _qid, text, k in query.REFERENCE_QUERIES:
+            idx.topk_bmw(text, int(k))
+            idx.topk_script_score(text, int(k))
+        for mode in ("bm25_decay_exp", "bm25_decay_linear"):
+            for _qid, text, k in query.REFERENCE_QUERIES:
+                idx.topk(text, int(k), mode)
+        _facets.search_range_agg(idx_sf)
+        timings["query_session5_modes"] = time.perf_counter() - t0
+
         # hybrid lexical+dense fusion: collapsed-BM25 leg on the warm
         # index + exact-cosine leg over the sf embeddings table
         from raystorm import hybrid as _hybrid

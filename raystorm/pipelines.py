@@ -178,6 +178,9 @@ BENCH_NAMES = (
     "embedding_covariance",
     "global_shuffle",
     "sketch_distinct_per_type",
+    # session-5 additions
+    "gopher_rules",
+    "dsir_weights",
 )
 
 
