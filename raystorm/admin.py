@@ -132,6 +132,53 @@ def restore_index(repo: str, name: str, dst: str) -> dict:
     return {"files": len(snap["files"])}
 
 
+# --- aliases (the ES index-alias shape): a one-file JSON pointer that
+# readers resolve at open time.  Repointing is a single os.replace —
+# atomic on one filesystem — so serving flips between index generations
+# with zero downtime and no directory moves (swap_index moves the
+# directories themselves; an alias flips a name).  On a shared index
+# store this is the "read alias" every ES ILM policy rolls.
+
+ALIAS_KEY = "alias_target"
+
+
+def set_alias(alias_path: str, index_dir: str) -> None:
+    """Create or atomically repoint an alias file at a built index."""
+    _require_index(index_dir)
+    tmp = alias_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({ALIAS_KEY: os.path.abspath(index_dir)}, fh)
+    os.replace(tmp, alias_path)
+
+
+def delete_alias(alias_path: str) -> None:
+    """Remove an alias file (refuses non-alias paths; never touches the
+    target index)."""
+    with open(alias_path) as fh:  # raises for directories / missing
+        if ALIAS_KEY not in json.load(fh):
+            raise ValueError(f"not an alias file: {alias_path}")
+    os.remove(alias_path)
+
+
+def resolve_index(path: str) -> str:
+    """Resolve a path that may be an alias file into its index dir.
+
+    Index directories pass through unchanged; alias files resolve one
+    level (aliases pointing at aliases are refused — a cycle guard) and
+    the target must be a valid index.  Every reader entry point funnels
+    through this, so ``SegmentIndex('live.alias')`` just works.
+    """
+    if os.path.isfile(path):
+        with open(path) as fh:
+            try:
+                target = json.load(fh)[ALIAS_KEY]
+            except (json.JSONDecodeError, KeyError, TypeError) as e:
+                raise ValueError(f"not an alias file: {path}") from e
+        _require_index(target)
+        return target
+    return path
+
+
 def index_info(path: str) -> dict:
     """Manifest-level counts: the ``KVSClient.count()`` analog."""
     _require_index(path)

@@ -266,6 +266,13 @@ def cmd_admin(args) -> int:
     elif args.op == "generations":
         # src=rollover root: list the index generations, oldest first
         print(json.dumps({"generations": admin.generations(args.src)}))
+    elif args.op == "alias":
+        # src=alias file, dst=index dir: create or atomically repoint
+        admin.set_alias(args.src, args.dst)
+        print(json.dumps({"alias": args.src, "target": admin.resolve_index(args.src)}))
+    elif args.op == "unalias":
+        admin.delete_alias(args.src)
+        print(json.dumps({"deleted_alias": args.src}))
     return 0
 
 
@@ -419,7 +426,7 @@ def main(argv=None) -> int:
         "op",
         choices=(
             "rename", "delete", "swap", "info", "verify",
-            "snapshot", "restore", "generations",
+            "snapshot", "restore", "generations", "alias", "unalias",
         ),
     )
     a.add_argument("src", help="index dir (or swap candidate / snapshot repo)")

@@ -105,6 +105,9 @@ class SegmentIndex:
         time.  The PRUNED mode is excluded: its block qmax bounds were
         quantized under the build-time parameters (see
         :meth:`topk_pruned`)."""
+        from .admin import resolve_index
+
+        index_dir = resolve_index(index_dir)  # alias files resolve here
         self.index_dir = index_dir
         manifest = json.load(open(os.path.join(index_dir, "manifest.json")))
         self.manifest = manifest

@@ -273,3 +273,36 @@ def test_rollover_ingest_state_machine(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         fed.reset_index(drop=True), single.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_alias_resolution_and_atomic_repoint(index_pair, tmp_path):
+    """Aliases: SegmentIndex(alias file) serves the target; repointing
+    is one atomic replace and flips answers without moving directories;
+    dangling / non-alias paths fail loudly."""
+    root, src, cand = index_pair
+    # src was swapped by the earlier test — both dirs are valid indexes
+    a = str(tmp_path / "live.alias")
+    admin.set_alias(a, src)
+    via = query.SegmentIndex(a).topk("hash join", 10, "bm25")
+    direct = query.SegmentIndex(src).topk("hash join", 10, "bm25")
+    pd.testing.assert_frame_equal(via, direct)
+    # repoint at a fresh compacted generation: answers flip atomically
+    cand2 = str(tmp_path / "cand2")
+    compact.compact_index(src, cand2)
+    admin.set_alias(a, cand2)
+    assert admin.resolve_index(a) == os.path.abspath(cand2)
+    via2 = query.SegmentIndex(a).topk("hash join", 10, "bm25")
+    pd.testing.assert_frame_equal(
+        via2, query.SegmentIndex(cand2).topk("hash join", 10, "bm25")
+    )
+    # guards: aliasing a non-index refuses; resolving garbage refuses
+    with pytest.raises(ValueError):
+        admin.set_alias(str(tmp_path / "x.alias"), str(tmp_path))
+    bad = tmp_path / "notalias.json"
+    bad.write_text("{}")
+    with pytest.raises(ValueError):
+        admin.resolve_index(str(bad))
+    admin.delete_alias(a)
+    assert not os.path.exists(a)
+    with pytest.raises(ValueError):
+        admin.delete_alias(str(bad))
