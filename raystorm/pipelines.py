@@ -77,6 +77,7 @@ def registry() -> dict:
         "sketch_quantiles_value": (sketches.sketch_quantiles_value, sketches.SKETCH_QUANTILES_VALUE_SQL),
         "sketch_distinct_per_type": (sketches.sketch_distinct_per_type, sketches.SKETCH_DISTINCT_PER_TYPE_SQL),
         "cms_user_counts": (sketches.cms_user_counts, sketches.CMS_USER_COUNTS_SQL),
+        "hll_distinct_users": (sketches.hll_distinct_users, sketches.HLL_DISTINCT_USERS_SQL),
         # --- tokenizer training (BPE merge learning) ---
         "bpe_merges": (bpe.bpe_merges, bpe.bpe_merges_sql()),
         "bpe_vocab": (bpe.bpe_vocab, bpe.bpe_vocab_sql()),

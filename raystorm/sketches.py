@@ -97,6 +97,128 @@ def union_estimate(
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — the register-based mergeable
+# cardinality sketch next to KMV: FIXED memory (m = 2^P bytes) no
+# matter the cardinality, merge = register-wise max.  Derandomized
+# through md5int60 like every sketch here, so the SQL oracle computes
+# the identical registers and estimate.
+# ---------------------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P
+_HLL_WBITS = 60 - HLL_P  # value bits below the bucket prefix
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll_partial(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct string values -> (bucket, rho) pairs (block partial)."""
+    h = np.unique(md5int60_np(np.unique(vals)))
+    bucket = h >> _HLL_WBITS
+    w = h & ((1 << _HLL_WBITS) - 1)
+    # rho = leading zeros of the low wbits + 1; w < 2^52 is double-exact
+    # so floor(log2) is safe off powers of two, exact on them
+    bl = np.where(w > 0, np.floor(np.log2(np.maximum(w, 1))) + 1, 0).astype(np.int64)
+    rho = _HLL_WBITS - bl + 1
+    return bucket, rho
+
+
+class _HLLStage:
+    """map_batches stage: one block -> its (bucket, rho_max) partials
+    (≤ m rows per block — the fixed-size mergeable property)."""
+
+    def __init__(self, col: str):
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = pc.cast(batch[self.col], pa.string())
+        bucket, rho = _hll_partial(
+            vals.to_numpy(zero_copy_only=False).astype(str)
+        )
+        regs = np.zeros(HLL_M, np.int64)
+        np.maximum.at(regs, bucket, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {"bucket": pa.array(nz, pa.int64()), "rho": pa.array(regs[nz], pa.int64())}
+        )
+
+
+def hll_sketch(ds, col: str) -> np.ndarray:
+    """The column's HLL register vector (length m).  One streaming
+    pass; the driver merge is register-wise max over ≤ m·#blocks rows."""
+    partials = ds.select_columns([col]).map_batches(
+        _HLLStage(col), batch_format="pyarrow"
+    ).to_pandas()
+    regs = np.zeros(HLL_M, np.int64)
+    np.maximum.at(
+        regs, partials["bucket"].to_numpy(np.int64), partials["rho"].to_numpy(np.int64)
+    )
+    return regs
+
+
+def hll_merge(*regsets: np.ndarray) -> np.ndarray:
+    """Union sketch = register-wise max (the HLL merge property)."""
+    out = regsets[0].copy()
+    for r in regsets[1:]:
+        np.maximum(out, r, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """The standard HLL estimator with the small-range linear-counting
+    correction — written divide/sum in the SQL mirror's op order."""
+    import math
+
+    s = float(np.sum(np.power(2.0, -regs.astype(np.float64))))
+    e = _HLL_ALPHA * HLL_M * HLL_M / s
+    v = int(np.sum(regs == 0))
+    if e <= 2.5 * HLL_M and v > 0:
+        e = HLL_M * math.log(HLL_M * 1.0 / v)
+    return float(round_half_up(e, ROUND))
+
+
+def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    est = hll_estimate(hll_sketch(ds, "user_id"))
+    return pd.DataFrame(
+        {"source": ["events.user_id"], "m": [HLL_M], "estimate": [est]}
+    )
+
+
+def hll_distinct_sql(table: str, col: str, source: str) -> str:
+    h = "h"
+    return f"""
+WITH hv AS (
+  SELECT DISTINCT {md5int60_sql(f'CAST({col} AS VARCHAR)')} AS {h} FROM {table}
+),
+br AS (
+  SELECT {h} >> {_HLL_WBITS} AS bucket,
+         CASE WHEN ({h} & {(1 << _HLL_WBITS) - 1}) > 0
+              THEN {_HLL_WBITS} - (floor(log2(({h} & {(1 << _HLL_WBITS) - 1}))) + 1) + 1
+              ELSE {_HLL_WBITS} + 1 END AS rho
+  FROM hv
+),
+regs AS (SELECT bucket, max(rho) AS r FROM br GROUP BY bucket),
+agg AS (
+  SELECT sum(power(2.0, -r)) + ({HLL_M} - count(*)) * 1.0 AS s,
+         {HLL_M} - count(*) AS v
+  FROM regs
+)
+SELECT '{source}' AS source, {HLL_M} AS m,
+       round(CASE WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M} / s <= {2.5 * HLL_M!r} AND v > 0
+                  THEN {HLL_M} * ln({HLL_M} * 1.0 / v)
+                  ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M} / s END, {ROUND}) AS estimate
+FROM agg
+"""
+
+
+HLL_DISTINCT_USERS_SQL = hll_distinct_sql("events", "user_id", "events.user_id")
+
+
+# ---------------------------------------------------------------------------
 # registry entries (pipelines.py): distinct users in events; union of
 # event users with order customers — two tables sketched independently
 # ---------------------------------------------------------------------------

@@ -119,3 +119,38 @@ def test_heavy_hitters_guaranteed_vs_fallback(ray_session):
     # exact counts: sum of top-m <= total events; ranks are 1..m
     assert list(fast["rank"]) == list(range(1, len(fast) + 1))
     assert (fast["cnt"].to_numpy()[:-1] >= fast["cnt"].to_numpy()[1:]).all()
+
+
+def test_hll_merge_and_accuracy(ray_session):
+    """HLL: merged half-sketches equal the whole-column sketch
+    (register-wise max property), the estimate lands within the
+    1.04/sqrt(m) error band of the exact distinct count, and registers
+    are deterministic across runs."""
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet", columns=["user_id"])
+    regs = sketches.hll_sketch(ds, "user_id")
+    regs2 = sketches.hll_sketch(ds, "user_id")
+    assert (regs == regs2).all()
+    exact = ds.unique("user_id")
+    n = len(exact)
+    est = sketches.hll_estimate(regs)
+    rel = abs(est - n) / n
+    assert rel < 3 * 1.04 / np.sqrt(sketches.HLL_M), (est, n, rel)
+    # merge property: split by user hash parity, sketch halves, max-merge
+    import pyarrow.compute as pc
+
+    def half(keep_even):
+        def f(b):
+            import numpy as np
+            import pyarrow as pa
+
+            u = b["user_id"].to_numpy(zero_copy_only=False)
+            m = (u % 2 == 0) if keep_even else (u % 2 == 1)
+            return pa.table({"user_id": pa.array(u[m])})
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    ra = sketches.hll_sketch(half(True), "user_id")
+    rb = sketches.hll_sketch(half(False), "user_id")
+    assert (sketches.hll_merge(ra, rb) == regs).all()
