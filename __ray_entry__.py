@@ -1323,6 +1323,16 @@ def _q_topk_decay_recency(sf_dir: str):
     )
 
 
+def _q_topk_rescore_query(sf_dir: str):
+    """Query rescorer (ES rescore with a rescore_query): the top-30
+    primary-BM25 hits re-score as QW·bm25 + RW·lm_dirichlet of the same
+    query — two-stage retrieval with the better model on a bounded
+    window; outside the window primary scores stand
+    (query.SegmentIndex.topk_rescore_query; oracle
+    query.rescore_query_topk_sql)."""
+    return _run_reference_queries(sf_dir, "bm25_rescore_query")
+
+
 def _q_topk_decay_exp(sf_dir: str):
     """Exponential decay function_score (ES exp decay): multiplier
     exp(lam·d), lam = ln(decay)/scale — same doc-value plumbing as the
@@ -1530,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_decay_exp": _q_topk_decay_exp,
         "topk_decay_linear": _q_topk_decay_linear,
         "topk_script_score": _q_topk_script_score,
+        "topk_rescore_query": _q_topk_rescore_query,
         "topk_has_child": _q_topk_has_child,
         "analyze_text": _q_analyze_text,
         "search_profile": _q_search_profile,
@@ -1667,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_decay_exp": query.decay_topk_sql(shape="exp"),
         "topk_decay_linear": query.decay_topk_sql(shape="linear"),
         "topk_script_score": query.script_score_topk_sql(),
+        "topk_rescore_query": query.rescore_query_topk_sql(),
         "topk_has_child": query.has_child_topk_sql(),
         "analyze_text": normalize.analyze_sql(),
         "search_profile": query.profile_sql(),

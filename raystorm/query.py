@@ -491,6 +491,8 @@ class SegmentIndex:
             return self.topk_decayed(query_text, k, shape="linear")
         if mode == "script_score":
             return self.topk_script_score(query_text, k)
+        if mode == "bm25_rescore_query":
+            return self.topk_rescore_query(query_text, k)
         docids, scores = self._score_mode(query_text, mode)
         return self._format_topk(docids, scores, k)
 
@@ -734,6 +736,46 @@ class SegmentIndex:
         else:
             raise ValueError(shape)
         return self._format_topk(docids, scores * mult, k)
+
+    #: ES query-rescorer defaults: primary weight, rescore weight, window
+    RESCORE_QW = 1.0
+    RESCORE_RW = 0.5
+    RESCORE_WINDOW = 30
+
+    def topk_rescore_query(
+        self, query_text: str, k: int, window: int | None = None
+    ) -> pd.DataFrame:
+        """Query rescorer (ES ``rescore`` with a rescore_query): the
+        top-``window`` hits by primary BM25 re-score as ``QW·primary +
+        RW·secondary`` where the secondary scorer is the LM-Dirichlet
+        query likelihood of the SAME query — the classic two-stage
+        retrieval shape (cheap recall pass, better model on a bounded
+        window).  Hits outside the window keep their primary score
+        unchanged, so a rescore can demote window members below the
+        tail — the documented ES behaviour.
+
+        Window membership uses the primary ranking's own order
+        (rounded score desc, docid asc — identical to the oracle's
+        row_number), and the secondary is candidate-sparse (same terms,
+        same postings), so the whole rescore is candidate-bounded.
+        Oracle: :func:`rescore_query_topk_sql`.
+        """
+        window = self.RESCORE_WINDOW if window is None else window
+        ids, prim = self._score_bm25(query_text)
+        if not len(ids):
+            return self._format_topk(ids, prim, k)
+        r = round_half_up(prim, RANK_ROUND)
+        order = np.lexsort((ids, -r))[:window]
+        win = np.zeros(len(ids), bool)
+        win[order] = True
+        sid, ssc = self._score_lm_dirichlet(query_text)
+        sec = np.zeros(len(ids))
+        if len(sid):
+            pos = np.minimum(np.searchsorted(sid, ids), len(sid) - 1)
+            hit = sid[pos] == ids
+            sec[hit] = ssc[pos[hit]]
+        final = np.where(win, self.RESCORE_QW * prim + self.RESCORE_RW * sec, prim)
+        return self._format_topk(ids, final, k)
 
     def topk_script_score(
         self, query_text: str, k: int, mode: str = "bm25"
@@ -4403,6 +4445,80 @@ ranked AS (
          conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
          round(score, {SCORE_ROUND}) AS score
   FROM fvf
+)
+SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
+FROM ranked r JOIN queries q ON q.query_id = r.query_id
+WHERE r.rank <= q.qk
+ORDER BY r.query_id, r.rank
+"""
+
+
+def rescore_query_topk_sql(
+    queries=REFERENCE_QUERIES, k1: float = 1.2, b: float = 0.75, mu: float | None = None
+) -> str:
+    """Mirror of :meth:`SegmentIndex.topk_rescore_query`: primary BM25
+    chain, window by its own (rounded desc, conv, turn) row_number,
+    secondary LM-Dirichlet joined per (query, doc), blended inside the
+    window only — weights inlined from the engine constants."""
+    mu = LM_MU if mu is None else mu
+    qw, rw, win = (
+        SegmentIndex.RESCORE_QW,
+        SegmentIndex.RESCORE_RW,
+        SegmentIndex.RESCORE_WINDOW,
+    )
+    return f"""
+WITH {corpus_ctes()},
+cfs AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tfs GROUP BY term),
+tstats AS (SELECT count(*) * 1.0 AS tt FROM tokens),
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+pscores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS p
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+sscores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + t.tf / ({mu} * (c.cf / ts.tt)))
+              + ln({mu} / (dl.dl + {mu})) ) AS s
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN cfs c ON c.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN tstats ts
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+windowed AS (
+  SELECT p.*, row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY round(p.p, {RANK_ROUND}) DESC, p.conv_id, p.turn_idx) AS prn
+  FROM pscores p
+),
+blended AS (
+  SELECT w.query_id, w.conv_id, w.turn_idx,
+         CASE WHEN w.prn <= {win}
+              THEN {qw!r} * w.p + {rw!r} * coalesce(s.s, 0.0)
+              ELSE w.p END AS score
+  FROM windowed w
+  LEFT JOIN sscores s
+    ON s.query_id = w.query_id AND s.conv_id = w.conv_id AND s.turn_idx = w.turn_idx
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND}) DESC, conv_id, turn_idx) AS INTEGER) AS rank,
+         conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+         round(score, {SCORE_ROUND}) AS score
+  FROM blended
 )
 SELECT r.query_id, r.rank, r.conv_id, r.turn_idx, r.score
 FROM ranked r JOIN queries q ON q.query_id = r.query_id

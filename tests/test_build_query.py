@@ -945,3 +945,25 @@ def test_phrase_suggest_context_semantics(index_dir):
     # determinism: a second run is byte-identical
     out2 = query.phrase_suggest(index_dir, SF)
     pd.testing.assert_frame_equal(out.reset_index(drop=True), out2.reset_index(drop=True))
+
+
+def test_rescore_query_semantics(index_dir, duck):
+    """Query rescorer: oracle parity; the blend genuinely reorders at
+    least one reference query vs plain BM25 (the secondary model
+    binds); a window of 0 collapses to the plain BM25 ranking."""
+    engine = _engine_topk(index_dir, "bm25_rescore_query")
+    oracle = duck.execute(query.rescore_query_topk_sql()).df()
+    pd.testing.assert_frame_equal(
+        engine.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
+    )
+    bm25 = _engine_topk(index_dir, "bm25")
+    merged = engine.merge(bm25, on=["query_id", "rank"], suffixes=("_rs", "_bm"))
+    assert (
+        (merged["conv_id_rs"] != merged["conv_id_bm"])
+        | (merged["turn_idx_rs"] != merged["turn_idx_bm"])
+    ).any()
+    idx = query.SegmentIndex(index_dir)
+    for _qid, text, k in query.REFERENCE_QUERIES[:3]:
+        flat = idx.topk_rescore_query(text, k, window=0)
+        base = idx.topk(text, k, "bm25")
+        pd.testing.assert_frame_equal(flat, base, obj=text)
