@@ -61,8 +61,10 @@ def _fingerprint(index_fp: str, num_shards: int) -> str:
     # v2: writer assigns shards by searchsorted over the SAME bounds the
     # reader maps with (a multiplicative assignment disagrees at floor
     # boundaries — boundary docids silently miss)
+    # v3: shards stamp (ts monotone-in-docid, ts min/max) so the sorted
+    # query path can prove index-sort order and early-terminate
     return hashlib.sha256(
-        f"docvalues|v2|{index_fp}|{num_shards}|{','.join(COLUMNS)}".encode()
+        f"docvalues|v3|{index_fp}|{num_shards}|{','.join(COLUMNS)}".encode()
     ).hexdigest()[:16]
 
 
@@ -80,23 +82,55 @@ class _ShardWriter:
         if os.path.isfile(path):
             meta = pq.read_schema(path).metadata or {}
             if meta.get(b"raystorm.docvalues_fp") == self.fp.encode():
+                # resume: the ts-order stamps ride the finished file
                 return pd.DataFrame(
-                    [{"shard": shard, "rows": len(group), "resumed": True}]
+                    [
+                        {
+                            "shard": shard,
+                            "rows": len(group),
+                            "resumed": True,
+                            "ts_mono": int(meta.get(b"raystorm.ts_mono", b"0")),
+                            "ts_min": int(meta.get(b"raystorm.ts_min", b"-1")),
+                            "ts_max": int(meta.get(b"raystorm.ts_max", b"-1")),
+                        }
+                    ]
                 )
         g = group.sort_values("docid")
+        ts = g["ts_us"].to_numpy(np.int64)
+        mono = int(len(ts) < 2 or bool((np.diff(ts) >= 0).all()))
+        ts_min = int(ts.min()) if len(ts) else -1
+        ts_max = int(ts.max()) if len(ts) else -1
         t = pa.table(
             {
                 "docid": pa.array(g["docid"].to_numpy(np.int64)),
                 "role": pa.array(g["role"].tolist(), pa.string()),
                 "tool": pa.array(g["tool"].tolist(), pa.string()),
-                "ts_us": pa.array(g["ts_us"].to_numpy(np.int64)),
+                "ts_us": pa.array(ts),
             }
         )
-        t = t.replace_schema_metadata({b"raystorm.docvalues_fp": self.fp.encode()})
+        t = t.replace_schema_metadata(
+            {
+                b"raystorm.docvalues_fp": self.fp.encode(),
+                b"raystorm.ts_mono": str(mono).encode(),
+                b"raystorm.ts_min": str(ts_min).encode(),
+                b"raystorm.ts_max": str(ts_max).encode(),
+            }
+        )
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         pq.write_table(t, tmp)
         os.replace(tmp, path)
-        return pd.DataFrame([{"shard": shard, "rows": len(group), "resumed": False}])
+        return pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "rows": len(group),
+                    "resumed": False,
+                    "ts_mono": mono,
+                    "ts_min": ts_min,
+                    "ts_max": ts_max,
+                }
+            ]
+        )
 
 
 def _project(batch: pa.Table, codec, los: np.ndarray) -> pa.Table:
@@ -165,6 +199,7 @@ def build_docvalues(ds, index_dir: str, num_shards: int = 16) -> dict:
         .map_groups(writer, batch_format="pandas")
         .to_pandas()
     )
+    shard_stats = _shard_stats_map(stats)
     m = {
         "fingerprint": fp,
         "index_fingerprint": manifest["build_fingerprint"],
@@ -173,6 +208,8 @@ def build_docvalues(ds, index_dir: str, num_shards: int = 16) -> dict:
         "bounds": bounds,
         "columns": list(COLUMNS),
         "rows": int(stats["rows"].sum()),
+        "ts_shard_stats": shard_stats,
+        "ts_monotone": _ts_monotone(shard_stats),
         "status": "complete",
     }
     tmp = mpath + ".tmp"
@@ -180,6 +217,31 @@ def build_docvalues(ds, index_dir: str, num_shards: int = 16) -> dict:
         json.dump(m, fh, indent=1)
     os.replace(tmp, mpath)
     return m
+
+
+def _shard_stats_map(stats: pd.DataFrame) -> dict:
+    """Writer stats rows -> {shard: [mono, ts_min, ts_max]} (JSON-safe
+    string keys; shards with no rows simply don't appear)."""
+    return {
+        str(int(r.shard)): [int(r.ts_mono), int(r.ts_min), int(r.ts_max)]
+        for r in stats.itertuples()
+    }
+
+
+def _ts_monotone(shard_stats: dict) -> bool:
+    """True iff ts_us is globally nondecreasing in docid: every shard is
+    internally monotone AND consecutive present shards don't overlap
+    (shards are docid ranges, so shard order == docid order)."""
+    order = sorted(int(s) for s in shard_stats)
+    prev_max = None
+    for s in order:
+        mono, ts_min, ts_max = shard_stats[str(s)]
+        if not mono:
+            return False
+        if prev_max is not None and ts_min < prev_max:
+            return False
+        prev_max = ts_max
+    return bool(order)
 
 
 def update_docvalues(ds_delta, index_dir: str) -> dict:
@@ -242,6 +304,8 @@ def update_docvalues(ds_delta, index_dir: str) -> dict:
         .map_groups(writer, batch_format="pandas")
         .to_pandas()
     )
+    shard_stats = dict(m.get("ts_shard_stats", {}))
+    shard_stats.update(_shard_stats_map(stats))
     m2 = dict(m)
     m2.update(
         {
@@ -251,6 +315,9 @@ def update_docvalues(ds_delta, index_dir: str) -> dict:
             "span": new_span,
             "generations": m.get("generations", 1) + 1,
             "rows": int(m["rows"]) + int(stats["rows"].sum()),
+            "ts_shard_stats": shard_stats,
+            # an old-format base (no stats) can never re-prove order
+            "ts_monotone": bool(m.get("ts_shard_stats")) and _ts_monotone(shard_stats),
             "status": "complete",
         }
     )
@@ -290,6 +357,13 @@ class DocValues:
         self.num_shards = m["num_shards"]
         self._lo = np.array([b[0] for b in m["bounds"]], np.int64)
         self._cache: dict[int, dict[str, np.ndarray]] = {}
+        #: proven at build time: ts_us nondecreasing in docid (the
+        #: Lucene index-sort property — enables sorted-query early
+        #: termination).  Old-format manifests default to False.
+        self.ts_monotone = bool(m.get("ts_monotone", False))
+        #: values served by lookup() — tests assert the early path
+        #: touches k-ish values, not candidate-set-sized
+        self.lookups = 0
 
     def _shard(self, s: int) -> dict[str, np.ndarray]:
         if s not in self._cache:
@@ -307,6 +381,7 @@ class DocValues:
         """Values of ``column`` aligned to ``docids`` + a found mask.
         Absent docids get the column's _MISSING sentinel and found=False."""
         docids = np.asarray(docids, np.int64)
+        self.lookups += len(docids)
         miss = _MISSING[column]
         out = (
             np.full(len(docids), miss, object)

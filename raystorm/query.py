@@ -921,7 +921,20 @@ class SegmentIndex:
         ``sort``; recency search when field=ts_us desc).  Candidate-
         bounded: only the matching docs' values are looked up; ties
         break on docid ascending — the (conv_id, turn_idx) order, which
-        the SQL mirror reproduces."""
+        the SQL mirror reproduces.
+
+        When the doc-values build PROVED ts_us nondecreasing in docid
+        (the Lucene index-sort property; ``DocValues.ts_monotone``) and
+        no filter clauses apply, ts-sorted queries early-terminate:
+        the winners form a docid-extreme run of the candidate list, so
+        only ~k values are ever looked up (:meth:`_topk_sorted_early`)
+        instead of the whole candidate set — the index-sorting
+        optimization that makes "latest matching turns" O(k) at any
+        corpus size.  Rank-identical (pytest-pinned); a corpus whose ts
+        order was disproven at build time falls back transparently.
+        """
+        if field == "ts_us" and not clauses and self.docvalues().ts_monotone:
+            return self._topk_sorted_early(query_text, k, desc)
         docids, vals = self._sorted_candidates(query_text, clauses, field)
         if not len(docids):
             return pd.DataFrame(
@@ -934,6 +947,63 @@ class SegmentIndex:
             )
         key = -vals if desc else vals
         return self._format_sorted(docids, vals, key, k, field)
+
+    def _topk_sorted_early(self, query_text: str, k: int, desc: bool) -> pd.DataFrame:
+        """Index-sorted early termination for ts-sorted queries.
+
+        With ts nondecreasing in docid, the top-k by (ts desc, docid
+        asc) all carry ts >= b where b is the ts of the k-th-from-last
+        candidate — a contiguous docid suffix.  The boundary tie-run may
+        extend to smaller docids (docid ASC wins ties), so the window
+        extends backward in doubling probes until a value < b appears;
+        the exact small sort then runs over window+run only.  Ascending
+        sorts mirror on the prefix.  Lookup cost: k + tie-run + probe
+        overshoot — never candidate-set-sized.
+        """
+        docids, _ = self._score_bm25(query_text)
+        dv = self.docvalues()
+        empty = pd.DataFrame(
+            {
+                "rank": np.empty(0, np.int32),
+                "conv_id": [],
+                "turn_idx": np.empty(0, np.int32),
+                "ts_us": np.empty(0, np.int64),
+            }
+        )
+        if not len(docids):
+            return empty
+        n = len(docids)
+        take = min(k, n)
+        win = docids[n - take :] if desc else docids[:take]
+        vals, found = dv.lookup(win, "ts_us")
+        if not found.all():
+            raise KeyError("sorted candidate missing its ts_us doc value")
+        vals = vals.astype(np.int64)
+        b = vals.min() if desc else vals.max()  # boundary ts of the window
+        # extend through the boundary tie-run (doubling probes)
+        ext_ids = [win]
+        ext_vals = [vals]
+        lo = n - take if desc else take  # candidates not yet probed
+        step = max(k, 1)
+        while (lo > 0) if desc else (lo < n):
+            chunk = (
+                docids[max(0, lo - step) : lo] if desc else docids[lo : min(n, lo + step)]
+            )
+            cv, cf = dv.lookup(chunk, "ts_us")
+            if not cf.all():
+                raise KeyError("sorted candidate missing its ts_us doc value")
+            cv = cv.astype(np.int64)
+            keep = cv == b  # only boundary ties can still matter
+            ext_ids.append(chunk[keep])
+            ext_vals.append(cv[keep])
+            if not keep.all():  # crossed the tie-run start: done
+                break
+            lo = max(0, lo - step) if desc else min(n, lo + step)
+            step *= 2
+        ids = np.concatenate(ext_ids)
+        vs = np.concatenate(ext_vals)
+        key = -vs if desc else vs
+        return self._format_sorted(ids, vs, key, k, "ts_us")
 
     def _sorted_candidates(self, query_text: str, clauses, field: str):
         """Shared head of the sorted modes: match-any candidates,

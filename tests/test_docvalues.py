@@ -541,3 +541,69 @@ def test_adjacency_matrix_algebra(ray_session, dv_index):
     assert any(
         "&" in c for c in piv.columns
     ), "no pairwise intersections — filters degenerate"
+
+
+def test_sorted_early_termination(ray_session, dv_index):
+    """Index-sorted early termination: the build proves ts monotone in
+    docid, ts-sorted queries look up ~k values (not candidate-set-
+    sized), and the result is identical to the exhaustive path."""
+    idx = query.SegmentIndex(dv_index)
+    dv = idx.docvalues()
+    assert dv.ts_monotone
+    for _qid, text, k in query.REFERENCE_QUERIES[:4]:
+        cands, _ = idx._score_bm25(text)
+        if len(cands) <= k:
+            continue
+        for desc in (True, False):
+            dv.lookups = 0
+            fast = idx.topk_sorted(text, k, desc=desc)
+            fast_lookups = dv.lookups
+            # exhaustive path for comparison (bypass the monotone flag)
+            dv.ts_monotone = False
+            try:
+                slow = idx.topk_sorted(text, k, desc=desc)
+            finally:
+                dv.ts_monotone = True
+            pd.testing.assert_frame_equal(fast, slow, obj=f"{text} desc={desc}")
+            assert fast_lookups < len(cands), (text, fast_lookups, len(cands))
+
+
+def test_sorted_early_disproven_order_falls_back(ray_session, tmp_path):
+    """A corpus whose ts is NOT monotone in docid must be stamped
+    ts_monotone=False at build time, and sorted queries must stay
+    correct through the exhaustive path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raystorm import build, corpus, docvalues
+    from raystorm.corpus import TRANSCRIPTS_SCHEMA
+
+    n = 400
+    rng_ts = (np.arange(n, dtype=np.int64) * 7919) % n  # permuted, not sorted
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array([f"nm-{i:05d}" for i in range(n)], pa.string()),
+            pa.array(np.zeros(n, np.int32)),
+            pa.array(["user"] * n, pa.string()),
+            pa.array([f"common word{i % 7}" for i in range(n)], pa.string()),
+            pa.array([""] * n, pa.string()),
+            pa.array(rng_ts * 1_000_000, pa.timestamp("us")),
+        ],
+        schema=TRANSCRIPTS_SCHEMA,
+    )
+    src = tmp_path / "nm.parquet"
+    pq.write_table(tbl, str(src))
+    d = str(tmp_path / "idx")
+    build.build_index(
+        rd.read_parquet(str(src)), d, input_fingerprint="nm",
+        cfg=build.BuildConfig(num_partitions=4, split_target=500),
+    )
+    dm = docvalues.build_docvalues(rd.read_parquet(str(src)), d)
+    assert dm["ts_monotone"] is False
+    idx = query.SegmentIndex(d)
+    got = idx.topk_sorted("common", 5, desc=True)
+    # correctness: the five largest permuted timestamps win
+    top5 = np.sort(rng_ts)[-5:][::-1] * 1_000_000
+    assert list(got["ts_us"]) == [int(t) for t in top5]
