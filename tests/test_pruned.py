@@ -70,7 +70,7 @@ def test_bmw_rank_identical_synth_and_skips(synth_index):
     # above theta (Zipf head terms cover every docid range) and tail
     # terms have df=1, so no interval can drop — the pin here is
     # rank-identity under salted head-term runs; real skipping is
-    # pinned on the sf corpus in test_bmw_skips_runs_at_small_k
+    # pinned in test_bmw_skips_runs_on_clustered_terms
     for text in cases:
         for k in (3, 10, 50):
             a = synth_index.topk(text, k, "bm25").reset_index(drop=True)
