@@ -447,6 +447,13 @@ def _verify_common(common, counts):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+#: hot-shingle df-cap for the exact n-gram Jaccard path: a shingle in
+#: more docs than this is boilerplate, not duplication evidence, and
+#: its pair explosion is quadratic — runs past the cap drop with a
+#: logged forgone-pair count (never silently)
+SHINGLE_DF_CAP = 10_000
+
+
 def dedup_ngram_jaccard(sf_dir: str):
     """All document pairs with 3-gram-shingle Jaccard >= 0.1 (exact).
 
@@ -456,10 +463,11 @@ def dedup_ngram_jaccard(sf_dir: str):
     explosion per exact-sh_hash run vectorized inside each bucket.
     Intersection counts via a pair groupby; union sizes join in from a
     distributed (doc_id, n) count table — the whole verify is Dataset
-    end-to-end with no driver-side corpus state.  At 100 TB, ultra-hot
-    shingles would be df-capped (documented candidate-loss); the sf
-    corpora have no such shingles, and the MinHash path below is the
-    scale route anyway.
+    end-to-end with no driver-side corpus state.  Ultra-hot shingles
+    (df > :data:`SHINGLE_DF_CAP`) are dropped with a logged forgone-pair
+    count — the quadratic-explosion guard; the sf corpora sit far under
+    the cap (gate unchanged), and the MinHash path below is the scale
+    route for boilerplate-heavy corpora anyway.
     """
     from ray.data.aggregate import Count
 
@@ -467,7 +475,9 @@ def dedup_ngram_jaccard(sf_dir: str):
     common = (
         shingles.map_batches(_add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(_SigRunPairs(["sh_hash"]), batch_format="pandas")
+        .map_groups(
+            _SigRunPairs(["sh_hash"], df_cap=SHINGLE_DF_CAP), batch_format="pandas"
+        )
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="common"))
     )
@@ -534,11 +544,20 @@ def _minhash_batch(batch: pa.Table) -> pa.Table:
 
 class _SigRunPairs:
     """map_groups fn over a (band, bucket) coarse group: emit candidate
-    pairs for each run of rows with identical full signatures."""
+    pairs for each run of rows with identical full signatures.
 
-    def __init__(self, sig_cols):
+    ``df_cap`` (the hot-shingle guard): a run longer than the cap is a
+    stop-shingle — boilerplate living in thousands of docs, whose
+    quadratic pair explosion is exactly the 100 TB failure mode — so it
+    is DROPPED, and the drop is logged with run length and forgone pair
+    count (the no-silent-caps rule).  Candidate loss is bounded: a true
+    near-dup pair sharing ONLY capped shingles is missed (MinHash is
+    the stated scale route for those corpora)."""
+
+    def __init__(self, sig_cols, df_cap: int | None = None):
         self.__name__ = "SigRunPairs"
         self.sig_cols = sig_cols
+        self.df_cap = df_cap
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         d = group["doc_id"].to_numpy(np.int64)
@@ -553,13 +572,28 @@ class _SigRunPairs:
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], len(d))
         out_a, out_b = [], []
+        dropped_runs = dropped_pairs = 0
         for st, en in zip(starts, ends):
             k = en - st
             if k < 2:
                 continue
+            if self.df_cap is not None and k > self.df_cap:
+                dropped_runs += 1
+                dropped_pairs += k * (k - 1) // 2
+                continue
             a, b = np.triu_indices(k, k=1)
             out_a.append(d[st:en][a])
             out_b.append(d[st:en][b])
+        if dropped_runs:
+            import logging
+
+            logging.getLogger("raystorm.dedup").warning(
+                "df-cap dropped %d hot signature run(s) (> %d docs): "
+                "%d candidate pairs forgone",
+                dropped_runs,
+                self.df_cap,
+                dropped_pairs,
+            )
         if not out_a:
             return pd.DataFrame(
                 {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64)}
@@ -1078,7 +1112,9 @@ def dedup_embedding_ivf(sf_dir: str):
 
     from . import similarity
 
-    cids, cmat = similarity._load_centroids(sf_dir)
+    # scale-guarded codebook: stride-derived under MAX_CODEBOOK (the
+    # SQL-mirrored sf shape), fixed-k k-means-trained past it
+    cids, cmat = similarity._codebook(sf_dir)
     ref = ray.put((cids, cmat))
 
     class AssignCell:
@@ -1569,6 +1605,24 @@ def _merge_spans(group: pa.Table) -> pa.Table:
     )
 
 
+def _dup_spans_ds(sf_dir: str):
+    """The :func:`dup_spans` pipeline as a (doc_id, span_start,
+    span_end) Dataset — shared by the gate (to_pandas) and the
+    :func:`scrub_dup_spans` fallback (which must keep spans
+    distributed)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    hits = (
+        ds.map_batches(_dupgram_batch, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_dup_hits, batch_format="pyarrow")
+    )
+    return hits.groupby("dbucket").map_groups(_merge_spans, batch_format="pyarrow")
+
+
 def dup_spans(sf_dir: str) -> pd.DataFrame:
     """Cross-document exact-duplicate spans: every maximal word range
     covered by >= DUP_L-word grams that appear verbatim in at least two
@@ -1582,19 +1636,9 @@ def dup_spans(sf_dir: str) -> pd.DataFrame:
     shuffles, the right shape for Ray Data at 100 TB — cost is one
     token-scale shuffle, same class as the index build itself).
     """
-    import ray.data as rd
-
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    hits = (
-        ds.map_batches(_dupgram_batch, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_dup_hits, batch_format="pyarrow")
-    )
-    spans = hits.groupby("dbucket").map_groups(_merge_spans, batch_format="pyarrow")
     return (
-        spans.to_pandas()
+        _dup_spans_ds(sf_dir)
+        .to_pandas()
         .sort_values(["doc_id", "span_start"])
         .reset_index(drop=True)
     )
@@ -1629,6 +1673,48 @@ FROM islands GROUP BY doc_id, isl ORDER BY doc_id, span_start
 """
 
 
+def _scrub_one(text_lower: str, spans) -> str | None:
+    """Remove 1-based-inclusive word spans from a lowercased word
+    stream; None when nothing survives (doc drops out).  The ONE scrub
+    kernel both :func:`scrub_dup_spans` paths share — path identity is
+    by construction."""
+    words = text_lower.split(" ")
+    keep = np.ones(len(words), bool)
+    for s, e in spans:
+        keep[s - 1 : e] = False
+    if not keep.any():
+        return None
+    return " ".join(np.array(words, object)[keep])
+
+
+def _scrub_group(tbl: pa.Table) -> pa.Table:
+    """One doc-bucket of the shuffle-join fallback: span rows (text
+    null) + text rows (span_start < 0) for the same ``doc_id % N_BUCKETS``
+    slice; spans index in-group, texts scrub through :func:`_scrub_one`."""
+    d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    ss = tbl["span_start"].to_numpy(zero_copy_only=False)
+    se = tbl["span_end"].to_numpy(zero_copy_only=False)
+    txt = tbl["text"].to_numpy(zero_copy_only=False)
+    is_text = ss < 0
+    spans_by_doc: dict[int, list] = {}
+    for i in np.flatnonzero(~is_text):
+        spans_by_doc.setdefault(int(d[i]), []).append((int(ss[i]), int(se[i])))
+    out_d, out_t = [], []
+    for i in np.flatnonzero(is_text):
+        did = int(d[i])
+        sp = spans_by_doc.get(did)
+        clean = txt[i] if not sp else _scrub_one(txt[i], sp)
+        if clean is not None:
+            out_d.append(did)
+            out_t.append(clean)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_d, pa.int64()),
+            "clean_text": pa.array(out_t, pa.string()),
+        }
+    )
+
+
 def scrub_dup_spans(sf_dir: str) -> pd.DataFrame:
     """The cleaning transform ``dup_spans`` feeds: the corpus with every
     cross-document duplicated span removed (lowercased word stream minus
@@ -1637,18 +1723,60 @@ def scrub_dup_spans(sf_dir: str) -> pd.DataFrame:
     The span table is duplicate-volume-sized, broadcast once
     (``ray.put``) and probed per batch; past ``MAX_BROADCAST_PAIRS``
     spans the same result comes from a doc-bucket shuffle join of spans
-    with texts (the dedup-verify fallback pattern) — corpus text never
-    moves to the driver either way.
+    with texts (tagged union -> ``groupby(doc_id % N_BUCKETS)`` ->
+    in-group scrub, the dedup-verify fallback pattern) — corpus text
+    never moves to the driver either way, and past the cap the span
+    table never does either.  Output-identical on both paths
+    (pytest-pinned via a forced MAX_BROADCAST_PAIRS=0 run).
     """
     import ray
     import ray.data as rd
 
-    spans = dup_spans(sf_dir)
-    if len(spans) > MAX_BROADCAST_PAIRS:
-        raise NotImplementedError(
-            "span table exceeds the broadcast cap; use the doc-bucket "
-            "shuffle join fallback (see dedup._join_parts pattern)"
+    spans_ds = _dup_spans_ds(sf_dir).materialize()
+    n_spans = spans_ds.count()
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    if n_spans > MAX_BROADCAST_PAIRS:
+        # shuffle-join fallback: spans stay distributed; both sides tag
+        # into one schema and meet in a doc-bucket groupby
+        def tag_spans(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "doc_id": pa.array(d.astype(np.int64), pa.int64()),
+                    "dbucket": pa.array((d % N_BUCKETS).astype(np.int32)),
+                    "span_start": b["span_start"].cast(pa.int64()),
+                    "span_end": b["span_end"].cast(pa.int64()),
+                    "text": pa.nulls(len(b), pa.string()),
+                }
+            )
+
+        def tag_text(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy(zero_copy_only=False)
+            neg = np.full(len(b), -1, np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(d.astype(np.int64), pa.int64()),
+                    "dbucket": pa.array((d % N_BUCKETS).astype(np.int32)),
+                    "span_start": pa.array(neg, pa.int64()),
+                    "span_end": pa.array(neg, pa.int64()),
+                    "text": pc.utf8_lower(b["text"]),
+                }
+            )
+
+        merged = (
+            spans_ds.map_batches(tag_spans, batch_format="pyarrow")
+            .union(ds.map_batches(tag_text, batch_format="pyarrow"))
+            .groupby("dbucket")
+            .map_groups(_scrub_group, batch_format="pyarrow")
         )
+        return (
+            merged.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    spans = spans_ds.to_pandas()
     by_doc: dict[int, list] = {}
     for r in spans.itertuples():
         by_doc.setdefault(int(r.doc_id), []).append(
@@ -1659,22 +1787,14 @@ def scrub_dup_spans(sf_dir: str) -> pd.DataFrame:
     def scrub(batch: pa.Table) -> pa.Table:
         m = _get_ref(ref) if not isinstance(ref, dict) else ref
         dids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        lowered = pc.utf8_lower(batch["text"])
+        low_np = pc.utf8_lower(batch["text"]).to_numpy(zero_copy_only=False)
         out_d, out_t = [], []
-        touched = {i: m[int(d)] for i, d in enumerate(dids) if int(d) in m}
-        low_np = lowered.to_numpy(zero_copy_only=False)
         for i, d in enumerate(dids):
-            if i not in touched:
+            sp = m.get(int(d))
+            clean = low_np[i] if not sp else _scrub_one(low_np[i], sp)
+            if clean is not None:
                 out_d.append(int(d))
-                out_t.append(low_np[i])
-                continue
-            words = low_np[i].split(" ")
-            keep = np.ones(len(words), bool)
-            for s, e in touched[i]:
-                keep[s - 1 : e] = False  # spans are 1-based inclusive
-            if keep.any():
-                out_d.append(int(d))
-                out_t.append(" ".join(np.array(words, object)[keep]))
+                out_t.append(clean)
         return pa.table(
             {
                 "doc_id": pa.array(out_d, pa.int64()),
@@ -1682,9 +1802,6 @@ def scrub_dup_spans(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
     return (
         ds.map_batches(scrub, batch_format="pyarrow")
         .to_pandas()

@@ -111,34 +111,10 @@ class FederatedIndex:
                     "score": [],
                 }
             )
-        conv = np.concatenate(convs)
-        turn = np.concatenate(turns)
-        sc = np.concatenate(scores)
-        r = round_half_up(sc, RANK_ROUND)
-        # boundary-tight partial top-k, then an exact small sort with the
-        # global (score desc, conv_id, turn_idx) tie-break — conv ids are
-        # strings, so the tail sort is pandas over the boundary set only
-        if len(conv) > k:
-            top = np.argpartition(-r, k - 1)[:k]
-            boundary = np.min(r[top])
-            cand = np.nonzero(r >= boundary)[0]
-        else:
-            cand = np.arange(len(conv))
-        tail = (
-            pd.DataFrame(
-                {"conv_id": conv[cand], "turn_idx": turn[cand], "r": r[cand], "score": sc[cand]}
-            )
-            .sort_values(["r", "conv_id", "turn_idx"], ascending=[False, True, True])
-            .head(k)
-            .reset_index(drop=True)
-        )
-        return pd.DataFrame(
-            {
-                "rank": np.arange(1, len(tail) + 1, dtype=np.int32),
-                "conv_id": tail["conv_id"],
-                "turn_idx": tail["turn_idx"].astype(np.int32),
-                "score": round_half_up(tail["score"].to_numpy(), SCORE_ROUND),
-            }
+        # the shared ranking tail (_topk_rows) — ONE copy of the
+        # tie-break-sensitive boundary sort for both federated classes
+        return _topk_rows(
+            np.concatenate(convs), np.concatenate(turns), np.concatenate(scores), k
         )
 
 

@@ -103,19 +103,29 @@ class MediaDecodeStage:
             raise ValueError(decode_backend)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.backend == "pil":  # pragma: no cover
-            raise NotImplementedError("PIL decode path is a stub in this container")
-        payloads = batch["payload"].to_pylist()
-        n_bytes = np.array([len(p) for p in payloads], np.int64)
         import hashlib
 
+        payloads = batch["payload"].to_pylist()
+        n_bytes = np.array([len(p) for p in payloads], np.int64)
         chash = np.array(
             [int(hashlib.md5(p).hexdigest()[:15], 16) for p in payloads], np.int64
         )
-        # deterministic pseudo-decode: dimensions derived from size + hash
-        width = (n_bytes % 640 + 1).astype(np.int32)
-        height = (chash % 480 + 1).astype(np.int32)
-        channels = np.full(len(payloads), 3, np.int32)
+        if self.backend == "pil":  # pragma: no cover - env-gated (needs PIL)
+            # real decode: open each payload, read true dimensions/bands
+            import io
+
+            width = np.empty(len(payloads), np.int32)
+            height = np.empty(len(payloads), np.int32)
+            channels = np.empty(len(payloads), np.int32)
+            for i, p in enumerate(payloads):
+                img = self._pil.open(io.BytesIO(p))
+                width[i], height[i] = img.size
+                channels[i] = len(img.getbands())
+        else:
+            # deterministic pseudo-decode: dimensions from size + hash
+            width = (n_bytes % 640 + 1).astype(np.int32)
+            height = (chash % 480 + 1).astype(np.int32)
+            channels = np.full(len(payloads), 3, np.int32)
         return pa.Table.from_arrays(
             [
                 batch["media_id"],

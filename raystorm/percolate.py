@@ -342,17 +342,31 @@ def percolate_sharded(
         for s in shards
     ]
     partials = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    # the ANY/ALL floor check runs as a map_batches over the aggregated
+    # coverage Dataset — only SURVIVORS (matches + phrase candidates,
+    # i.e. output-sized) ever reach the driver; the coverage table
+    # itself (every query x partially-covered doc) never does
+    fref = ray.put((dict(compiled["kind"]), dict(compiled["need"])))
+
+    def floor_filter(batch: pa.Table) -> pa.Table:
+        km, nm = ray.get(fref) if not isinstance(fref, tuple) else fref
+        q = batch["query_id"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        kinds = np.array([km[x] for x in q], object)
+        full = n == np.array([nm[x] for x in q], np.int64)
+        is_ph = (kinds == "phrase") & full
+        keep = (kinds == "any") | ((kinds == "all") & full) | is_ph
+        sel = batch.filter(pa.array(keep))
+        return sel.append_column("is_phrase", pa.array(is_ph[keep]))
+
     cov = (
         partials.groupby(["query_id", "conv_id", "turn_idx"])
         .aggregate(Sum("n", alias_name="n"))
+        .map_batches(floor_filter, batch_format="pyarrow")
         .to_pandas()
     )
-    kinds = cov["query_id"].map(compiled["kind"])
-    needs = cov["query_id"].map(compiled["need"])
-    full = cov["n"].to_numpy() == needs.to_numpy()
-    keep = kinds.eq("any").to_numpy() | (kinds.eq("all").to_numpy() & full)
-    ph = kinds.eq("phrase").to_numpy() & full
-    out = cov.loc[keep, ["query_id", "conv_id", "turn_idx"]]
+    ph = cov["is_phrase"].to_numpy(bool)
+    out = cov.loc[~ph, ["query_id", "conv_id", "turn_idx"]]
     if ph.any():
         cand = cov.loc[ph, ["query_id", "conv_id", "turn_idx"]]
         cand_keys = set(zip(cand["conv_id"], cand["turn_idx"].astype(int)))

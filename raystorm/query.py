@@ -952,13 +952,18 @@ class SegmentIndex:
         """Index-sorted early termination for ts-sorted queries.
 
         With ts nondecreasing in docid, the top-k by (ts desc, docid
-        asc) all carry ts >= b where b is the ts of the k-th-from-last
-        candidate — a contiguous docid suffix.  The boundary tie-run may
-        extend to smaller docids (docid ASC wins ties), so the window
-        extends backward in doubling probes until a value < b appears;
-        the exact small sort then runs over window+run only.  Ascending
-        sorts mirror on the prefix.  Lookup cost: k + tie-run + probe
-        overshoot — never candidate-set-sized.
+        asc) all carry ts >= b where b is the ts of the k-th found
+        value scanning inward from the docid-extreme end — a contiguous
+        docid suffix (prefix for ascending).  The boundary tie-run may
+        extend to smaller docids (docid ASC wins ties), so the scan
+        continues in doubling probes until a value beyond b appears;
+        the exact small sort then runs over window+run only.  Lookup
+        cost: k + tie-run + probe overshoot — never candidate-set-sized.
+
+        Missing-value contract (shared with :meth:`_sorted_candidates`,
+        pytest-pinned): candidates with no stored doc value are silently
+        excluded from field-sorted results — the scan skips them and
+        keeps probing, so both paths return the same filtered ranking.
         """
         docids, _ = self._score_bm25(query_text)
         dv = self.docvalues()
@@ -970,38 +975,53 @@ class SegmentIndex:
                 "ts_us": np.empty(0, np.int64),
             }
         )
-        if not len(docids):
+        if not len(docids) or k <= 0:
             return empty
         n = len(docids)
         take = min(k, n)
-        win = docids[n - take :] if desc else docids[:take]
-        vals, found = dv.lookup(win, "ts_us")
-        if not found.all():
-            raise KeyError("sorted candidate missing its ts_us doc value")
-        vals = vals.astype(np.int64)
-        b = vals.min() if desc else vals.max()  # boundary ts of the window
-        # extend through the boundary tie-run (doubling probes)
-        ext_ids = [win]
-        ext_vals = [vals]
-        lo = n - take if desc else take  # candidates not yet probed
+        # outward-in scan: fill the top-`take` window from the extreme
+        # end (found values arrive monotone non-improving), then extend
+        # through the boundary tie-run
+        ext_ids: list[np.ndarray] = []
+        ext_vals: list[np.ndarray] = []
+        got = 0
+        b = None  # boundary value once the window is full
+        pos = n if desc else 0  # frontier of unprobed candidates
         step = max(k, 1)
-        while (lo > 0) if desc else (lo < n):
-            chunk = (
-                docids[max(0, lo - step) : lo] if desc else docids[lo : min(n, lo + step)]
-            )
+        crossed = False
+        while not crossed and ((pos > 0) if desc else (pos < n)):
+            if desc:
+                nxt = max(0, pos - step)
+                chunk = docids[nxt:pos][::-1]  # extreme end first
+            else:
+                nxt = min(n, pos + step)
+                chunk = docids[pos:nxt]
+            pos = nxt
             cv, cf = dv.lookup(chunk, "ts_us")
-            if not cf.all():
-                raise KeyError("sorted candidate missing its ts_us doc value")
-            cv = cv.astype(np.int64)
+            cids, cv = chunk[cf], cv[cf].astype(np.int64)
+            if b is None:
+                fill = min(take - got, len(cids))
+                ext_ids.append(cids[:fill])
+                ext_vals.append(cv[:fill])
+                got += fill
+                cids, cv = cids[fill:], cv[fill:]
+                if got == take:
+                    b = int(ext_vals[-1][-1])  # k-th found value
+                else:
+                    step *= 2
+                    continue
             keep = cv == b  # only boundary ties can still matter
-            ext_ids.append(chunk[keep])
+            ext_ids.append(cids[keep])
             ext_vals.append(cv[keep])
-            if not keep.all():  # crossed the tie-run start: done
-                break
-            lo = max(0, lo - step) if desc else min(n, lo + step)
+            # a found value beyond the boundary ends the tie-run
+            crossed = bool(((cv < b) if desc else (cv > b)).any())
             step *= 2
+        if not ext_ids:
+            return empty
         ids = np.concatenate(ext_ids)
         vs = np.concatenate(ext_vals)
+        if not len(ids):
+            return empty
         key = -vs if desc else vs
         return self._format_sorted(ids, vs, key, k, "ts_us")
 
@@ -1018,6 +1038,15 @@ class SegmentIndex:
     def _format_sorted(self, docids, vals, key, k: int, field: str) -> pd.DataFrame:
         """Ranking tail of the sorted modes: boundary-tight partial
         top-k in (key asc, docid asc) order, decode, emit."""
+        if k <= 0 or not len(docids):
+            return pd.DataFrame(
+                {
+                    "rank": np.empty(0, np.int32),
+                    "conv_id": [],
+                    "turn_idx": np.empty(0, np.int32),
+                    field: np.empty(0, np.int64),
+                }
+            )
         if len(docids) > k:
             top = np.argpartition(key, k - 1)[:k]
             boundary = np.max(key[top])
@@ -1823,6 +1852,14 @@ class SegmentIndex:
         sc0 = segments.bm25_term_scores(
             tf0, dl0, float(fd.idf[r0]), gs["avgdl"], self.k1, self.b
         )
+        # accumulate per docid BEFORE taking the k-th: overlapping-run
+        # (foreign) layouts can repeat a docid across runs, and summing
+        # its occurrence partials is required — the k-th of the raw
+        # per-occurrence array could exceed the true k-th full partial
+        # score, making theta unsound exactly in the fallback case the
+        # interval bound claims to cover (engine-written indexes are
+        # docid-disjoint, where this is the identity)
+        ids0, sc0 = _accumulate([ids0], [sc0])
         theta = (
             float(np.partition(sc0, len(sc0) - k)[len(sc0) - k])
             if len(sc0) >= k

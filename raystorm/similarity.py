@@ -432,10 +432,11 @@ def _load_centroids(sf_dir: str, stride: int = IVF_STRIDE):
     non-centroid rows inside the read tasks and only the codebook
     itself crosses to the driver (the earlier driver-side full-table
     ``iter_batches`` stream pulled every embedding byte through one
-    process).  Codebook size is corpus/stride: at scale pass a
-    corpus-scaled ``stride`` — or replace the data-derived codebook
-    with :func:`kmeans_cells`' fixed-k one — to keep it bounded; the
-    sf-scale gates pin stride == IVF_STRIDE to mirror the SQL oracle."""
+    process).  Codebook size is corpus/stride — every gated path now
+    routes through :func:`_codebook`, which swaps in the fixed-k
+    trained codebook past :data:`MAX_CODEBOOK`; the sf-scale gates sit
+    under the guard and keep stride == IVF_STRIDE to mirror the SQL
+    oracle."""
     import ray.data as rd
 
     def keep(b: pa.Table) -> pa.Table:
@@ -466,6 +467,32 @@ def _assign_cells(mat_norm: np.ndarray, cids: np.ndarray, cmat: np.ndarray) -> n
     sims = round_half_up(mat_norm @ cmat.T, ROUND)  # rounding pins FP ties vs SQL
     best = sims.argmax(axis=1)  # ties -> lowest index == centroid id asc
     return cids[best]
+
+
+#: fixed-k codebook guard: the stride-derived codebook is
+#: corpus/IVF_STRIDE centroids — linear in the corpus, i.e. 10^7
+#: broadcast centroids at 10^10 vectors.  Past this many stride
+#: centroids the gated IVF paths switch to a KM_ITERS-trained FIXED-k
+#: spherical-k-means codebook (init = evenly-strided vectors, the
+#: kmeans_cells recipe); sf-scale gates sit far under the guard so
+#: their SQL oracles keep the exact stride mirror.
+MAX_CODEBOOK = 4096
+
+
+def _codebook(sf_dir: str):
+    """The IVF codebook every gated path routes through: stride-derived
+    under :data:`MAX_CODEBOOK` (SQL-mirrorable), k-means-trained fixed-k
+    above it (the scale path — codebook size no longer tracks the
+    corpus).  Corpus size comes from parquet METADATA only."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    if n // IVF_STRIDE <= MAX_CODEBOOK:
+        return _load_centroids(sf_dir)
+    stride = -(-n // MAX_CODEBOOK)  # ceil -> <= MAX_CODEBOOK init cells
+    cids, cmat = _load_centroids(sf_dir, stride)
+    cent = _kmeans_iterate(sf_dir, cmat)
+    return cids, cent / np.linalg.norm(cent, axis=1, keepdims=True)
 
 
 def ann_ivf_topk(sf_dir: str):
@@ -499,7 +526,7 @@ def ivf_topk(
     import ray
     import ray.data as rd
 
-    cids, cmat = _load_centroids(sf_dir)
+    cids, cmat = _codebook(sf_dir)
     # query -> probed cells (top-N_PROBE centroids by rounded cosine)
     qsims = round_half_up(qmat @ cmat.T, ROUND)
     probe = {}
@@ -1096,8 +1123,9 @@ def ann_ivfpq_topk(sf_dir: str, k: int = TOP_K, window: int = PQ_WINDOW):
     import ray
     import ray.data as rd
 
-    # IVF routing state (float centroids, rounded-cosine probe rule)
-    icids, icmat = _load_centroids(sf_dir)
+    # IVF routing state (float centroids, rounded-cosine probe rule;
+    # fixed-k trained codebook past the MAX_CODEBOOK guard)
+    icids, icmat = _codebook(sf_dir)
     qids, qraw = _load_queries_raw(sf_dir)
     qmat = qraw / np.linalg.norm(qraw, axis=1, keepdims=True)
     qsims = round_half_up(qmat @ icmat.T, ROUND)
@@ -1306,6 +1334,74 @@ KM_ITERS = 3
 KM_ROUND = 6
 
 
+class _KmAssignPartial:
+    """embeddings batch -> per-cell (sum-vector, count) partials for one
+    Lloyd iteration (broadcast centroids, k x dim partial per block)."""
+
+    def __init__(self, ref):
+        self.ref = ref
+        self._c = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._c is None:
+            obj = self.ref
+            self._c = obj if isinstance(obj, np.ndarray) else _get_ref(obj)
+        c = self._c
+        k = c.shape[0]
+        m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        cos = round_half_up(
+            (m @ c.T)
+            / (
+                np.linalg.norm(m, axis=1, keepdims=True)
+                * np.linalg.norm(c, axis=1)[None, :]
+            ),
+            KM_ROUND,
+        )
+        best = cos.argmax(axis=1)  # ties -> lowest index == cell asc
+        sums = np.zeros((k, m.shape[1]), np.float64)
+        np.add.at(sums, best, m)
+        counts = np.bincount(best, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "ci": pa.array(np.arange(k), pa.int64()),
+                "count": pa.array(counts, pa.int64()),
+                "sums": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+
+def _kmeans_iterate(sf_dir: str, cent: np.ndarray) -> np.ndarray:
+    """KM_ITERS Lloyd iterations over ``embeddings`` starting from
+    ``cent`` (k x dim): per-batch assignment partials against broadcast
+    centroids, driver vector-add recenter (k·dim floats per block — the
+    textrank broadcast-iteration pattern, never a shuffle).  Returns the
+    final raw centroid matrix; empty cells keep their previous
+    centroid."""
+    import ray
+    import ray.data as rd
+
+    k, dim = cent.shape
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    for _it in range(KM_ITERS):
+        ref = ray.put(cent)
+        pdf = ds.map_batches(_KmAssignPartial(ref), batch_format="pyarrow").to_pandas()
+        sums = np.zeros((k, dim), np.float64)
+        counts = np.zeros(k, np.int64)
+        np.add.at(sums, pdf["ci"].to_numpy(np.int64), np.vstack(pdf["sums"].to_numpy()))
+        np.add.at(counts, pdf["ci"].to_numpy(np.int64), pdf["count"].to_numpy(np.int64))
+        nonempty = counts > 0
+        new = cent.copy()  # empty cells keep their previous centroid
+        new[nonempty] = round_half_up(
+            sums[nonempty] / counts[nonempty, None], KM_ROUND
+        )
+        cent = new
+    return cent
+
+
 def kmeans_cells(sf_dir: str):
     """Spherical k-means over ``embeddings``: centroids init from the
     IVF_STRIDE vectors, KM_ITERS Lloyd iterations (assign by rounded
@@ -1337,59 +1433,11 @@ def kmeans_cells(sf_dir: str):
         init["embedding"].to_numpy(zero_copy_only=False)[order]
     ).astype(np.float64)
     cells = init["vec_id"].to_numpy()[order]
-    k, dim = cent.shape
-
-    class AssignPartial:
-        """embeddings batch -> per-cell (sum-vector, count) partials."""
-
-        def __init__(self, ref):
-            self.ref = ref
-            self._c = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if self._c is None:
-                obj = self.ref
-                self._c = obj if isinstance(obj, np.ndarray) else _get_ref(obj)
-            c = self._c
-            m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
-                np.float64
-            )
-            cos = round_half_up(
-                (m @ c.T)
-                / (
-                    np.linalg.norm(m, axis=1, keepdims=True)
-                    * np.linalg.norm(c, axis=1)[None, :]
-                ),
-                KM_ROUND,
-            )
-            best = cos.argmax(axis=1)  # ties -> lowest index == cell asc
-            sums = np.zeros((k, m.shape[1]), np.float64)
-            np.add.at(sums, best, m)
-            counts = np.bincount(best, minlength=k).astype(np.int64)
-            return pa.table(
-                {
-                    "ci": pa.array(np.arange(k), pa.int64()),
-                    "count": pa.array(counts, pa.int64()),
-                    "sums": pa.array(list(sums), pa.list_(pa.float64())),
-                }
-            )
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    for _it in range(KM_ITERS):
-        ref = ray.put(cent)
-        pdf = ds.map_batches(AssignPartial(ref), batch_format="pyarrow").to_pandas()
-        sums = np.zeros((k, dim), np.float64)
-        counts = np.zeros(k, np.int64)
-        np.add.at(sums, pdf["ci"].to_numpy(np.int64), np.vstack(pdf["sums"].to_numpy()))
-        np.add.at(counts, pdf["ci"].to_numpy(np.int64), pdf["count"].to_numpy(np.int64))
-        nonempty = counts > 0
-        new = cent.copy()  # empty cells keep their previous centroid
-        new[nonempty] = round_half_up(
-            sums[nonempty] / counts[nonempty, None], KM_ROUND
-        )
-        cent = new
+    cent = _kmeans_iterate(sf_dir, cent)
 
     class FinalAssign:
         def __init__(self, ref, cells):

@@ -118,7 +118,11 @@ def _hll_partial(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     # rho = leading zeros of the low wbits + 1; w < 2^52 is double-exact
     # so floor(log2) is safe off powers of two, exact on them
     bl = np.where(w > 0, np.floor(np.log2(np.maximum(w, 1))) + 1, 0).astype(np.int64)
-    rho = _HLL_WBITS - bl + 1
+    # clamp rho >= 1: floating log2 can round UP for w within ~22 of
+    # 2^52 (floor -> 53, rho -> 0); true bit_length there is exactly 52
+    # so the clamp is both the correct value and SQL-parity-preserving
+    # (the mirror applies the same greatest(..., 1))
+    rho = np.maximum(_HLL_WBITS - bl + 1, 1)
     return bucket, rho
 
 
@@ -197,7 +201,7 @@ WITH hv AS (
 br AS (
   SELECT {h} >> {_HLL_WBITS} AS bucket,
          CASE WHEN ({h} & {(1 << _HLL_WBITS) - 1}) > 0
-              THEN {_HLL_WBITS} - (floor(log2(({h} & {(1 << _HLL_WBITS) - 1}))) + 1) + 1
+              THEN greatest({_HLL_WBITS} - (floor(log2(({h} & {(1 << _HLL_WBITS) - 1}))) + 1) + 1, 1)
               ELSE {_HLL_WBITS} + 1 END AS rho
   FROM hv
 ),

@@ -167,6 +167,32 @@ def test_dedup_embedding_ivf_subset_and_recall(ray_session):
     assert len(ki) / max(1, len(kx)) >= 0.7  # measured 0.86 (2-probe) on sf data
 
 
+def test_ivf_kmeans_codebook_path(ray_session, monkeypatch):
+    """Past the MAX_CODEBOOK guard the gated IVF paths switch to the
+    fixed-k trained codebook: force the guard at sf scale and pin that
+    (a) the codebook really is the k-means one (size <= the fixed k,
+    not corpus/stride), (b) recall vs the exact baseline holds, and
+    (c) the near-dup subset property survives the codebook swap."""
+    from raystorm import similarity
+
+    sf = "/root/testdata/sf0.001"
+    # 8 stride centroids at sf0.001; a guard of 4 forces the trained path
+    monkeypatch.setattr(similarity, "MAX_CODEBOOK", 4)
+    cids, cmat = similarity._codebook(sf)
+    assert len(cids) <= 4 and cmat.shape[0] == len(cids)
+    np.testing.assert_allclose(np.linalg.norm(cmat, axis=1), 1.0, atol=1e-9)
+    exact = similarity.ann_cosine_topk(sf)
+    ivf = similarity.ann_ivf_topk(sf)
+    kx = set(zip(exact.query_vec, exact.vec_id))
+    ki = set(zip(ivf.query_vec, ivf.vec_id))
+    assert len(ki & kx) / max(1, len(kx)) >= 0.5  # 2 probes of 4 coarse cells
+    near_exact = dedup.dedup_embedding(sf)
+    near_ivf = dedup.dedup_embedding_ivf(sf)
+    assert set(zip(near_ivf.vec_a, near_ivf.vec_b)) <= set(
+        zip(near_exact.vec_a, near_exact.vec_b)
+    )
+
+
 def test_ann_sq8_recall_and_code_space(ray_session):
     """SQ8 quantized ANN: codes are integer-valued int8-range floats,
     the quantized approximation keeps high recall vs the exact
@@ -617,6 +643,20 @@ def test_scrub_dup_spans_removes_exactly_spans(ray_session):
         else:
             assert did not in clean.index
     assert checked_spanned > 0
+
+
+def test_scrub_dup_spans_shuffle_fallback_identity(ray_session, monkeypatch):
+    """Past MAX_BROADCAST_PAIRS the scrub switches to the doc-bucket
+    shuffle join — output must be identical to the broadcast path."""
+    import pandas as pd
+
+    from raystorm import dedup
+
+    sf = "/root/testdata/sf0.001"
+    fast = dedup.scrub_dup_spans(sf)
+    monkeypatch.setattr(dedup, "MAX_BROADCAST_PAIRS", 0)
+    joined = dedup.scrub_dup_spans(sf)
+    pd.testing.assert_frame_equal(fast, joined)
 
 
 def test_unigram_logprob_hand_computed(ray_session):
