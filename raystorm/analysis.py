@@ -1587,3 +1587,112 @@ FROM feat f JOIN norms n USING (doc_id)
 WHERE f.raw <> 0
 ORDER BY f.doc_id, f.dim
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction — the C4/FineWeb-style cleaning pass)
+# ---------------------------------------------------------------------------
+
+#: (name, RE2 pattern, replacement) — ORDER MATTERS (emails first: an
+#: address contains a dotted host an IP pattern could nibble).  Both
+#: engines compile with RE2 (pyarrow.compute and DuckDB), so match
+#: semantics are identical by construction — pinned by the gate.
+PII_PATTERNS = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{1,2} [0-9]{3} [0-9]{4}", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """Regex PII redaction over a contact-bearing text column: count
+    then replace emails / phone numbers / IPv4 addresses with typed
+    placeholders — the C4/FineWeb cleaning pass re-expressed as one
+    stateless Arrow stage (``pc.count_substring_regex`` +
+    ``pc.replace_substring_regex``, both RE2 — the same engine DuckDB
+    compiles, so the oracle matches byte-for-byte).
+
+    The synthetic corpus has no organic PII, so the stage first derives
+    a deterministic contact column from ``doc_id`` (email, phone, IP
+    seeded by the id) — the scrub then provably fires on every row and
+    the gate checks real replacements, not a no-op pass-through.
+
+    Scale shape: zero shuffle, one streaming pass, patterns are
+    module-level constants (no per-batch compile — RE2 compilation
+    happens once per pattern per worker inside Arrow's kernel cache).
+    Gate ``pii_scrub``; oracle :data:`PII_SCRUB_SQL`.
+    """
+    import ray.data as rd
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        suffix = np.char.add  # vectorized concat chain, one suffix per row
+        sfx = suffix(" contact user", d.astype("U"))
+        for part in (
+            "@mail",
+            (d % 7).astype("U"),
+            ".org or +1 ",
+            (100 + d % 900).astype("U"),
+            " ",
+            (1000 + d % 9000).astype("U"),
+            " from 10.",
+            (d % 256).astype("U"),
+            ".0.",
+            (d % 200).astype("U"),
+            " end",
+        ):
+            sfx = suffix(sfx, part)
+        contact = pc.binary_join_element_wise(
+            batch["text"].cast(pa.string()), pa.array(sfx, pa.string()), ""
+        )
+        counts = {
+            name: pc.count_substring_regex(contact, pat)
+            for name, pat, _rep in PII_PATTERNS
+        }
+        clean = contact
+        for _name, pat, rep in PII_PATTERNS:
+            clean = pc.replace_substring_regex(clean, pat, rep)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "n_email": counts["email"].cast(pa.int64()),
+                "n_phone": counts["phone"].cast(pa.int64()),
+                "n_ipv4": counts["ipv4"].cast(pa.int64()),
+                "clean_text": clean,
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return (
+        ds.map_batches(scrub, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _pii_scrub_sql() -> str:
+    em, ph, ip = (p for _n, p, _r in PII_PATTERNS)
+    return f"""
+WITH contact AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||
+         '.org or +1 ' || (100 + doc_id % 900) || ' ' || (1000 + doc_id % 9000) ||
+         ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 200) || ' end' AS c
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(c, '{em}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(c, '{ph}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(c, '{ip}')) AS BIGINT) AS n_ipv4,
+       regexp_replace(regexp_replace(regexp_replace(c,
+           '{em}', '<EMAIL>', 'g'),
+           '{ph}', '<PHONE>', 'g'),
+           '{ip}', '<IP>', 'g') AS clean_text
+FROM contact ORDER BY doc_id
+"""
+
+
+PII_SCRUB_SQL = _pii_scrub_sql()

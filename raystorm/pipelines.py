@@ -46,6 +46,7 @@ def registry() -> dict:
         "matrix_stats": (relational.matrix_stats, relational.matrix_stats_sql()),
         # --- text analysis ---
         "lang_id": (analysis.lang_id, analysis.lang_id_sql()),
+        "pii_scrub": (analysis.pii_scrub, analysis.PII_SCRUB_SQL),
         "quality_score": (analysis.quality_score, analysis.quality_score_sql()),
         "gopher_rules": (analysis.gopher_rules, analysis.gopher_rules_sql()),
         "token_count": (analysis.token_count, analysis.token_count_sql()),

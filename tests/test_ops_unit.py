@@ -1176,3 +1176,19 @@ def test_dsir_weights_semantics(ray_session):
     assert m[is_t].log_ratio.mean() > m[~is_t].log_ratio.mean() + 0.5
     kept_by_src = m[m.keep == 1].source.value_counts()
     assert kept_by_src.idxmax() == curate.DSIR_TARGET_SOURCE
+
+
+def test_pii_scrub_semantics(ray_session):
+    """Every derived contact string is fully redacted: typed
+    placeholders present, no raw emails/phones/IPs survive."""
+    from raystorm import analysis
+
+    out = analysis.pii_scrub("/root/testdata/sf0.001")
+    assert (out["n_email"] >= 1).all()
+    assert (out["n_phone"] >= 1).all()
+    assert (out["n_ipv4"] >= 1).all()
+    assert out["clean_text"].str.contains("<EMAIL>", regex=False).all()
+    assert out["clean_text"].str.contains("<PHONE>", regex=False).all()
+    assert out["clean_text"].str.contains("<IP>", regex=False).all()
+    for _name, pat, _rep in analysis.PII_PATTERNS:
+        assert not out["clean_text"].str.contains(pat, regex=True).any(), pat
