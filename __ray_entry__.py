@@ -641,6 +641,19 @@ def _q_topk_bm25_boolean(sf_dir: str):
     )
 
 
+def _q_search_cardinality_hll(sf_dir: str):
+    """ES cardinality aggregation, HLL variant (fixed 2^8 registers at
+    ANY cardinality — the sibling of the KMV-based search_cardinality
+    gate): approximate distinct conv_ids per query via the derandomized
+    HLL over the no-cut hit stream — register partials per block, one
+    (query, bucket) max-combine, the hit set never collects
+    (facets.search_cardinality; oracle facets.cardinality_sql —
+    identical registers and estimator)."""
+    from raystorm import facets
+
+    return facets.search_cardinality(sf_dir, _index_for(sf_dir))
+
+
 def _q_search_facets(sf_dir: str):
     """Facet aggregation over the FULL candidate set of each reference
     query (no top-k cut): hits actor pool -> shuffle join to the
@@ -1492,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_boost": _q_topk_bm25_boost,
         "topk_bm25_page2": _q_topk_bm25_page2,
         "search_facets": _q_search_facets,
+        "search_cardinality_hll": _q_search_cardinality_hll,
         "search_facets_daily": _q_search_facets_daily,
         "search_daily_pipeline": _q_search_daily_pipeline,
         "topk_bm25_filtered": _q_topk_bm25_filtered,
@@ -1630,6 +1644,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_boost": query.boost_topk_sql(),
         "topk_bm25_page2": query.bm25_topk_sql(page=2),
         "search_facets": facets.facets_sql(),
+        "search_cardinality_hll": facets.cardinality_sql(),
         "search_facets_daily": facets.facets_daily_sql(),
         "search_daily_pipeline": facets.daily_pipeline_sql(),
         "topk_bm25_filtered": query.filtered_topk_sql(),

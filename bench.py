@@ -225,6 +225,9 @@ def run_suite(
         t0 = time.perf_counter()
         _facets.search_facets_dv(idx_sf)
         timings["facets_docvalues"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _facets.search_cardinality(sf_dir, idx_sf)
+        timings["search_cardinality_hll"] = time.perf_counter() - t0
 
         # -- 4. large synthetic build (headline throughput; Zipf skew) -------
         synth_dir = corpus.synth_transcripts(n_convs=synth_convs)

@@ -1427,3 +1427,141 @@ ranked AS (
 )
 SELECT rank, term, df FROM ranked WHERE rank <= {n} ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# cardinality aggregation (ES `cardinality` agg: HLL over query hits)
+# ---------------------------------------------------------------------------
+
+
+def search_cardinality(
+    sf_dir: str,
+    index_dir: str,
+    queries=REFERENCE_QUERIES,
+    mode: str = "bm25",
+) -> pd.DataFrame:
+    """ES ``cardinality`` aggregation: the APPROXIMATE distinct
+    ``conv_id`` count among each query's matching turns, via the shared
+    derandomized HyperLogLog (sketches.py — md5int60 registers, so the
+    SQL oracle computes the identical estimate).
+
+    Shape: the no-cut hit stream (FacetScorer actor pool) collapses to
+    (query_id, bucket, rho) register partials PER BLOCK — at most
+    queries × 2^P rows per block regardless of hit volume — then one
+    tiny (query, bucket) max-combine; the hit set itself never moves to
+    one place.  This is how "how many distinct conversations mention X"
+    stays O(registers) at 100 TB where a COUNT(DISTINCT) would shuffle
+    every conv_id.  ``sf_dir`` is unused (hits carry conv_id already)
+    but kept for the facet-gate signature.  Oracle:
+    :func:`cardinality_sql`.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from .sketches import HLL_M, _hll_partial, hll_estimate
+
+    qds = rd.from_arrow(queries_table(queries))
+    hits = qds.map_batches(
+        FacetScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = b["query_id"].to_numpy(zero_copy_only=False)
+        c = b["conv_id"].to_numpy(zero_copy_only=False)
+        out_q, out_b, out_r = [], [], []
+        for qid in np.unique(q):
+            bucket, rho = _hll_partial(c[q == qid].astype(str))
+            vec = np.zeros(HLL_M, np.int64)
+            np.maximum.at(vec, bucket, rho)
+            nz = np.flatnonzero(vec)
+            out_q.append(np.full(len(nz), qid, object))
+            out_b.append(nz)
+            out_r.append(vec[nz])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.concatenate(out_q) if out_q else np.empty(0, object),
+                    pa.string(),
+                ),
+                "bucket": pa.array(
+                    np.concatenate(out_b) if out_b else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "rho": pa.array(
+                    np.concatenate(out_r) if out_r else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    regs = (
+        hits.map_batches(partial, batch_format="pyarrow")
+        .groupby(["query_id", "bucket"])
+        .aggregate(Max("rho", alias_name="r"))
+        .to_pandas()
+    )
+    rows = []
+    for qid, g in regs.groupby("query_id"):
+        vec = np.zeros(HLL_M, np.int64)
+        np.maximum.at(
+            vec, g["bucket"].to_numpy(np.int64), g["r"].to_numpy(np.int64)
+        )
+        rows.append((qid, HLL_M, hll_estimate(vec)))
+    return (
+        pd.DataFrame(rows, columns=["query_id", "m", "estimate"])
+        .astype({"m": np.int64})
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+
+
+def cardinality_sql(queries=REFERENCE_QUERIES, k1=1.2, b=0.75) -> str:
+    """Oracle for :func:`search_cardinality`: the scores CTE's distinct
+    (query, conv_id) pairs pushed through the HLL register/estimator SQL
+    (:mod:`sketches`' mirror, partitioned by query)."""
+    from .sketches import _HLL_ALPHA, _HLL_WBITS, HLL_M, ROUND as HLL_ROUND
+    from .analysis import md5int60_sql
+
+    h = md5int60_sql("conv_id")
+    mask = (1 << _HLL_WBITS) - 1
+    return f"""
+WITH {corpus_ctes()},
+queries(query_id, qk) AS (SELECT query_id, k FROM (VALUES {_queries_values(queries)}) v(query_id, qtext, k)),
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+scores AS (
+  SELECT q.query_id,
+         t.conv_id, t.turn_idx,
+         sum( ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs d ON d.term = q.term
+  JOIN doclen dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, t.conv_id, t.turn_idx
+),
+hv AS (SELECT DISTINCT query_id, {h} AS hh FROM scores),
+br AS (
+  SELECT query_id, hh >> {_HLL_WBITS} AS bucket,
+         CASE WHEN (hh & {mask}) > 0
+              THEN greatest({_HLL_WBITS} - (floor(log2((hh & {mask}))) + 1) + 1, 1)
+              ELSE {_HLL_WBITS} + 1 END AS rho
+  FROM hv
+),
+regs AS (SELECT query_id, bucket, max(rho) AS r FROM br GROUP BY query_id, bucket),
+agg AS (
+  SELECT query_id,
+         sum(power(2.0, -r)) + ({HLL_M} - count(*)) * 1.0 AS s,
+         {HLL_M} - count(*) AS v
+  FROM regs GROUP BY query_id
+)
+SELECT query_id, {HLL_M} AS m,
+       round(CASE WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M} / s <= {2.5 * HLL_M!r} AND v > 0
+                  THEN {HLL_M} * ln({HLL_M} * 1.0 / v)
+                  ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M} / s END, {HLL_ROUND}) AS estimate
+FROM agg ORDER BY query_id
+"""

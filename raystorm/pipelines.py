@@ -130,6 +130,7 @@ def registry() -> dict:
         "graph_distances": (textrank.graph_distances, textrank.graph_distances_sql()),
         # --- stream windows ---
         "window_agg": (events.window_agg, events.WINDOW_AGG_SQL),
+        "rollup_daily": (events.rollup_daily, events.ROLLUP_DAILY_SQL),
         "value_histogram": (events.value_histogram, events.VALUE_HISTOGRAM_SQL),
         "window_sliding": (events.window_sliding, events.WINDOW_SLIDING_SQL),
         "sessionize": (events.sessionize, events.SESSIONIZE_SQL),
@@ -183,6 +184,9 @@ BENCH_NAMES = (
     # session-5 additions
     "gopher_rules",
     "dsir_weights",
+    # round-4 additions
+    "pii_scrub",
+    "rollup_daily",
 )
 
 

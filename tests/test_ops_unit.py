@@ -1192,3 +1192,60 @@ def test_pii_scrub_semantics(ray_session):
     assert out["clean_text"].str.contains("<IP>", regex=False).all()
     for _name, pat, _rep in analysis.PII_PATTERNS:
         assert not out["clean_text"].str.contains(pat, regex=True).any(), pat
+
+
+def test_search_cardinality_accuracy(ray_session, tmp_path):
+    """HLL per-query estimates track the exact distinct-conv counts
+    within the sketch's error regime (2^8 registers, linear counting
+    at these cardinalities ~ near-exact)."""
+    from raystorm import build, corpus, facets, query
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx")
+    build.build_index(corpus.transcripts_from_documents(sf), idx)
+    out = facets.search_cardinality(sf, idx)
+    assert list(out.columns) == ["query_id", "m", "estimate"]
+    si = query.SegmentIndex(idx)
+    for qid, text, _k in query.REFERENCE_QUERIES:
+        ids, _sc = si._score_bm25(text)
+        conv, _t = si.codec.decode(ids)
+        exact = len(set(conv))
+        row = out[out.query_id == qid]
+        if exact == 0:
+            assert row.empty
+            continue
+        est = float(row["estimate"].iloc[0])
+        assert abs(est - exact) / exact < 0.15, (qid, exact, est)
+
+
+def test_rollup_builds_once_and_composes(ray_session):
+    """The hourly rollup materializes once (manifest short-circuit) and
+    the daily report from it equals a raw recompute."""
+    import os
+    import pandas as pd
+
+    from raystorm import events
+
+    sf = "/root/testdata/sf0.001"
+    d1 = events.rollup_events(sf)
+    m = os.path.join(d1, "_rollup_manifest.json")
+    t0 = os.path.getmtime(m)
+    out1 = events.rollup_daily(sf)
+    assert os.path.getmtime(m) == t0  # second call skipped the build
+    raw = pd.read_parquet(f"{sf}/events.parquet")
+    raw["day"] = raw["ts"].dt.floor("D")
+    want = (
+        raw.groupby(["day", "event_type"], as_index=False)
+        .agg(
+            n_events=("value", "size"),
+            sum_value=("value", "sum"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+        )
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert (out1["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert np.allclose(out1["sum_value"], want["sum_value"], atol=1e-2 / 2)
+    assert np.allclose(out1["min_value"], want["min_value"])
+    assert np.allclose(out1["max_value"], want["max_value"])

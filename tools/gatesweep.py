@@ -39,6 +39,12 @@ def main() -> int:
         name = os.path.splitext(os.path.basename(p))[0]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
+    # warm the Ray session before timing anything (worker startup adds
+    # ~2 s to whichever dataset runs first — the bench.py lesson)
+    import ray.data as rd
+
+    rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
+
     qs, oracles = E.queries(), E.oracle_sql()
     out, n_exact, n_rowsonly, n_fail = {}, 0, 0, 0
     for name, fn in qs.items():
