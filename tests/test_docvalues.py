@@ -607,3 +607,65 @@ def test_sorted_early_disproven_order_falls_back(ray_session, tmp_path):
     # correctness: the five largest permuted timestamps win
     top5 = np.sort(rng_ts)[-5:][::-1] * 1_000_000
     assert list(got["ts_us"]) == [int(t) for t in top5]
+
+
+def test_sorted_k_zero_and_contract(ray_session, dv_index):
+    """k <= 0 returns the empty frame on BOTH sorted paths (ADVICE r3:
+    the early path used to crash on vals.min() of an empty window)."""
+    idx = query.SegmentIndex(dv_index)
+    assert idx.docvalues().ts_monotone
+    for desc in (True, False):
+        early = idx.topk_sorted("merge sort", 0, desc=desc)
+        assert len(early) == 0 and list(early.columns) == [
+            "rank",
+            "conv_id",
+            "turn_idx",
+            "ts_us",
+        ]
+    # exhaustive path (monotone flag off) agrees
+    dv = idx.docvalues()
+    dv.ts_monotone = False
+    try:
+        slow = idx.topk_sorted("merge sort", 0)
+    finally:
+        dv.ts_monotone = True
+    assert len(slow) == 0
+
+
+def test_sorted_missing_value_contract(ray_session, dv_index):
+    """Candidates whose doc value is missing are silently EXCLUDED on
+    both sorted paths (ADVICE r3: the early path used to raise where
+    the exhaustive path filtered).  Drop the docid-extreme candidate —
+    the early scan must skip it and keep probing."""
+    import numpy as np
+
+    idx = query.SegmentIndex(dv_index)
+    dv = idx.docvalues()
+    assert dv.ts_monotone
+    cands, _ = idx._score_bm25("merge sort")
+    assert len(cands) > 8
+    victims = {int(cands[-1]), int(cands[0]), int(cands[len(cands) // 2])}
+    orig = dv.lookup
+
+    def patched(ids, field):
+        vals, found = orig(ids, field)
+        return vals, found & ~np.isin(ids, list(victims))
+
+    dv.lookup = patched
+    try:
+        for desc in (True, False):
+            fast = idx.topk_sorted("merge sort", 5, desc=desc)
+            dv.ts_monotone = False
+            try:
+                slow = idx.topk_sorted("merge sort", 5, desc=desc)
+            finally:
+                dv.ts_monotone = True
+            pd.testing.assert_frame_equal(fast, slow, obj=f"desc={desc}")
+            got_ids = set(
+                idx.codec.encode(
+                    fast["conv_id"].to_numpy(object), fast["turn_idx"].to_numpy()
+                ).tolist()
+            )
+            assert not (got_ids & victims)
+    finally:
+        del dv.lookup
