@@ -843,7 +843,10 @@ def rollup_daily(sf_dir: str) -> pd.DataFrame:
         for fn in fns
         if fn.endswith(".parquet")
     ]
-    pdf = rd.read_parquet(files).to_pandas()
+    pdf = rd.read_parquet(
+        files,
+        columns=["hour", "event_type", "n_events", "sum_value", "min_value", "max_value"],
+    ).to_pandas()
     pdf["day"] = pdf["hour"].to_numpy().astype("datetime64[D]").astype("datetime64[us]")
     out = (
         pdf.groupby(["day", "event_type"], as_index=False)
