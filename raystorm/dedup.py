@@ -495,7 +495,9 @@ def _verify_common(common, counts):
 #: hot-shingle df-cap for the exact n-gram Jaccard path: a shingle in
 #: more docs than this is boilerplate, not duplication evidence, and
 #: its pair explosion is quadratic — runs past the cap drop with a
-#: logged forgone-pair count (never silently)
+#: logged forgone-pair count (never silently).  Capped shingles still
+#: count in the union sizes, so affected pairs see a CONSERVATIVE
+#: (under-estimated) Jaccard — see _SigRunPairs for the exact bias.
 SHINGLE_DF_CAP = 10_000
 
 
@@ -509,10 +511,13 @@ def dedup_ngram_jaccard(sf_dir: str):
     Intersection counts via a pair groupby; union sizes join in from a
     distributed (doc_id, n) count table — the whole verify is Dataset
     end-to-end with no driver-side corpus state.  Ultra-hot shingles
-    (df > :data:`SHINGLE_DF_CAP`) are dropped with a logged forgone-pair
-    count — the quadratic-explosion guard; the sf corpora sit far under
-    the cap (gate unchanged), and the MinHash path below is the scale
-    route for boilerplate-heavy corpora anyway.
+    (df > :data:`SHINGLE_DF_CAP`) drop from the intersection counts
+    with a logged forgone-pair count — the quadratic-explosion guard;
+    affected pairs get a conservative under-estimate (capped shingles
+    stay in the union sizes — bias documented at _SigRunPairs).  The sf
+    corpora sit far under the cap (gate exactly uncapped), and the
+    MinHash path below is the scale route for boilerplate-heavy
+    corpora anyway.
     """
     from ray.data.aggregate import Count
 
@@ -595,9 +600,13 @@ class _SigRunPairs:
     stop-shingle — boilerplate living in thousands of docs, whose
     quadratic pair explosion is exactly the 100 TB failure mode — so it
     is DROPPED, and the drop is logged with run length and forgone pair
-    count (the no-silent-caps rule).  Candidate loss is bounded: a true
-    near-dup pair sharing ONLY capped shingles is missed (MinHash is
-    the stated scale route for those corpora)."""
+    count (the no-silent-caps rule).  Exact bias of the cap: a capped
+    shingle leaves the INTERSECTION counts but stays in the per-doc
+    UNION sizes, so every pair sharing one computes a strictly SMALLER
+    Jaccard than the uncapped truth — a conservative (never inflated)
+    estimate; pairs that needed the capped shingle to cross JACCARD_T
+    are missed, and pairs sharing ONLY capped shingles vanish entirely
+    (MinHash is the stated scale route for such corpora)."""
 
     def __init__(self, sig_cols, df_cap: int | None = None):
         self.__name__ = "SigRunPairs"

@@ -769,7 +769,9 @@ def _rollup_dir(sf_dir: str) -> str:
 
     p = os.path.join(sf_dir, "events.parquet")
     st = os.stat(p)
-    key = md5int60(f"{os.path.abspath(p)}|{st.st_size}|{int(st.st_mtime)}")
+    # mtime at ns resolution: a same-size rewrite within the same
+    # second must NOT reuse the stale rollup
+    key = md5int60(f"{os.path.abspath(p)}|{st.st_size}|{st.st_mtime_ns}")
     return os.path.join("/tmp", "raystorm_rollup", f"r{key:015x}")
 
 
@@ -836,15 +838,12 @@ def rollup_daily(sf_dir: str) -> pd.DataFrame:
     the rollup loses nothing.  Gate ``rollup_daily``."""
     import ray.data as rd
 
+    from . import sinks
+
     out_dir = rollup_events(sf_dir)
-    files = [
-        os.path.join(r, fn)
-        for r, _d, fns in os.walk(out_dir)
-        for fn in fns
-        if fn.endswith(".parquet")
-    ]
-    pdf = rd.read_parquet(
-        files,
+    # manifest-gated shard listing (never orphan tmp dirs) + pruned read
+    pdf = sinks.read_partitioned(
+        out_dir,
         columns=["hour", "event_type", "n_events", "sum_value", "min_value", "max_value"],
     ).to_pandas()
     pdf["day"] = pdf["hour"].to_numpy().astype("datetime64[D]").astype("datetime64[us]")

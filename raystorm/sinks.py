@@ -147,17 +147,29 @@ def write_partitioned(
     return manifests
 
 
-def read_partitioned(out_dir: str, format: str = "parquet"):
-    """Ray Dataset over all completed shard files."""
+def read_partitioned(out_dir: str, format: str = "parquet", columns=None):
+    """Ray Dataset over all COMPLETED shard files.
+
+    Completed = a ``shard-NNNNN`` directory whose ``_manifest.json``
+    says ``status: complete`` — orphan ``shard-*.tmp-*`` directories
+    left by a writer killed between write and ``os.replace`` (the crash
+    the resumable contract survives) are ignored, never double-read."""
     import ray.data as rd
 
     name = "data.jsonl" if format == "jsonl" else "data.parquet"
-    files = sorted(
-        os.path.join(out_dir, d, name)
-        for d in os.listdir(out_dir)
-        if os.path.isfile(os.path.join(out_dir, d, name))
-    )
-    return rd.read_json(files) if format == "jsonl" else rd.read_parquet(files)
+    files = []
+    for d in sorted(os.listdir(out_dir)):
+        if ".tmp-" in d or not os.path.isfile(os.path.join(out_dir, d, name)):
+            continue
+        try:
+            m = json.load(open(os.path.join(out_dir, d, "_manifest.json")))
+        except (OSError, json.JSONDecodeError):
+            continue
+        if m.get("status") == "complete":
+            files.append(os.path.join(out_dir, d, name))
+    if format == "jsonl":
+        return rd.read_json(files)
+    return rd.read_parquet(files, columns=columns)
 
 
 def jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:

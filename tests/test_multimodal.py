@@ -134,3 +134,76 @@ def test_sigrunpairs_df_cap_drops_hot_shingle(caplog):
     # uncapped control: the hot run explodes quadratically
     full = dedup._SigRunPairs(["sh_hash"])(group)
     assert len(full) == 50 * 49 // 2 + 1
+
+
+def test_df_cap_bias_is_conservative():
+    """A pair sharing a capped shingle plus uncapped ones loses the
+    capped one from the INTERSECTION only (unions keep it), so its
+    Jaccard is strictly under-estimated — the documented bias, never an
+    inflated score."""
+    import pandas as pd
+
+    from raystorm import dedup
+
+    # docs 1,2 share: one hot shingle (hash 7, df=40 via docs 1..40)
+    # and two cold shingles (hashes 8, 9)
+    hot = pd.DataFrame(
+        {
+            "doc_id": np.arange(1, 41, dtype=np.int64),
+            "sh_hash": np.full(40, 7, np.int64),
+        }
+    )
+    cold = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 1, 2], np.int64),
+            "sh_hash": np.array([8, 8, 9, 9], np.int64),
+        }
+    )
+    group = pd.concat([hot, cold], ignore_index=True)
+    capped = dedup._SigRunPairs(["sh_hash"], df_cap=10)(group)
+    uncapped = dedup._SigRunPairs(["sh_hash"])(group)
+    n_capped = len(capped[(capped.doc_a == 1) & (capped.doc_b == 2)])
+    n_full = len(uncapped[(uncapped.doc_a == 1) & (uncapped.doc_b == 2)])
+    assert n_capped == 2 and n_full == 3  # intersection loses ONLY the hot one
+    # union sizes (doc counts) are cap-blind: jaccard under-estimates
+    na = nb = 3.0
+    assert n_capped / (na + nb - n_capped) < n_full / (na + nb - n_full)
+
+
+def test_read_partitioned_ignores_orphan_tmp_dirs(ray_session, tmp_path):
+    """A writer killed between write and os.replace leaves a
+    shard-*.tmp-* directory; the manifest-gated reader must not read it
+    (double-count) or crash on a torn file."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raystorm import sinks
+
+    out = str(tmp_path / "shards")
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()), "v": pa.array(list("abcd"))})
+    )
+    sinks.write_partitioned(ds, out, "k", num_shards=2, fingerprint="fp1")
+    clean = sinks.read_partitioned(out).to_pandas()
+    # simulate the crash: a leftover tmp dir with a duplicate payload
+    orphan = os.path.join(out, "shard-00000.tmp-dead")
+    os.makedirs(orphan)
+    import shutil
+
+    shutil.copy(
+        os.path.join(out, "shard-00000", "data.parquet"),
+        os.path.join(orphan, "data.parquet"),
+    )
+    with open(os.path.join(orphan, "_manifest.json"), "w") as f:
+        json.dump({"status": "incomplete"}, f)
+    again = sinks.read_partitioned(out).to_pandas()
+    assert len(again) == len(clean) == 4
+    # and a shard dir with a torn manifest is skipped, not fatal
+    torn = os.path.join(out, "shard-00009")
+    os.makedirs(torn)
+    open(os.path.join(torn, "data.parquet"), "wb").close()
+    open(os.path.join(torn, "_manifest.json"), "w").write("{not json")
+    assert len(sinks.read_partitioned(out).to_pandas()) == 4
