@@ -1882,3 +1882,172 @@ kept AS (
 SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text
 FROM kept GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): k-means the embedding
+# space, find semantic-duplicate groups WITHIN each cell, keep one
+# representative per group — the member least similar to its centroid
+# (the paper's keep rule: prototypical members drop, the informative
+# outlier stays).
+# ---------------------------------------------------------------------------
+
+#: within-cell semantic-duplicate cosine threshold (shares the
+#: embedding near-dup threshold so the sf corpora exercise real groups)
+SEMDEDUP_T = COSINE_T
+
+
+def semdedup(sf_dir: str) -> pd.DataFrame:
+    """Semantic dedup over ``embeddings``: one row per vector that has
+    at least one within-cell semantic duplicate — ``(vec_id, cell,
+    group_id, group_size, centroid_cosine, keep)`` where ``group_id``
+    is the smallest vec_id in the within-cell duplicate component and
+    ``keep`` marks the member with the LOWEST rounded
+    cosine-to-centroid (ties -> lowest vec_id), per the paper.
+
+    Ray shape: trained centroids broadcast once
+    (:func:`similarity._trained_centroids` — the kmeans_cells recipe);
+    one embeddings pass assigns cells; the pairwise step is a
+    cell-keyed ``groupby`` whose per-group work is one m×m matmul —
+    cell size is the k-means granularity knob (the paper's own cost
+    model), so the quadratic never sees the corpus, only a cell.
+    Components resolve vectorized in-group (min-label propagation on
+    the dense adjacency — cells are small by construction).
+    Gate ``semdedup``; oracle :func:`semdedup_sql` (kmeans oracle as a
+    CTE body + recursive min-label closure per cell).
+    """
+    import ray
+    import ray.data as rd
+
+    from . import similarity
+    from .similarity import KM_ROUND
+
+    cells, cent = similarity._trained_centroids(sf_dir)
+    ref = ray.put((cells, cent))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        obj = ref
+        cells_, cent_ = obj if isinstance(obj, tuple) else _get_ref(obj)
+        m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        # divide-at-end association — byte-identical to kmeans_cells'
+        # FinalAssign (and its SQL mirror) at KM_ROUND
+        cos = round_half_up(
+            (m @ cent_.T)
+            / (
+                np.linalg.norm(m, axis=1, keepdims=True)
+                * np.linalg.norm(cent_, axis=1)[None, :]
+            ),
+            KM_ROUND,
+        )
+        best = cos.argmax(axis=1)  # ties -> lowest index == cell asc
+        return batch.append_column(
+            "cell", pa.array(cells_[best], pa.int64())
+        ).append_column(
+            "centroid_cosine", pa.array(cos[np.arange(len(m)), best])
+        )
+
+    def within_cell(group: pd.DataFrame) -> pd.DataFrame:
+        v = group["vec_id"].to_numpy(np.int64)
+        cc = group["centroid_cosine"].to_numpy(np.float64)
+        cell = int(group["cell"].iloc[0])
+        m = np.vstack(group["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(v)
+        v, cc, m = v[order], cc[order], m[order]
+        sims = round_half_up(m @ m.T, ROUND)
+        adj = sims >= SEMDEDUP_T
+        np.fill_diagonal(adj, True)
+        # min-label propagation on the dense adjacency (cells are small)
+        lab = v.copy()
+        while True:
+            nxt = np.where(adj, lab[None, :], np.iinfo(np.int64).max).min(axis=1)
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        uniq, inv, counts = np.unique(lab, return_inverse=True, return_counts=True)
+        dup = counts[inv] >= 2
+        if not dup.any():
+            return pd.DataFrame(
+                {
+                    "vec_id": np.empty(0, np.int64),
+                    "cell": np.empty(0, np.int64),
+                    "group_id": np.empty(0, np.int64),
+                    "group_size": np.empty(0, np.int64),
+                    "centroid_cosine": np.empty(0, np.float64),
+                    "keep": np.empty(0, bool),
+                }
+            )
+        # keep = per group the (centroid_cosine, vec_id)-lexicographic min
+        order2 = np.lexsort((v, cc, inv))
+        first = np.zeros(len(v), bool)
+        srt_inv = inv[order2]
+        first[order2[np.concatenate([[True], srt_inv[1:] != srt_inv[:-1]])]] = True
+        return pd.DataFrame(
+            {
+                "vec_id": v[dup],
+                "cell": np.full(dup.sum(), cell, np.int64),
+                "group_id": lab[dup],
+                "group_size": counts[inv][dup].astype(np.int64),
+                "centroid_cosine": cc[dup],
+                "keep": first[dup],
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(within_cell, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def semdedup_sql() -> str:
+    """Oracle for :func:`semdedup`: the kmeans_cells oracle embeds as a
+    CTE body (assignment + rounded centroid cosine), within-cell pair
+    edges at SEMDEDUP_T, recursive min-label closure, and the
+    (cosine, vec_id) window for the keep rule."""
+    from .similarity import kmeans_cells_sql
+
+    return f"""
+WITH RECURSIVE assign AS MATERIALIZED ({kmeans_cells_sql()}),
+p AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM assign a
+  JOIN assign b ON b.cell = a.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), {ROUND}) >= {SEMDEDUP_T}
+),
+edges AS MATERIALIZED (
+  SELECT va AS a, vb AS b FROM p UNION SELECT vb AS a, va AS b FROM p
+),
+walk (node, lab) AS (
+  SELECT a, a FROM edges GROUP BY a
+  UNION
+  SELECT e.a, w.lab FROM edges e JOIN walk w ON w.node = e.b
+),
+labs AS (SELECT node AS vec_id, min(lab) AS group_id FROM walk GROUP BY node),
+sizes AS (SELECT group_id, count(*) AS group_size FROM labs GROUP BY group_id),
+ranked AS (
+  SELECT l.vec_id, a.cell, l.group_id,
+         CAST(s.group_size AS BIGINT) AS group_size,
+         a.cosine AS centroid_cosine,
+         row_number() OVER (
+           PARTITION BY l.group_id ORDER BY a.cosine, l.vec_id) AS rn
+  FROM labs l
+  JOIN assign a ON a.vec_id = l.vec_id
+  JOIN sizes s USING (group_id)
+)
+SELECT vec_id, cell, group_id, group_size, centroid_cosine, rn = 1 AS keep
+FROM ranked ORDER BY vec_id
+"""

@@ -96,6 +96,7 @@ def registry() -> dict:
         "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.dedup_ngram_jaccard_sql()),
         "dedup_minhash": (dedup.dedup_minhash, dedup.dedup_minhash_sql()),
         "dup_clusters": (dedup.dup_clusters, dedup.dup_clusters_sql()),
+        "semdedup": (dedup.semdedup, dedup.semdedup_sql()),
         "simhash_docs": (dedup.simhash_docs, dedup.simhash_docs_sql()),
         "dedup_simhash": (dedup.dedup_simhash, dedup.dedup_simhash_sql()),
         "dedup_embedding": (dedup.dedup_embedding, dedup.DEDUP_EMBEDDING_SQL),
@@ -187,6 +188,7 @@ BENCH_NAMES = (
     # round-4 additions
     "pii_scrub",
     "rollup_daily",
+    "semdedup",
 )
 
 

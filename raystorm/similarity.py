@@ -1402,6 +1402,27 @@ def _kmeans_iterate(sf_dir: str, cent: np.ndarray) -> np.ndarray:
     return cent
 
 
+def _trained_centroids(sf_dir: str):
+    """The kmeans_cells training recipe, shared with SemDeDup: stride
+    init vectors (raw — cosine handles norms), KM_ITERS Lloyd
+    iterations.  Returns (cell ids = sorted init vec_ids, raw centroid
+    matrix)."""
+    import pyarrow.parquet as pq
+
+    cids, _ = _load_centroids(sf_dir)
+    init = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(c) for c in cids])],
+    )
+    order = np.argsort(init["vec_id"].to_numpy())
+    cent = np.vstack(
+        init["embedding"].to_numpy(zero_copy_only=False)[order]
+    ).astype(np.float64)
+    cells = init["vec_id"].to_numpy()[order]
+    return cells, _kmeans_iterate(sf_dir, cent)
+
+
 def kmeans_cells(sf_dir: str):
     """Spherical k-means over ``embeddings``: centroids init from the
     IVF_STRIDE vectors, KM_ITERS Lloyd iterations (assign by rounded
@@ -1419,25 +1440,10 @@ def kmeans_cells(sf_dir: str):
     import ray
     import ray.data as rd
 
-    cids, _ = _load_centroids(sf_dir)
-    # raw (unnormalized) init vectors — cosine handles norms
-    import pyarrow.parquet as pq
-
-    init = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "in", [int(c) for c in cids])],
-    )
-    order = np.argsort(init["vec_id"].to_numpy())
-    cent = np.vstack(
-        init["embedding"].to_numpy(zero_copy_only=False)[order]
-    ).astype(np.float64)
-    cells = init["vec_id"].to_numpy()[order]
-
+    cells, cent = _trained_centroids(sf_dir)
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    cent = _kmeans_iterate(sf_dir, cent)
 
     class FinalAssign:
         def __init__(self, ref, cells):

@@ -1261,3 +1261,20 @@ def test_ngram_jaccard_join_fallback_matches_broadcast(ray_session, monkeypatch)
     monkeypatch.setattr(dedup, "MAX_BROADCAST_PAIRS", 0)
     joined = dedup.dedup_ngram_jaccard(sf)
     pd.testing.assert_frame_equal(fast, joined)
+
+
+def test_semdedup_keep_rule(ray_session):
+    """SemDeDup invariants: groups are within-cell, group_id is the min
+    member, exactly one keep per group, and the keep is the
+    (centroid_cosine, vec_id)-lexicographic minimum (the paper's
+    least-prototypical representative)."""
+    out = dedup.semdedup("/root/testdata/sf0.001")
+    assert len(out) and out["group_size"].min() >= 2
+    for gid, grp in out.groupby("group_id"):
+        assert gid == grp["vec_id"].min()
+        assert grp["cell"].nunique() == 1
+        assert (grp["group_size"] == len(grp)).all()
+        assert grp["keep"].sum() == 1
+        k = grp[grp["keep"]].iloc[0]
+        key = sorted(zip(grp["centroid_cosine"], grp["vec_id"]))[0]
+        assert (k["centroid_cosine"], k["vec_id"]) == key
