@@ -654,17 +654,6 @@ def _q_search_cardinality_hll(sf_dir: str):
     return facets.search_cardinality(sf_dir, _index_for(sf_dir))
 
 
-def _q_search_pipeline_aggs(sf_dir: str):
-    """ES pipeline aggregations (moving_avg + derivative) over the
-    date-histogram buckets: distributed parent agg, coordinator-side
-    pipeline step on the output-sized bucket table — ES's own execution
-    split (facets.search_pipeline_aggs; oracle facets.pipeline_aggs_sql,
-    window functions over the shared bucket CTE)."""
-    from raystorm import facets
-
-    return facets.search_pipeline_aggs(sf_dir, _index_for(sf_dir))
-
-
 def _q_search_facets(sf_dir: str):
     """Facet aggregation over the FULL candidate set of each reference
     query (no top-k cut): hits actor pool -> shuffle join to the
@@ -1517,7 +1506,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_page2": _q_topk_bm25_page2,
         "search_facets": _q_search_facets,
         "search_cardinality_hll": _q_search_cardinality_hll,
-        "search_pipeline_aggs": _q_search_pipeline_aggs,
         "search_facets_daily": _q_search_facets_daily,
         "search_daily_pipeline": _q_search_daily_pipeline,
         "topk_bm25_filtered": _q_topk_bm25_filtered,
@@ -1657,7 +1645,6 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_page2": query.bm25_topk_sql(page=2),
         "search_facets": facets.facets_sql(),
         "search_cardinality_hll": facets.cardinality_sql(),
-        "search_pipeline_aggs": facets.pipeline_aggs_sql(),
         "search_facets_daily": facets.facets_daily_sql(),
         "search_daily_pipeline": facets.daily_pipeline_sql(),
         "topk_bm25_filtered": query.filtered_topk_sql(),

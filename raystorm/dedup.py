@@ -1921,7 +1921,6 @@ def semdedup(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
     from . import similarity
-    from .similarity import KM_ROUND
 
     cells, cent = similarity._trained_centroids(sf_dir)
     ref = ray.put((cells, cent))
@@ -1932,16 +1931,9 @@ def semdedup(sf_dir: str) -> pd.DataFrame:
         m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
             np.float64
         )
-        # divide-at-end association — byte-identical to kmeans_cells'
-        # FinalAssign (and its SQL mirror) at KM_ROUND
-        cos = round_half_up(
-            (m @ cent_.T)
-            / (
-                np.linalg.norm(m, axis=1, keepdims=True)
-                * np.linalg.norm(cent_, axis=1)[None, :]
-            ),
-            KM_ROUND,
-        )
+        # the ONE shared assignment kernel (similarity._km_cell_cosines)
+        # — byte-identical to kmeans_cells' FinalAssign and SQL mirror
+        cos = similarity._km_cell_cosines(m, cent_)
         best = cos.argmax(axis=1)  # ties -> lowest index == cell asc
         return batch.append_column(
             "cell", pa.array(cells_[best], pa.int64())

@@ -1565,67 +1565,3 @@ SELECT query_id, {HLL_M} AS m,
                   ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M} / s END, {HLL_ROUND}) AS estimate
 FROM agg ORDER BY query_id
 """
-
-
-# ---------------------------------------------------------------------------
-# pipeline aggregations (ES moving_avg / derivative over a date histogram)
-# ---------------------------------------------------------------------------
-
-#: trailing moving-average window (buckets) for the pipeline agg gate
-PIPELINE_MA_WINDOW = 3
-
-
-def search_pipeline_aggs(
-    sf_dir: str,
-    index_dir: str,
-    queries=REFERENCE_QUERIES,
-    mode: str = "bm25",
-) -> pd.DataFrame:
-    """ES pipeline aggregations over the date histogram: per query-day
-    bucket, the trailing :data:`PIPELINE_MA_WINDOW`-bucket moving
-    average of ``n_hits`` (``moving_avg``) and the bucket-to-bucket
-    difference (``derivative``; 0 for each query's first bucket — the
-    hash-stable stand-in for ES's omitted first value).
-
-    Shape: exactly ES's — the parent date_histogram is the distributed
-    part (:func:`search_facets_daily`'s hit-stream join + combiner
-    partials); the pipeline step then runs on the COORDINATING node
-    over the bucket table, which is output-sized (queries × days) by
-    construction.  Oracle: :func:`pipeline_aggs_sql` (window
-    functions over the same bucket CTE).
-    """
-    from .query import SCORE_ROUND
-
-    buckets = search_facets_daily(sf_dir, index_dir, queries, mode)
-    out = buckets.sort_values(["query_id", "day"]).reset_index(drop=True)
-    g = out.groupby("query_id", sort=False)["n_hits"]
-    ma = g.rolling(PIPELINE_MA_WINDOW, min_periods=1).mean()
-    out["moving_avg"] = round_half_up(
-        ma.reset_index(level=0, drop=True).to_numpy(), SCORE_ROUND
-    )
-    out["derivative"] = (
-        g.diff().fillna(0).astype(np.int64).reset_index(level=0, drop=True)
-    )
-    return out
-
-
-def pipeline_aggs_sql(queries=REFERENCE_QUERIES, k1=1.2, b=0.75) -> str:
-    """Oracle for :func:`search_pipeline_aggs`: the daily facet SQL as
-    a CTE body (the whole-oracle-as-CTE composition pattern), with the
-    moving average / derivative as window functions."""
-    from .query import SCORE_ROUND
-
-    base = facets_daily_sql(queries=queries, k1=k1, b=b).replace(
-        "ORDER BY s.query_id, day", ""
-    )
-    return f"""
-WITH buckets AS ({base})
-SELECT query_id, day, n_hits, top_score,
-       round(avg(n_hits) OVER (
-         PARTITION BY query_id ORDER BY day
-         ROWS BETWEEN {PIPELINE_MA_WINDOW - 1} PRECEDING AND CURRENT ROW
-       ), {SCORE_ROUND}) AS moving_avg,
-       CAST(coalesce(n_hits - lag(n_hits) OVER (
-         PARTITION BY query_id ORDER BY day), 0) AS BIGINT) AS derivative
-FROM buckets ORDER BY query_id, day
-"""

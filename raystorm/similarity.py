@@ -1351,14 +1351,7 @@ class _KmAssignPartial:
         m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
             np.float64
         )
-        cos = round_half_up(
-            (m @ c.T)
-            / (
-                np.linalg.norm(m, axis=1, keepdims=True)
-                * np.linalg.norm(c, axis=1)[None, :]
-            ),
-            KM_ROUND,
-        )
+        cos = _km_cell_cosines(m, c)
         best = cos.argmax(axis=1)  # ties -> lowest index == cell asc
         sums = np.zeros((k, m.shape[1]), np.float64)
         np.add.at(sums, best, m)
@@ -1400,6 +1393,23 @@ def _kmeans_iterate(sf_dir: str, cent: np.ndarray) -> np.ndarray:
         )
         cent = new
     return cent
+
+
+def _km_cell_cosines(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """The ONE copy of the parity-critical k-means assignment math:
+    rounded cosine of every row against every (raw) centroid, divide-
+    at-end association — must stay byte-identical to kmeans_cells_sql's
+    ``round(list_cosine_similarity(...), KM_ROUND)``.  Callers take
+    ``argmax(axis=1)`` (ties -> lowest index == cell asc, the SQL
+    row_number order).  Shared by FinalAssign and dedup.semdedup."""
+    return round_half_up(
+        (m @ cent.T)
+        / (
+            np.linalg.norm(m, axis=1, keepdims=True)
+            * np.linalg.norm(cent, axis=1)[None, :]
+        ),
+        KM_ROUND,
+    )
 
 
 def _trained_centroids(sf_dir: str):
@@ -1459,14 +1469,7 @@ def kmeans_cells(sf_dir: str):
             m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
                 np.float64
             )
-            cos = round_half_up(
-                (m @ c.T)
-                / (
-                    np.linalg.norm(m, axis=1, keepdims=True)
-                    * np.linalg.norm(c, axis=1)[None, :]
-                ),
-                KM_ROUND,
-            )
+            cos = _km_cell_cosines(m, c)
             best = cos.argmax(axis=1)
             return pa.table(
                 {
