@@ -2043,3 +2043,93 @@ ranked AS (
 SELECT vec_id, cell, group_id, group_size, centroid_cosine, rn = 1 AS keep
 FROM ranked ORDER BY vec_id
 """
+
+
+#: fraction of each cell pruned as "too prototypical" (Sorscher et al.
+#: 2022, "Beyond neural scaling laws": easy/prototypical examples are
+#: the ones a data-constrained run can afford to drop)
+PROTO_PRUNE_FRAC = 0.2
+
+
+def prototype_prune(sf_dir: str) -> pd.DataFrame:
+    """Prototypicality pruning over ``embeddings`` — the SemDeDup
+    sibling from the same infra: assign every vector to its trained
+    k-means cell, rank within the cell by rounded cosine-to-centroid
+    DESC (most prototypical first, ties -> vec_id asc), and mark the
+    top ``PROTO_PRUNE_FRAC`` of each cell pruned (``floor(frac * m)``
+    vectors — never the whole cell).
+
+    One embeddings pass + a cell-keyed groupby whose per-group work is
+    a sort of the cell — no pairwise anything, so this is the CHEAP
+    member of the semantic-curation family (SemDeDup's quadratic
+    within-cell step only pays off when you need duplicate groups, not
+    just a prune).  Output: (vec_id, cell, centroid_cosine, pruned).
+    Gate ``prototype_prune``; oracle :func:`prototype_prune_sql`.
+    """
+    import ray
+    import ray.data as rd
+
+    from . import similarity
+
+    cells, cent = similarity._trained_centroids(sf_dir)
+    ref = ray.put((cells, cent))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        obj = ref
+        cells_, cent_ = obj if isinstance(obj, tuple) else _get_ref(obj)
+        m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        cos = similarity._km_cell_cosines(m, cent_)
+        best = cos.argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "cell": pa.array(cells_[best], pa.int64()),
+                "centroid_cosine": pa.array(cos[np.arange(len(m)), best]),
+            }
+        )
+
+    def prune_cell(group: pd.DataFrame) -> pd.DataFrame:
+        v = group["vec_id"].to_numpy(np.int64)
+        cc = group["centroid_cosine"].to_numpy(np.float64)
+        order = np.lexsort((v, -cc))  # cosine desc, vec_id asc
+        k = int(PROTO_PRUNE_FRAC * len(v))
+        pruned = np.zeros(len(v), bool)
+        pruned[order[:k]] = True
+        out = group[["vec_id", "cell", "centroid_cosine"]].copy()
+        out["pruned"] = pruned
+        return out
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(prune_cell, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+def prototype_prune_sql() -> str:
+    """Oracle for :func:`prototype_prune`: the kmeans assignment CTE +
+    a per-cell (cosine desc, vec_id) window against the floor'd cut."""
+    from .similarity import kmeans_cells_sql
+
+    return f"""
+WITH assign AS MATERIALIZED ({kmeans_cells_sql()}),
+ranked AS (
+  SELECT vec_id, cell, cosine AS centroid_cosine,
+         row_number() OVER (
+           PARTITION BY cell ORDER BY cosine DESC, vec_id) AS rn,
+         count(*) OVER (PARTITION BY cell) AS m
+  FROM assign
+)
+SELECT vec_id, cell, centroid_cosine,
+       rn <= CAST(floor({PROTO_PRUNE_FRAC} * m) AS BIGINT) AS pruned
+FROM ranked ORDER BY vec_id
+"""

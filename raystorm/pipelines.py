@@ -97,6 +97,7 @@ def registry() -> dict:
         "dedup_minhash": (dedup.dedup_minhash, dedup.dedup_minhash_sql()),
         "dup_clusters": (dedup.dup_clusters, dedup.dup_clusters_sql()),
         "semdedup": (dedup.semdedup, dedup.semdedup_sql()),
+        "prototype_prune": (dedup.prototype_prune, dedup.prototype_prune_sql()),
         "simhash_docs": (dedup.simhash_docs, dedup.simhash_docs_sql()),
         "dedup_simhash": (dedup.dedup_simhash, dedup.dedup_simhash_sql()),
         "dedup_embedding": (dedup.dedup_embedding, dedup.DEDUP_EMBEDDING_SQL),

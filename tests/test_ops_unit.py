@@ -1278,3 +1278,19 @@ def test_semdedup_keep_rule(ray_session):
         k = grp[grp["keep"]].iloc[0]
         key = sorted(zip(grp["centroid_cosine"], grp["vec_id"]))[0]
         assert (k["centroid_cosine"], k["vec_id"]) == key
+
+
+def test_prototype_prune_rule(ray_session):
+    """Per cell exactly floor(frac*m) vectors are pruned, and every
+    pruned vector is at least as prototypical (centroid cosine) as
+    every kept one in its cell."""
+    out = dedup.prototype_prune("/root/testdata/sf0.001")
+    assert len(out) == 500 and out["pruned"].any()
+    for _cell, grp in out.groupby("cell"):
+        k = int(dedup.PROTO_PRUNE_FRAC * len(grp))
+        assert grp["pruned"].sum() == k
+        if k and (~grp["pruned"]).any():
+            assert (
+                grp.loc[grp["pruned"], "centroid_cosine"].min()
+                >= grp.loc[~grp["pruned"], "centroid_cosine"].max()
+            )
