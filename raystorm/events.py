@@ -793,6 +793,22 @@ def rollup_events(sf_dir: str) -> str:
     done = os.path.join(out_dir, "_rollup_manifest.json")
     if os.path.isfile(done):
         return out_dir
+    _write_rollup(
+        _events(sf_dir, ["ts", "event_type", "value"]), out_dir, source=sf_dir
+    )
+    return out_dir
+
+
+#: canonical rollup row layout (readers, writers and the append merge
+#: all project through it so unions line up)
+_ROLLUP_COLS = ["hour", "event_type", "n_events", "sum_value", "min_value", "max_value"]
+
+
+def _hourly_rollup(ds):
+    """events Dataset -> aggregated hourly rollup Dataset in
+    :data:`_ROLLUP_COLS` order (per-batch Arrow partials, one combine
+    shuffle)."""
+    from ray.data.aggregate import Max, Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False)
@@ -808,25 +824,96 @@ def rollup_events(sf_dir: str) -> str:
             [("value", "sum"), ("value", "min"), ("value", "max"), ([], "count_all")]
         )
 
-    rolled = (
-        _events(sf_dir, ["ts", "event_type", "value"])
-        .map_batches(partial, batch_format="pyarrow")
+    _RENAME = {
+        "value_sum": "sum_value",
+        "value_min": "min_value",
+        "value_max": "max_value",
+        "count_all": "n_events",
+    }
+
+    def project(b: pa.Table) -> pa.Table:
+        b = b.rename_columns([_RENAME.get(c, c) for c in b.column_names])
+        return b.select(_ROLLUP_COLS)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["hour", "event_type"])
         .aggregate(
-            Sum("value_sum", alias_name="sum_value"),
-            Min("value_min", alias_name="min_value"),
-            Max("value_max", alias_name="max_value"),
-            Sum("count_all", alias_name="n_events"),
+            Sum("value_sum", alias_name="value_sum"),
+            Min("value_min", alias_name="value_min"),
+            Max("value_max", alias_name="value_max"),
+            Sum("count_all", alias_name="count_all"),
         )
+        .map_batches(project, batch_format="pyarrow")
     )
-    sinks.write_partitioned(
-        rolled, out_dir, key_column="event_type", num_shards=4,
-        fingerprint=os.path.basename(out_dir),
-    )
+
+
+def _write_rollup(ds, out_dir: str, source: str, generation: int = 0) -> None:
+    """Aggregate ``ds`` hourly and persist as resumable shards +
+    rollup manifest."""
     import json
 
-    with open(done, "w") as f:
-        json.dump({"source": sf_dir, "grain": "hour"}, f)
+    from . import sinks
+
+    sinks.write_partitioned(
+        _hourly_rollup(ds),
+        out_dir,
+        key_column="event_type",
+        num_shards=4,
+        fingerprint=f"{os.path.basename(out_dir)}|g{generation}",
+    )
+    with open(os.path.join(out_dir, "_rollup_manifest.json"), "w") as f:
+        json.dump({"source": source, "grain": "hour", "generation": generation}, f)
+
+
+def rollup_append(out_dir: str, delta_ds) -> str:
+    """Merge a DELTA event stream into an existing hourly rollup — the
+    continuous-transform increment (ES transform checkpoint / rollup
+    job catch-up): the delta aggregates hourly exactly like a build,
+    unions with the stored rollup rows, and one (hour, type) combine
+    re-derives every touched bucket — count/sum are additive, min/max
+    idempotent, so partially-covered hours merge losslessly.  Cost is
+    delta-sized + rollup-sized, never raw-history-sized.  Shards
+    rewrite atomically under a bumped generation fingerprint (the
+    update.py generation discipline); the merge materializes BEFORE
+    the rewrite so the reader never races its own overwrite.
+    Pytest pins append == full rebuild."""
+    import json
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    from . import sinks
+
+    man_path = os.path.join(out_dir, "_rollup_manifest.json")
+    man = json.load(open(man_path))
+    gen = int(man.get("generation", 0)) + 1
+    existing = sinks.read_partitioned(out_dir, columns=_ROLLUP_COLS)
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(_ROLLUP_COLS)
+
+    merged = (
+        existing.union(_hourly_rollup(delta_ds))
+        .groupby(["hour", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"),
+        )
+        .map_batches(project, batch_format="pyarrow")
+        .materialize()  # fully read BEFORE shards rewrite underneath
+    )
+    sinks.write_partitioned(
+        merged,
+        out_dir,
+        key_column="event_type",
+        num_shards=4,
+        fingerprint=f"{os.path.basename(out_dir)}|g{gen}",
+    )
+    man["generation"] = gen
+    with open(man_path, "w") as f:
+        json.dump(man, f)
     return out_dir
 
 

@@ -1294,3 +1294,45 @@ def test_prototype_prune_rule(ray_session):
                 grp.loc[grp["pruned"], "centroid_cosine"].min()
                 >= grp.loc[~grp["pruned"], "centroid_cosine"].max()
             )
+
+
+def test_rollup_append_equals_rebuild(ray_session, tmp_path):
+    """Incremental rollup: base(70% by ts) + append(30%) must equal a
+    full one-shot rollup bucket-for-bucket (count/sum additive, min/max
+    idempotent), and the generation must bump."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from raystorm import events, sinks
+
+    raw = pd.read_parquet("/root/testdata/sf0.001/events.parquet")[
+        ["ts", "event_type", "value"]
+    ]
+    cutoff = raw["ts"].quantile(0.7)
+    base, delta = raw[raw.ts < cutoff], raw[raw.ts >= cutoff]
+    out = str(tmp_path / "roll")
+    events._write_rollup(rd.from_pandas(base), out, source="base")
+    events.rollup_append(out, rd.from_pandas(delta))
+    got = (
+        sinks.read_partitioned(out, columns=events._ROLLUP_COLS)
+        .to_pandas()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    full_dir = str(tmp_path / "full")
+    events._write_rollup(rd.from_pandas(raw), full_dir, source="full")
+    want = (
+        sinks.read_partitioned(full_dir, columns=events._ROLLUP_COLS)
+        .to_pandas()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert (got["hour"].to_numpy() == want["hour"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert np.allclose(got["sum_value"], want["sum_value"], atol=1e-9)
+    assert np.allclose(got["min_value"], want["min_value"])
+    assert np.allclose(got["max_value"], want["max_value"])
+    man = json.load(open(os.path.join(out, "_rollup_manifest.json")))
+    assert man["generation"] == 1
