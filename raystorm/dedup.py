@@ -1928,17 +1928,11 @@ def semdedup(sf_dir: str) -> pd.DataFrame:
     def assign(batch: pa.Table) -> pa.Table:
         obj = ref
         cells_, cent_ = obj if isinstance(obj, tuple) else _get_ref(obj)
-        m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
-            np.float64
-        )
-        # the ONE shared assignment kernel (similarity._km_cell_cosines)
-        # — byte-identical to kmeans_cells' FinalAssign and SQL mirror
-        cos = similarity._km_cell_cosines(m, cent_)
-        best = cos.argmax(axis=1)  # ties -> lowest index == cell asc
-        return batch.append_column(
-            "cell", pa.array(cells_[best], pa.int64())
-        ).append_column(
-            "centroid_cosine", pa.array(cos[np.arange(len(m)), best])
+        # the ONE shared assignment stage (similarity._cell_assign_batch)
+        # — byte-identical to kmeans_cells' FinalAssign and SQL mirror;
+        # the embedding rides along for the within-cell pairwise step
+        return similarity._cell_assign_batch(
+            batch, cells_, cent_, carry=("embedding",)
         )
 
     def within_cell(group: pd.DataFrame) -> pd.DataFrame:
@@ -2077,18 +2071,7 @@ def prototype_prune(sf_dir: str) -> pd.DataFrame:
     def assign(batch: pa.Table) -> pa.Table:
         obj = ref
         cells_, cent_ = obj if isinstance(obj, tuple) else _get_ref(obj)
-        m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
-            np.float64
-        )
-        cos = similarity._km_cell_cosines(m, cent_)
-        best = cos.argmax(axis=1)
-        return pa.table(
-            {
-                "vec_id": batch["vec_id"].cast(pa.int64()),
-                "cell": pa.array(cells_[best], pa.int64()),
-                "centroid_cosine": pa.array(cos[np.arange(len(m)), best]),
-            }
-        )
+        return similarity._cell_assign_batch(batch, cells_, cent_)
 
     def prune_cell(group: pd.DataFrame) -> pd.DataFrame:
         v = group["vec_id"].to_numpy(np.int64)

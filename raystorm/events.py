@@ -785,10 +785,6 @@ def rollup_events(sf_dir: str) -> str:
     rows (|hours × types|), not raw events — the only layout where
     dashboard queries stay sub-second when the raw table is 100 TB.
     Returns the rollup directory."""
-    from ray.data.aggregate import Max, Min, Sum
-
-    from . import sinks
-
     out_dir = _rollup_dir(sf_dir)
     done = os.path.join(out_dir, "_rollup_manifest.json")
     if os.path.isfile(done):
@@ -804,11 +800,19 @@ def rollup_events(sf_dir: str) -> str:
 _ROLLUP_COLS = ["hour", "event_type", "n_events", "sum_value", "min_value", "max_value"]
 
 
-def _hourly_rollup(ds):
-    """events Dataset -> aggregated hourly rollup Dataset in
-    :data:`_ROLLUP_COLS` order (per-batch Arrow partials, one combine
-    shuffle)."""
-    from ray.data.aggregate import Max, Min, Sum
+def _hourly_partials(ds):
+    """events Dataset -> UNcombined per-batch hourly partial rows in
+    :data:`_ROLLUP_COLS` order (mergeable: additive n_events/sum_value,
+    idempotent min/max) — the shuffle-free half of the rollup, unioned
+    directly into the append merge so a delta pays ONE combine, not
+    two."""
+
+    _RENAME = {
+        "value_sum": "sum_value",
+        "value_min": "min_value",
+        "value_max": "max_value",
+        "count_all": "n_events",
+    }
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False)
@@ -820,32 +824,39 @@ def _hourly_rollup(ds):
                 "value": batch["value"],
             }
         )
-        return t.group_by(["hour", "event_type"]).aggregate(
+        t = t.group_by(["hour", "event_type"]).aggregate(
             [("value", "sum"), ("value", "min"), ("value", "max"), ([], "count_all")]
         )
+        t = t.rename_columns([_RENAME.get(c, c) for c in t.column_names])
+        return t.select(_ROLLUP_COLS)
 
-    _RENAME = {
-        "value_sum": "sum_value",
-        "value_min": "min_value",
-        "value_max": "max_value",
-        "count_all": "n_events",
-    }
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def _rollup_combine(ds):
+    """(hour, event_type)-keyed combine over _ROLLUP_COLS partial rows."""
+    from ray.data.aggregate import Max, Min, Sum
 
     def project(b: pa.Table) -> pa.Table:
-        b = b.rename_columns([_RENAME.get(c, c) for c in b.column_names])
         return b.select(_ROLLUP_COLS)
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["hour", "event_type"])
+        ds.groupby(["hour", "event_type"])
         .aggregate(
-            Sum("value_sum", alias_name="value_sum"),
-            Min("value_min", alias_name="value_min"),
-            Max("value_max", alias_name="value_max"),
-            Sum("count_all", alias_name="count_all"),
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"),
         )
         .map_batches(project, batch_format="pyarrow")
     )
+
+
+def _hourly_rollup(ds):
+    """events Dataset -> aggregated hourly rollup Dataset in
+    :data:`_ROLLUP_COLS` order (per-batch Arrow partials, one combine
+    shuffle)."""
+    return _rollup_combine(_hourly_partials(ds))
 
 
 def _write_rollup(ds, out_dir: str, source: str, generation: int = 0) -> None:
@@ -866,54 +877,115 @@ def _write_rollup(ds, out_dir: str, source: str, generation: int = 0) -> None:
         json.dump({"source": source, "grain": "hour", "generation": generation}, f)
 
 
-def rollup_append(out_dir: str, delta_ds) -> str:
-    """Merge a DELTA event stream into an existing hourly rollup — the
-    continuous-transform increment (ES transform checkpoint / rollup
-    job catch-up): the delta aggregates hourly exactly like a build,
-    unions with the stored rollup rows, and one (hour, type) combine
-    re-derives every touched bucket — count/sum are additive, min/max
-    idempotent, so partially-covered hours merge losslessly.  Cost is
-    delta-sized + rollup-sized, never raw-history-sized.  Shards
-    rewrite atomically under a bumped generation fingerprint (the
-    update.py generation discipline); the merge materializes BEFORE
-    the rewrite so the reader never races its own overwrite.
-    Pytest pins append == full rebuild."""
-    import json
+_PENDING = "_pending_append"
 
-    from ray.data.aggregate import Max, Min, Sum
+
+def _apply_staged(out_dir: str) -> None:
+    """Roll a staged append FORWARD: rewrite shards from the staged
+    merged table (idempotent — completed shards at the target
+    generation skip), commit the manifest generation, drop the
+    journal."""
+    import json
+    import shutil
+
+    import ray.data as rd
 
     from . import sinks
+
+    jdir = os.path.join(out_dir, _PENDING)
+    j = json.load(open(os.path.join(jdir, "journal.json")))
+    staged = rd.read_parquet(
+        os.path.join(jdir, "merged.parquet"), columns=_ROLLUP_COLS
+    )
+    sinks.write_partitioned(
+        staged,
+        out_dir,
+        key_column="event_type",
+        num_shards=4,
+        fingerprint=f"{os.path.basename(out_dir)}|g{j['generation']}",
+    )
+    man_path = os.path.join(out_dir, "_rollup_manifest.json")
+    man = json.load(open(man_path))
+    man["generation"] = j["generation"]
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+    shutil.rmtree(jdir)
+
+
+def rollforward_pending(out_dir: str) -> bool:
+    """Finish a crashed :func:`rollup_append` (intent journal present):
+    the staged merged table re-applies deterministically — the
+    update.py roll-FORWARD discipline, because a half-flipped shard set
+    mixes generations and cannot be rolled back.  Returns True if a
+    pending append was completed."""
+    j = os.path.join(out_dir, _PENDING, "journal.json")
+    if not os.path.isfile(j):
+        return False
+    _apply_staged(out_dir)
+    return True
+
+
+def rollup_append(out_dir: str, delta_ds, delta_id: str = "") -> str:
+    """Merge a DELTA event stream into an existing hourly rollup — the
+    continuous-transform increment (ES transform checkpoint / rollup
+    job catch-up): the delta's per-batch hourly partials union with the
+    stored rollup rows and ONE (hour, type) combine re-derives every
+    touched bucket — count/sum are additive, min/max idempotent, so
+    partially-covered hours merge losslessly.  Cost is delta-sized +
+    rollup-sized, never raw-history-sized.
+
+    Crash safety (the update.py intent-journal discipline): the merged
+    table stages under ``_pending_append/`` with a journal BEFORE any
+    shard rewrites; a crash mid-rewrite leaves a mixed-generation shard
+    set that the journal rolls FORWARD on the next entry (re-applying
+    the staged result — half-flipped shards skip at the target
+    fingerprint, the rest complete).  Pass a stable ``delta_id`` when
+    retrying the same delta after a crash: a pending journal carrying
+    that id means the delta is already staged, so the retry just
+    finishes the roll-forward instead of double-applying it.
+    Pytest pins append == full rebuild and the kill-window replay."""
+    import json
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from . import sinks
+
+    # a pending append first: either THIS delta (finish and return) or
+    # an earlier one (complete it, then merge ours on top)
+    jpath = os.path.join(out_dir, _PENDING, "journal.json")
+    if os.path.isfile(jpath):
+        j = json.load(open(jpath))
+        same = bool(delta_id) and j.get("delta_id") == delta_id
+        _apply_staged(out_dir)
+        if same:
+            return out_dir
 
     man_path = os.path.join(out_dir, "_rollup_manifest.json")
     man = json.load(open(man_path))
     gen = int(man.get("generation", 0)) + 1
     existing = sinks.read_partitioned(out_dir, columns=_ROLLUP_COLS)
-
-    def project(b: pa.Table) -> pa.Table:
-        return b.select(_ROLLUP_COLS)
-
     merged = (
-        existing.union(_hourly_rollup(delta_ds))
-        .groupby(["hour", "event_type"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
-            Min("min_value", alias_name="min_value"),
-            Max("max_value", alias_name="max_value"),
-        )
-        .map_batches(project, batch_format="pyarrow")
-        .materialize()  # fully read BEFORE shards rewrite underneath
+        _rollup_combine(existing.union(_hourly_partials(delta_ds)))
+        # fully read BEFORE shards rewrite underneath
+        .materialize()
     )
-    sinks.write_partitioned(
-        merged,
-        out_dir,
-        key_column="event_type",
-        num_shards=4,
-        fingerprint=f"{os.path.basename(out_dir)}|g{gen}",
+    # stage + journal (the commit point), then apply
+    jdir = os.path.join(out_dir, _PENDING)
+    tmp = jdir + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(merged.to_pandas()[_ROLLUP_COLS], preserve_index=False),
+        os.path.join(tmp, "merged.parquet"),
     )
-    man["generation"] = gen
-    with open(man_path, "w") as f:
-        json.dump(man, f)
+    with open(os.path.join(tmp, "journal.json"), "w") as f:
+        json.dump({"generation": gen, "delta_id": delta_id}, f)
+    if os.path.isdir(jdir):  # lost race with a concurrent appender
+        shutil.rmtree(tmp)
+        raise RuntimeError("concurrent rollup_append in flight")
+    os.replace(tmp, jdir)
+    _apply_staged(out_dir)
     return out_dir
 
 
@@ -928,6 +1000,7 @@ def rollup_daily(sf_dir: str) -> pd.DataFrame:
     from . import sinks
 
     out_dir = rollup_events(sf_dir)
+    rollforward_pending(out_dir)  # finish any crashed append first
     # manifest-gated shard listing (never orphan tmp dirs) + pruned read
     pdf = sinks.read_partitioned(
         out_dir,

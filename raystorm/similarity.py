@@ -1412,6 +1412,31 @@ def _km_cell_cosines(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
     )
 
 
+def _cell_assign_batch(batch, cells: np.ndarray, cent: np.ndarray, carry=()):
+    """One embeddings batch -> (vec_id, cell, centroid_cosine [, carried
+    columns]) via the shared assignment kernel — the ONE copy of the
+    per-batch assignment STAGE (semdedup and prototype_prune both ride
+    it; kmeans_cells' FinalAssign emits a different schema but shares
+    the kernel)."""
+    import pyarrow as _pa
+
+    m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    cos = _km_cell_cosines(m, cent)
+    best = cos.argmax(axis=1)  # ties -> lowest index == cell asc
+    t = _pa.table(
+        {
+            "vec_id": batch["vec_id"].cast(_pa.int64()),
+            "cell": _pa.array(cells[best], _pa.int64()),
+            "centroid_cosine": _pa.array(cos[np.arange(len(m)), best]),
+        }
+    )
+    for c in carry:
+        t = t.append_column(c, batch[c])
+    return t
+
+
 def _trained_centroids(sf_dir: str):
     """The kmeans_cells training recipe, shared with SemDeDup: stride
     init vectors (raw — cosine handles norms), KM_ITERS Lloyd

@@ -1336,3 +1336,61 @@ def test_rollup_append_equals_rebuild(ray_session, tmp_path):
     assert np.allclose(got["max_value"], want["max_value"])
     man = json.load(open(os.path.join(out, "_rollup_manifest.json")))
     assert man["generation"] == 1
+
+
+def test_rollup_append_crash_rolls_forward(ray_session, tmp_path, monkeypatch):
+    """A crash between staging and shard rewrite leaves the intent
+    journal; the retry with the same delta_id rolls FORWARD (no
+    double-apply) and the result equals a full rebuild."""
+    import json
+    import os
+
+    import pytest
+    import ray.data as rd
+
+    from raystorm import events, sinks
+
+    raw = pd.read_parquet("/root/testdata/sf0.001/events.parquet")[
+        ["ts", "event_type", "value"]
+    ]
+    cutoff = raw["ts"].quantile(0.7)
+    base, delta = raw[raw.ts < cutoff], raw[raw.ts >= cutoff]
+    out = str(tmp_path / "roll")
+    events._write_rollup(rd.from_pandas(base), out, source="base")
+
+    real_apply = events._apply_staged
+    monkeypatch.setattr(
+        events,
+        "_apply_staged",
+        lambda d: (_ for _ in ()).throw(RuntimeError("simulated crash")),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        events.rollup_append(out, rd.from_pandas(delta), delta_id="d1")
+    jpath = os.path.join(out, events._PENDING, "journal.json")
+    assert os.path.isfile(jpath)  # staged + journaled, not applied
+    assert json.load(open(os.path.join(out, "_rollup_manifest.json")))[
+        "generation"
+    ] == 0
+    monkeypatch.setattr(events, "_apply_staged", real_apply)
+    # retry with the SAME delta_id: finish the roll-forward, no re-merge
+    events.rollup_append(out, rd.from_pandas(delta), delta_id="d1")
+    assert not os.path.exists(jpath)
+    got = (
+        sinks.read_partitioned(out, columns=events._ROLLUP_COLS)
+        .to_pandas()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    full_dir = str(tmp_path / "full")
+    events._write_rollup(rd.from_pandas(raw), full_dir, source="full")
+    want = (
+        sinks.read_partitioned(full_dir, columns=events._ROLLUP_COLS)
+        .to_pandas()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert np.allclose(got["sum_value"], want["sum_value"], atol=1e-9)
+    assert json.load(open(os.path.join(out, "_rollup_manifest.json")))[
+        "generation"
+    ] == 1
