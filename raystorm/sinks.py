@@ -55,10 +55,10 @@ def write_partitioned(
     """Hash-shard ``ds`` on ``key_column`` into ``num_shards`` atomic
     shard directories; completed shards are skipped on rerun.
 
-    ``format``: ``"parquet"`` (columnar, the default) or ``"jsonl"``
+    ``format``: ``"parquet"`` (columnar, the default), ``"jsonl"``
     (line-delimited JSON — the interchange format training-data
-    pipelines commonly hand off); the sharding, atomic-rename and
-    resume machinery is format-agnostic.
+    pipelines commonly hand off) or ``"csv"``; the sharding,
+    atomic-rename and resume machinery is format-agnostic.
 
     Returns the shard manifests.  All rows of one key land in one shard
     (the resume unit is a key range, never a partial key).
@@ -98,6 +98,10 @@ def write_partitioned(
             if format == "jsonl":
                 body.reset_index(drop=True).to_json(
                     os.path.join(tmp, "data.jsonl"), orient="records", lines=True
+                )
+            elif format == "csv":
+                body.reset_index(drop=True).to_csv(
+                    os.path.join(tmp, "data.csv"), index=False
                 )
             else:
                 import pyarrow.parquet as pq
@@ -156,7 +160,7 @@ def read_partitioned(out_dir: str, format: str = "parquet", columns=None):
     the resumable contract survives) are ignored, never double-read."""
     import ray.data as rd
 
-    name = "data.jsonl" if format == "jsonl" else "data.parquet"
+    name = {"jsonl": "data.jsonl", "csv": "data.csv"}.get(format, "data.parquet")
     files = []
     for d in sorted(os.listdir(out_dir)):
         if ".tmp-" in d or not os.path.isfile(os.path.join(out_dir, d, name)):
@@ -169,6 +173,8 @@ def read_partitioned(out_dir: str, format: str = "parquet", columns=None):
             files.append(os.path.join(out_dir, d, name))
     if format == "jsonl":
         return rd.read_json(files)
+    if format == "csv":
+        return rd.read_csv(files)
     return rd.read_parquet(files, columns=columns)
 
 
@@ -195,5 +201,33 @@ def jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
 
 
 JSONL_ROUNDTRIP_SQL = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+)
+
+
+def csv_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """CSV sink/source parity gate — the third interchange format next
+    to parquet and JSONL, through the same resumable sharded sink:
+    hash-shard ``documents`` into CSV shard dirs under /tmp, read the
+    shards back with ``ray.data.read_csv``, prove nothing was lost.
+    Text survives because the corpus body is comma/quote-free
+    pure-word text; general payloads would use the parquet/jsonl
+    paths (documented limit of the format, not the sink).  Gate
+    ``csv_roundtrip``; oracle :data:`CSV_ROUNDTRIP_SQL`."""
+    import hashlib
+    import os as _os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"))
+    fp = hashlib.sha256(f"csv|{sf_dir}".encode()).hexdigest()[:12]
+    out = _os.path.join("/tmp", "raystorm_gates", f"csv-{fp}")
+    write_partitioned(ds, out, "doc_id", num_shards=8, fingerprint=fp, format="csv")
+    back = read_partitioned(out, format="csv").to_pandas()
+    back = back.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    return back[["doc_id", "text", "lang", "source", "n_chars"]]
+
+
+CSV_ROUNDTRIP_SQL = (
     "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
 )
