@@ -925,7 +925,7 @@ def rollforward_pending(out_dir: str) -> bool:
     return True
 
 
-def rollup_append(out_dir: str, delta_ds, delta_id: str = "") -> str:
+def rollup_append(out_dir: str, delta_ds, delta_id: str) -> str:
     """Merge a DELTA event stream into an existing hourly rollup — the
     continuous-transform increment (ES transform checkpoint / rollup
     job catch-up): the delta's per-batch hourly partials union with the
@@ -939,10 +939,18 @@ def rollup_append(out_dir: str, delta_ds, delta_id: str = "") -> str:
     shard rewrites; a crash mid-rewrite leaves a mixed-generation shard
     set that the journal rolls FORWARD on the next entry (re-applying
     the staged result — half-flipped shards skip at the target
-    fingerprint, the rest complete).  Pass a stable ``delta_id`` when
-    retrying the same delta after a crash: a pending journal carrying
-    that id means the delta is already staged, so the retry just
-    finishes the roll-forward instead of double-applying it.
+    fingerprint, the rest complete).  ``delta_id`` is REQUIRED and must
+    be stable across retries of the same delta (e.g. the ingest batch
+    name): a pending journal carrying that id means the delta is
+    already staged, so the retry finishes the roll-forward instead of
+    double-applying it — an optional id would silently double-count on
+    exactly the retry path this protocol exists for.
+
+    Concurrency contract: ONE appender at a time (a lost journal race
+    raises instead of corrupting); readers concurrent with an in-flight
+    append may see a mixed-generation shard set — serve strict readers
+    from a snapshot or alias-flipped copy, the same single-writer
+    discipline as the index update path.
     Pytest pins append == full rebuild and the kill-window replay."""
     import json
     import shutil
@@ -952,12 +960,19 @@ def rollup_append(out_dir: str, delta_ds, delta_id: str = "") -> str:
 
     from . import sinks
 
+    if not delta_id:
+        raise ValueError("rollup_append requires a stable, non-empty delta_id")
+    # sweep crash-orphaned staging dirs (a death between makedirs and
+    # os.replace leaves an un-journaled tmp copy nothing else removes)
+    for d in os.listdir(out_dir):
+        if d.startswith(_PENDING + ".tmp-"):
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     # a pending append first: either THIS delta (finish and return) or
     # an earlier one (complete it, then merge ours on top)
     jpath = os.path.join(out_dir, _PENDING, "journal.json")
     if os.path.isfile(jpath):
         j = json.load(open(jpath))
-        same = bool(delta_id) and j.get("delta_id") == delta_id
+        same = j.get("delta_id") == delta_id
         _apply_staged(out_dir)
         if same:
             return out_dir
@@ -984,7 +999,11 @@ def rollup_append(out_dir: str, delta_ds, delta_id: str = "") -> str:
     if os.path.isdir(jdir):  # lost race with a concurrent appender
         shutil.rmtree(tmp)
         raise RuntimeError("concurrent rollup_append in flight")
-    os.replace(tmp, jdir)
+    try:
+        os.replace(tmp, jdir)
+    except OSError as exc:  # TOCTOU loser: clean our staging, surface it
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError("concurrent rollup_append in flight") from exc
     _apply_staged(out_dir)
     return out_dir
 

@@ -160,6 +160,10 @@ def read_partitioned(out_dir: str, format: str = "parquet", columns=None):
     the resumable contract survives) are ignored, never double-read."""
     import ray.data as rd
 
+    if columns is not None and format != "parquet":
+        raise ValueError(
+            f"columns= projection is parquet-only (got format={format!r})"
+        )
     name = {"jsonl": "data.jsonl", "csv": "data.csv"}.get(format, "data.parquet")
     files = []
     for d in sorted(os.listdir(out_dir)):
@@ -178,56 +182,54 @@ def read_partitioned(out_dir: str, format: str = "parquet", columns=None):
     return rd.read_parquet(files, columns=columns)
 
 
-def jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
-    """JSONL sink/source parity gate: hash-shard the documents table
-    into resumable line-delimited-JSON shard dirs under /tmp, read the
-    shards back with ``ray.data.read_json``, and return the table —
-    the oracle compares against the parquet original, proving the
-    interchange path (the format training-data pipelines hand off)
-    loses nothing.  Gate ``jsonl_roundtrip``; oracle
-    :data:`JSONL_ROUNDTRIP_SQL`."""
+def _interchange_roundtrip(sf_dir: str, fmt: str) -> pd.DataFrame:
+    """Shared sink/source parity body for the interchange gates: shard
+    ``documents`` through the resumable sink in ``fmt``, read it back,
+    prove losslessness.  The /tmp cache fingerprint keys on the SOURCE
+    FILE IDENTITY (path + size + mtime_ns, the _rollup_dir rule) — a
+    regenerated documents.parquet can never reuse stale shards."""
     import hashlib
     import os as _os
 
     import ray.data as rd
 
-    ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"))
-    fp = hashlib.sha256(f"jsonl|{sf_dir}".encode()).hexdigest()[:12]
-    out = _os.path.join("/tmp", "raystorm_gates", f"jsonl-{fp}")
-    write_partitioned(ds, out, "doc_id", num_shards=8, fingerprint=fp, format="jsonl")
-    back = read_partitioned(out, format="jsonl").to_pandas()
+    src = _os.path.join(sf_dir, "documents.parquet")
+    st = _os.stat(src)
+    fp = hashlib.sha256(
+        f"{fmt}|{_os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    out = _os.path.join("/tmp", "raystorm_gates", f"{fmt}-{fp}")
+    ds = rd.read_parquet(src)
+    write_partitioned(ds, out, "doc_id", num_shards=8, fingerprint=fp, format=fmt)
+    back = read_partitioned(out, format=fmt).to_pandas()
     back = back.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
     return back[["doc_id", "text", "lang", "source", "n_chars"]]
 
 
-JSONL_ROUNDTRIP_SQL = (
+#: shared oracle for every interchange roundtrip (the gate proves the
+#: format loses nothing, so the mirror is simply the original table)
+ROUNDTRIP_SQL = (
     "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
 )
+
+
+def jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """JSONL sink/source parity gate — the interchange format
+    training-data pipelines commonly hand off.  Gate ``jsonl_roundtrip``;
+    oracle :data:`ROUNDTRIP_SQL`."""
+    return _interchange_roundtrip(sf_dir, "jsonl")
+
+
+JSONL_ROUNDTRIP_SQL = ROUNDTRIP_SQL
 
 
 def csv_roundtrip(sf_dir: str) -> pd.DataFrame:
-    """CSV sink/source parity gate — the third interchange format next
-    to parquet and JSONL, through the same resumable sharded sink:
-    hash-shard ``documents`` into CSV shard dirs under /tmp, read the
-    shards back with ``ray.data.read_csv``, prove nothing was lost.
-    Text survives because the corpus body is comma/quote-free
-    pure-word text; general payloads would use the parquet/jsonl
-    paths (documented limit of the format, not the sink).  Gate
-    ``csv_roundtrip``; oracle :data:`CSV_ROUNDTRIP_SQL`."""
-    import hashlib
-    import os as _os
-
-    import ray.data as rd
-
-    ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"))
-    fp = hashlib.sha256(f"csv|{sf_dir}".encode()).hexdigest()[:12]
-    out = _os.path.join("/tmp", "raystorm_gates", f"csv-{fp}")
-    write_partitioned(ds, out, "doc_id", num_shards=8, fingerprint=fp, format="csv")
-    back = read_partitioned(out, format="csv").to_pandas()
-    back = back.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
-    return back[["doc_id", "text", "lang", "source", "n_chars"]]
+    """CSV sink/source parity gate — the third interchange format.
+    Text survives because the corpus body is comma/quote-free pure-word
+    text; general payloads would use the parquet/jsonl paths
+    (documented limit of the format, not the sink).  Gate
+    ``csv_roundtrip``; oracle :data:`ROUNDTRIP_SQL`."""
+    return _interchange_roundtrip(sf_dir, "csv")
 
 
-CSV_ROUNDTRIP_SQL = (
-    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
-)
+CSV_ROUNDTRIP_SQL = ROUNDTRIP_SQL

@@ -1314,7 +1314,7 @@ def test_rollup_append_equals_rebuild(ray_session, tmp_path):
     base, delta = raw[raw.ts < cutoff], raw[raw.ts >= cutoff]
     out = str(tmp_path / "roll")
     events._write_rollup(rd.from_pandas(base), out, source="base")
-    events.rollup_append(out, rd.from_pandas(delta))
+    events.rollup_append(out, rd.from_pandas(delta), delta_id="d0")
     got = (
         sinks.read_partitioned(out, columns=events._ROLLUP_COLS)
         .to_pandas()
