@@ -286,9 +286,18 @@ class DocStore:
                 )
         return self._cache[s]
 
-    def texts(self, docids: np.ndarray) -> np.ndarray:
+    def texts(self, docids: np.ndarray, return_found: bool = False):
+        """Point-lookup texts for ``docids``; unknown docids yield ''.
+
+        Pass ``return_found=True`` to also get the found mask —
+        callers that KNOW their docids exist (snippets over top-k
+        hits) should check it and raise, so a shard-boundary
+        regression (the CLAUDE.md round-3 sidecar gotcha) surfaces as
+        a loud error instead of silently blank output.  '' alone is
+        not a miss signal: a legitimately empty turn also reads ''."""
         docids = np.asarray(docids, np.int64)
         out = np.full(len(docids), "", object)
+        found = np.zeros(len(docids), bool)
         shards = np.clip(
             np.searchsorted(self._lo, docids, side="right") - 1,
             0,
@@ -304,6 +313,9 @@ class DocStore:
             hit = sd[pos_c] == docids[sel]
             idx = np.nonzero(sel)[0][hit]
             out[idx] = st[pos_c[hit]]
+            found[idx] = True
+        if return_found:
+            return out, found
         return out
 
 

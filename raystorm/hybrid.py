@@ -51,11 +51,31 @@ import os
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 from . import query as q
 from . import similarity as sim
 from .analysis import round_half_up
+
+
+def _fused_tail(fused, queries, score_col, emit):
+    """Shared hybrid ranking tail (ONE copy of the tie-break-sensitive
+    code): per query, order by (rounded fused score desc, conv_id asc),
+    head-k, 1-based ranks; ``emit`` adds the variant's score/leg
+    columns.  Returns None when no query produced rows."""
+    ks = {qid: int(k) for qid, _t, _v, k in queries}
+    out = []
+    for qid, g in fused.groupby("query_id", sort=True):
+        key = round_half_up(g[score_col].to_numpy(), q.RANK_ROUND)
+        order = np.lexsort((g["conv_id"].to_numpy(), -key))[: ks[qid]]
+        sel = g.iloc[order]
+        cols = {
+            "query_id": qid,
+            "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+            "conv_id": sel["conv_id"].to_numpy(),
+        }
+        cols.update(emit(sel))
+        out.append(pd.DataFrame(cols))
+    return pd.concat(out, ignore_index=True) if out else None
 
 #: RRF smoothing constant (the literature/engine default)
 RRF_K = 60
@@ -199,33 +219,23 @@ def hybrid_rrf_topk(
     rrf = np.where(r_lex > 0, 1.0 / (RRF_K + r_lex), 0.0) + np.where(
         r_den > 0, 1.0 / (RRF_K + r_den), 0.0
     )
-    fused = fused.assign(rrf=rrf, r_lex=r_lex, r_den=r_den)
+    fused = fused.assign(rrf=rrf, r_lex=r_lex, r_dense=r_den)
 
-    ks = {qid: int(k) for qid, _t, _v, k in queries}
-    out = []
-    for qid, g in fused.groupby("query_id", sort=True):
-        key = round_half_up(g["rrf"].to_numpy(), q.RANK_ROUND)
-        order = np.lexsort((g["conv_id"].to_numpy(), -key))[: ks[qid]]
-        sel = g.iloc[order]
-        out.append(
-            pd.DataFrame(
-                {
-                    "query_id": qid,
-                    "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
-                    "conv_id": sel["conv_id"].to_numpy(),
-                    "rrf_score": round_half_up(
-                        sel["rrf"].to_numpy(), q.SCORE_ROUND
-                    ),
-                    "r_lex": sel["r_lex"].to_numpy(np.int32),
-                    "r_dense": sel["r_den"].to_numpy(np.int32),
-                }
-            )
-        )
-    if not out:
+    tail = _fused_tail(
+        fused,
+        queries,
+        "rrf",
+        lambda sel: {
+            "rrf_score": round_half_up(sel["rrf"].to_numpy(), q.SCORE_ROUND),
+            "r_lex": sel["r_lex"].to_numpy(np.int32),
+            "r_dense": sel["r_dense"].to_numpy(np.int32),
+        },
+    )
+    if tail is None:
         return pd.DataFrame(
             columns=["query_id", "rank", "conv_id", "rrf_score", "r_lex", "r_dense"]
         )
-    return pd.concat(out, ignore_index=True)
+    return tail
 
 
 def hybrid_rrf_sql(
@@ -233,10 +243,13 @@ def hybrid_rrf_sql(
 ) -> str:
     """Mirror of :func:`hybrid_rrf_topk`: the collapsed-BM25 leg and the
     ``list_cosine_similarity`` leg (exact cross-product, or the IVF
-    cell-probe chain when ``dense="ivf"`` — same centroid stride, probe
-    count and tie rules as ``similarity.ivf_topk``), each windowed to
-    RRF_WINDOW with the engine's exact tie rules, full-outer fused on
-    (query, conv)."""
+    cell-probe chain when ``dense="ivf"`` — same probe count and tie
+    rules as ``similarity.ivf_topk``; the SQL always emits the STRIDE
+    codebook, valid only under ``similarity.MAX_CODEBOOK`` where the
+    engine leg uses the identical codebook — past the guard the engine
+    switches to the trained fixed-k codebook and this sf-scale mirror
+    no longer applies), each windowed to RRF_WINDOW with the engine's
+    exact tie rules, full-outer fused on (query, conv)."""
     q3 = tuple((qid, text, RRF_WINDOW) for qid, text, _v, _k in queries)
     hq = ", ".join(
         f"('{qid}', {int(v)}, {int(k)})" for qid, _t, v, k in queries
@@ -408,31 +421,21 @@ def hybrid_linear_topk(
     h = W_LEX * nl + (1.0 - W_LEX) * nd
     fused = fused.assign(n_lex=nl, n_dense=nd, h=h)
 
-    ks = {qid: int(k) for qid, _t, _v, k in queries}
-    out = []
-    for qid, g in fused.groupby("query_id", sort=True):
-        key = round_half_up(g["h"].to_numpy(), q.RANK_ROUND)
-        order = np.lexsort((g["conv_id"].to_numpy(), -key))[: ks[qid]]
-        sel = g.iloc[order]
-        out.append(
-            pd.DataFrame(
-                {
-                    "query_id": qid,
-                    "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
-                    "conv_id": sel["conv_id"].to_numpy(),
-                    "hybrid_score": round_half_up(
-                        sel["h"].to_numpy(), q.SCORE_ROUND
-                    ),
-                    "n_lex": round_half_up(sel["n_lex"].to_numpy(), COS_ROUND),
-                    "n_dense": round_half_up(sel["n_dense"].to_numpy(), COS_ROUND),
-                }
-            )
-        )
-    if not out:
+    tail = _fused_tail(
+        fused,
+        queries,
+        "h",
+        lambda sel: {
+            "hybrid_score": round_half_up(sel["h"].to_numpy(), q.SCORE_ROUND),
+            "n_lex": round_half_up(sel["n_lex"].to_numpy(), COS_ROUND),
+            "n_dense": round_half_up(sel["n_dense"].to_numpy(), COS_ROUND),
+        },
+    )
+    if tail is None:
         return pd.DataFrame(
             columns=["query_id", "rank", "conv_id", "hybrid_score", "n_lex", "n_dense"]
         )
-    return pd.concat(out, ignore_index=True)
+    return tail
 
 
 def hybrid_linear_sql(

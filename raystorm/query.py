@@ -3315,10 +3315,17 @@ def _queries_values(queries=REFERENCE_QUERIES) -> str:
 
 
 def _qterms_values(queries=REFERENCE_QUERIES, dedup=True) -> str:
-    """Explode query texts to (query_id, term[, mult]) VALUES."""
+    """Explode query texts to (query_id, term[, mult]) VALUES.
+
+    Tokens come from the BODY ANALYZER — the same
+    ``normalize.tokenize_column`` call the engine's scorers make —
+    never a re-derived ``lower().split()`` (the shared-parse
+    invariant; identical on the all-lowercase-alpha fixtures, but a
+    punctuated query would silently diverge under a split)."""
     rows = []
     for qid, text, _k in queries:
-        toks = text.lower().split()
+        toks_arr, _ = normalize.tokenize_column(pa.array([text]), "body")
+        toks = toks_arr.tolist()
         if dedup:
             for t in sorted(set(toks)):
                 rows.append(f"('{qid}', '{t}')")

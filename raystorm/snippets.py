@@ -177,9 +177,13 @@ def search_snippets_docstore(
         toks, _ = normalize.tokenize_column(pa.array([text]), "body")
         terms = np.unique(toks)
         df.insert(0, "query_id", qid)
-        df["snippet"] = _window_snippets(
-            store.texts(docids), [terms] * len(df)
-        )
+        texts, found = store.texts(docids, return_found=True)
+        if not found.all():  # a top-k hit MUST exist in the doc-store
+            raise KeyError(
+                f"doc-store missing {int((~found).sum())} top-k docid(s) "
+                f"for query {qid!r} — sidecar/codec mismatch"
+            )
+        df["snippet"] = _window_snippets(texts, [terms] * len(df))
         frames.append(df)
     if not frames:
         return pd.DataFrame(
@@ -219,8 +223,12 @@ firstpos AS (
   WHERE list_position(c.toks, q.term) IS NOT NULL
   GROUP BY c.query_id, c.rank, c.conv_id, c.turn_idx
 )
-SELECT query_id, rank, conv_id, turn_idx,
-       array_to_string(list_slice(toks, greatest(1, p - {WINDOW}), p + {WINDOW}), ' ') AS snippet
-FROM firstpos
-ORDER BY query_id, rank
+SELECT k.query_id, k.rank, k.conv_id, k.turn_idx,
+       coalesce(array_to_string(
+         list_slice(f.toks, greatest(1, f.p - {WINDOW}), f.p + {WINDOW}), ' '),
+         '') AS snippet
+FROM topk k
+LEFT JOIN firstpos f
+  ON f.query_id = k.query_id AND f.conv_id = k.conv_id AND f.turn_idx = k.turn_idx
+ORDER BY k.query_id, k.rank
 """
