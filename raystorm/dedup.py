@@ -432,8 +432,19 @@ def _verify_common(common, counts):
         n = cnt["n"].to_numpy(np.int64).astype(np.float64)
         order = np.argsort(d)
         d, n = d[order], n[order]
-        na = n[np.searchsorted(d, a)]
-        nb = n[np.searchsorted(d, b)]
+        # found-mask discipline (the DocValues.lookup lesson): a
+        # candidate missing from the counts table must fail loudly, not
+        # silently read a neighboring doc's n
+        pa_pos = np.searchsorted(d, a).clip(0, max(len(d) - 1, 0))
+        pb_pos = np.searchsorted(d, b).clip(0, max(len(d) - 1, 0))
+        if not len(d) or not (np.array_equal(d[pa_pos], a) and np.array_equal(d[pb_pos], b)):
+            missing = np.setdiff1d(np.concatenate([a, b]), d)
+            raise RuntimeError(
+                f"verify: {len(missing)} candidate doc_ids missing from "
+                f"shingle counts (e.g. {missing[:5].tolist()})"
+            )
+        na = n[pa_pos]
+        nb = n[pb_pos]
         j = round_half_up(c / (na + nb - c), ROUND)
         keep = j >= JACCARD_T
         out = pd.DataFrame(
@@ -514,9 +525,10 @@ def dedup_ngram_jaccard(sf_dir: str):
     (df > :data:`SHINGLE_DF_CAP`) drop from the intersection counts
     with a logged forgone-pair count — the quadratic-explosion guard;
     affected pairs get a conservative under-estimate (capped shingles
-    stay in the union sizes — bias documented at _SigRunPairs).  The sf
-    corpora sit far under the cap (gate exactly uncapped), and the
-    MinHash path below is the scale route for boilerplate-heavy
+    stay in the union sizes — bias documented at _SigRunPairs).  The
+    oracle SQL mirrors the cap (``_verify_sql_tail(SHINGLE_DF_CAP)``)
+    so the gate stays exact even on a corpus whose shingle df crosses
+    it; the MinHash path below is the scale route for boilerplate-heavy
     corpora anyway.
     """
     from ray.data.aggregate import Count
@@ -534,21 +546,38 @@ def dedup_ngram_jaccard(sf_dir: str):
     return _verify_common(common, _doc_counts(shingles))
 
 
-_VERIFY_SQL_TAIL = f"""
+def _verify_sql_tail(df_cap: int | None = None) -> str:
+    """pair_common + sh_counts CTEs.  ``df_cap`` mirrors the engine's
+    SHINGLE_DF_CAP in SQL (shingles over the cap leave the INTERSECTION
+    counts but stay in the union sizes — the exact _SigRunPairs bias),
+    so a corpus whose shingle df crosses the cap diverges in NEITHER
+    engine instead of failing the gate with an opaque VALUES diff.
+    The MinHash verify path is uncapped and uses the bare tail."""
+    cap = (
+        f"""
+  WHERE a.sh_hash IN (SELECT sh_hash FROM shingle_hashes
+                      GROUP BY sh_hash HAVING count(*) <= {df_cap})"""
+        if df_cap is not None
+        else ""
+    )
+    return f"""
 pair_common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
   FROM shingle_hashes a JOIN shingle_hashes b
-    ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+    ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id{cap}
   GROUP BY 1, 2
 ),
 sh_counts AS (SELECT doc_id, count(*) AS n FROM shingle_hashes GROUP BY doc_id)
 """
 
 
+_VERIFY_SQL_TAIL = _verify_sql_tail()
+
+
 def dedup_ngram_jaccard_sql() -> str:
     return f"""
 WITH {SHINGLES_SQL},
-{_VERIFY_SQL_TAIL}
+{_verify_sql_tail(SHINGLE_DF_CAP)}
 SELECT p.doc_a, p.doc_b,
        round(p.common * 1.0 / (ca.n + cb.n - p.common), {ROUND}) AS jaccard
 FROM pair_common p

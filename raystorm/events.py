@@ -770,9 +770,14 @@ def _rollup_dir(sf_dir: str) -> str:
     p = os.path.join(sf_dir, "events.parquet")
     st = os.stat(p)
     # mtime at ns resolution: a same-size rewrite within the same
-    # second must NOT reuse the stale rollup
+    # second must NOT reuse the stale rollup.  Dir name = stable
+    # source-path key + content key, so a rebuilt fixture's stale
+    # rollup can be evicted without touching other corpora's caches.
+    pathkey = md5int60(os.path.abspath(p))
     key = md5int60(f"{os.path.abspath(p)}|{st.st_size}|{st.st_mtime_ns}")
-    return os.path.join("/tmp", "raystorm_rollup", f"r{key:015x}")
+    return os.path.join(
+        "/tmp", "raystorm_rollup", f"r{pathkey & 0xFFFFFFFF:08x}-{key:015x}"
+    )
 
 
 def rollup_events(sf_dir: str) -> str:
@@ -789,6 +794,15 @@ def rollup_events(sf_dir: str) -> str:
     done = os.path.join(out_dir, "_rollup_manifest.json")
     if os.path.isfile(done):
         return out_dir
+    # building fresh: drop this source's STALE rollups (prefix shares
+    # the path key, not the content key) so rebuilt fixtures don't
+    # leak a rollup copy into /tmp per rebuild
+    from .sinks import evict_fingerprint_siblings
+
+    base = os.path.basename(out_dir)
+    evict_fingerprint_siblings(
+        os.path.dirname(out_dir), base[: base.index("-") + 1], out_dir
+    )
     _write_rollup(
         _events(sf_dir, ["ts", "event_type", "value"]), out_dir, source=sf_dir
     )

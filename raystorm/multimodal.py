@@ -142,10 +142,14 @@ class MediaDecodeStage:
 
 def media_features(sf_dir: str):
     """Full multimodal pipeline: derive media rows -> actor-pool decode."""
+    from .analysis import scan_pool
+
+    # decode is exactly the stage you want wide: pool scales with the
+    # cluster instead of pinning the corpus-derived media scan to 2
     out = media_table(sf_dir).map_batches(
         MediaDecodeStage,
         fn_constructor_kwargs={"decode_backend": "fake"},
-        concurrency=2,
+        concurrency=scan_pool(),
         batch_size=MEDIA_BATCH_SIZE,
         batch_format="pyarrow",
     )

@@ -149,6 +149,28 @@ class Percolator:
         )
 
 
+def _pool_policy(n_shards: int = 1, cpus: int | None = None):
+    """ONE percolation pool-sizing policy, shared by :func:`percolate`
+    (n_shards=1) and :func:`percolate_sharded` so the gate path and the
+    scale path cannot drift in pool discipline.
+
+    All shard pools scan the corpus concurrently (union downstream), so
+    they are sized together: actors x num_cpus must leave CPUs for the
+    read + combine stages or the pools starve the stream at low CPU
+    counts (the round-1 chained-actor-pool gotcha, squared by
+    n_shards).  Returns ``(concurrency, num_cpus)`` for ``map_batches``;
+    the (1, ceiling) autoscaling form lets small inputs pay 1 actor per
+    shard while corpus-scale streams ramp to the CPU budget.
+    """
+    if cpus is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    conc = max(1, cpus // (2 * n_shards))
+    cpu_per = 1.0 if cpus >= 4 * n_shards else 0.5
+    return ((1, conc) if conc > 1 else 1, cpu_per)
+
+
 def percolate(sf_dir: str, queries=PERCOLATE_QUERIES, sort: bool = True):
     """Match every transcript turn against the stored-query registry.
 
@@ -159,12 +181,13 @@ def percolate(sf_dir: str, queries=PERCOLATE_QUERIES, sort: bool = True):
 
     compiled = compile_queries(queries)
     ref = ray.put(compiled)
+    conc, cpu_per = _pool_policy(1)
     ds = corpus.transcripts_from_documents(sf_dir).map_batches(
         Percolator,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
-        concurrency=2,
-        num_cpus=1,
+        concurrency=conc,
+        num_cpus=cpu_per,
     )
     if sort:
         ds = ds.sort(["query_id", "conv_id", "turn_idx"])
@@ -322,21 +345,13 @@ def percolate_sharded(
     compiled = compile_queries(queries)
     shards = shard_queries(compiled, n_shards)
     ds = corpus.transcripts_from_documents(sf_dir)
-    # ALL shard pools scan concurrently (union below), so size them
-    # together: actors x num_cpus must leave CPUs for the read + verify
-    # tasks or the pools starve the stream at low CPU counts (the
-    # round-1 chained-actor-pool gotcha, squared by n_shards)
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    conc = max(1, cpus // (2 * n_shards))
-    cpu_per = 1.0 if cpus >= 4 * n_shards else 0.5
+    conc, cpu_per = _pool_policy(n_shards)
     parts = [
         ds.map_batches(
             PartialMatcher,
             fn_constructor_args=(ray.put(s),),
             batch_format="pyarrow",
-            # autoscaling pool: small inputs pay 1 actor per shard,
-            # large streams ramp to the CPU-budgeted ceiling
-            concurrency=(1, conc) if conc > 1 else 1,
+            concurrency=conc,
             num_cpus=cpu_per,
         )
         for s in shards

@@ -4233,11 +4233,16 @@ def batch_evaluate_sharded(index_dir: str, queries=REFERENCE_QUERIES) -> pd.Data
     )
     kmap = {qid: k for qid, _t, k in queries}
 
+    from .analysis import scan_pool
+
+    # one actor per ~4 index partitions, pool width scaling with the
+    # cluster (this op exists for indexes larger than a node — a fixed
+    # 2-actor pool defeated it at the scale it exists for)
     partials = rd.from_items([{"part": p} for p in parts]).map_batches(
         PartitionScorer,
         fn_constructor_kwargs={"index_dir": index_dir, "queries": queries},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=scan_pool(n_items=-(-len(parts) // 4)),
         batch_size=4,
     )
     totals = partials.groupby(["query_id", "docid"]).aggregate(

@@ -182,6 +182,24 @@ def read_partitioned(out_dir: str, format: str = "parquet", columns=None):
     return rd.read_parquet(files, columns=columns)
 
 
+def evict_fingerprint_siblings(parent: str, prefix: str, keep: str) -> None:
+    """Remove stale fingerprinted cache dirs: every ``parent/<prefix>*``
+    sibling EXCEPT ``keep``.  The prefix embeds a stable source-path
+    hash, so only caches of the SAME source evict — a regenerated or
+    rebuilt fixture no longer leaks one full shard copy into /tmp per
+    rebuild (round-4 advice), while caches for other corpora survive.
+    Best-effort: a concurrent reader of a stale dir loses a cache, not
+    correctness (the fingerprint check rebuilds)."""
+    keep_base = os.path.basename(keep)
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        if name.startswith(prefix) and name != keep_base:
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def _interchange_roundtrip(sf_dir: str, fmt: str) -> pd.DataFrame:
     """Shared sink/source parity body for the interchange gates: shard
     ``documents`` through the resumable sink in ``fmt``, read it back,
@@ -198,7 +216,12 @@ def _interchange_roundtrip(sf_dir: str, fmt: str) -> pd.DataFrame:
     fp = hashlib.sha256(
         f"{fmt}|{_os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
-    out = _os.path.join("/tmp", "raystorm_gates", f"{fmt}-{fp}")
+    # dir name = fmt + stable source-path key + content fingerprint:
+    # the path key scopes eviction to THIS source's stale rebuilds
+    srckey = hashlib.sha256(_os.path.abspath(src).encode()).hexdigest()[:8]
+    parent = _os.path.join("/tmp", "raystorm_gates")
+    out = _os.path.join(parent, f"{fmt}-{srckey}-{fp}")
+    evict_fingerprint_siblings(parent, f"{fmt}-{srckey}-", out)
     ds = rd.read_parquet(src)
     write_partitioned(ds, out, "doc_id", num_shards=8, fingerprint=fp, format=fmt)
     back = read_partitioned(out, format=fmt).to_pandas()

@@ -361,22 +361,22 @@ def heavy_hitters(ds, col: str, top: int = HH_TOP, k: int = HH_K) -> pd.DataFram
     if len(cand):
         ref = ray.put(cand)  # sorted; broadcast once
 
-        class ExactCounts:
-            def __init__(self, ref):
-                self.cand = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                vals = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
-                vals = vals[np.isin(vals, self.cand)]
-                u, c = np.unique(vals, return_counts=True)
-                return pa.table(
-                    {"val": pa.array(u, pa.int64()), "cnt": pa.array(c, pa.int64())}
-                )
+        def exact_counts(batch: pa.Table) -> pa.Table:
+            # stateless pass-2 scan: task pool (no fixed actor width
+            # capping the second full-corpus scan on a wide cluster);
+            # ray.get of the broadcast candidates is a local zero-copy
+            # fetch per task, not a re-ship per batch
+            c_arr = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+            vals = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = vals[np.isin(vals, c_arr)]
+            u, c = np.unique(vals, return_counts=True)
+            return pa.table(
+                {"val": pa.array(u, pa.int64()), "cnt": pa.array(c, pa.int64())}
+            )
 
         exact = (
             ds.select_columns([col])
-            .map_batches(ExactCounts, fn_constructor_args=(ref,),
-                         batch_format="pyarrow", concurrency=2)
+            .map_batches(exact_counts, batch_format="pyarrow")
             .to_pandas()
             .groupby("val", as_index=False)["cnt"].sum()
         )

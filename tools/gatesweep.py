@@ -74,13 +74,21 @@ def main() -> int:
             else:
                 gs = g.sort_values(list(g.columns)).reset_index(drop=True)
                 ws = w.sort_values(list(w.columns)).reset_index(drop=True)
+                # check_exact mirrors the driver's value-hash contract
+                # (values are pre-rounded on both sides); sub-1e-5
+                # drift is reported as match(~1e-5), NOT exact, so the
+                # artifact never overstates parity vs the driver
                 try:
-                    pd.testing.assert_frame_equal(gs, ws, check_dtype=False)
+                    pd.testing.assert_frame_equal(gs, ws, check_dtype=False, check_exact=True)
                     status = f"exact({len(g)})"
                     n_exact += 1
                 except AssertionError as e:
-                    status = "VALUES " + str(e).splitlines()[0][:120]
-            if not status.startswith("exact"):
+                    try:
+                        pd.testing.assert_frame_equal(gs, ws, check_dtype=False)
+                        status = f"match(~1e-5)({len(g)})"
+                    except AssertionError:
+                        status = "VALUES " + str(e).splitlines()[0][:120]
+            if not status.startswith(("exact", "match")):
                 n_fail += 1
             out[name] = {"ray_s": ray_s, "sql_s": sql_s, "status": status}
             print(f"{name}: {status} ray={ray_s}s sql={sql_s}s", flush=True)
@@ -98,7 +106,14 @@ def main() -> int:
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"\nwrote {path}")
-    print(f"gates={len(out)} exact={n_exact} rows_only={n_rowsonly} fail={n_fail}")
+    n_approx = sum(1 for v in out.values() if v["status"].startswith("match"))
+    print(
+        f"gates={len(out)} exact={n_exact} approx={n_approx} "
+        f"rows_only={n_rowsonly} fail={n_fail}"
+    )
+    if n_approx:
+        print("APPROX-ONLY (would fail the driver's hash-compare):",
+              [k for k, v in out.items() if v["status"].startswith("match")])
     slow = sorted(out.items(), key=lambda kv: -(kv[1]["sql_s"] or 0))[:8]
     print("slowest oracles:", [(k, v["sql_s"]) for k, v in slow])
     slow_ray = sorted(out.items(), key=lambda kv: -(kv[1]["ray_s"] or 0))[:8]
