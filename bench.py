@@ -368,14 +368,153 @@ def main_scaling(sf_dir: str) -> dict:
     }
 
 
+#: serve-scaling workload: synthetic corpus size (shared fingerprinted
+#: index, built once by the first child and resume-skipped after) and
+#: the query batch the replica pool answers per timed round
+SERVE_CONVS = 100_000
+SERVE_QUERIES = 1500
+#: serve children are ~4x cheaper than build children, but 10 of them
+#: still add up — 3 interleaved repeats keeps the min-estimator
+#: discipline inside a sane wall-clock budget
+SERVE_REPEATS = 3
+
+
+def _serve_workload(n: int = SERVE_QUERIES, vocab_size: int = 5000, seed: int = 7):
+    """Deterministic query texts over the synthetic corpus vocabulary:
+    2-4 terms per query drawn Zipf-ish from ranks 10..2000 (the top-10
+    ultra-head terms are excluded: a rank-1 term matches ~10% of a
+    Zipf corpus, so all-head queries measure one giant numpy scan, not
+    serving throughput), base-26 words matching
+    corpus.synth_transcripts."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+
+    def word(i: int) -> str:
+        return "".join(chr(97 + (i // 26**k) % 26) for k in reversed(range(4)))
+
+    lo, hi = 10, min(2000, vocab_size)
+    ranks = np.arange(lo, hi + 1, dtype=np.float64)
+    probs = ranks**-1.1
+    probs /= probs.sum()
+    counts = rng.integers(2, 5, size=n)
+    picks = rng.choice(np.arange(lo, hi + 1), size=int(counts.sum()), p=probs)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    return [
+        " ".join(word(int(w)) for w in picks[offs[i] : offs[i + 1]])
+        for i in range(n)
+    ]
+
+
+def main_serve_child(num_cpus: int) -> dict:
+    """One fresh-process serve-throughput measurement: replica pool
+    sized to the CPU budget answers the SERVE_QUERIES batch over the
+    shared synthetic index; prints elapsed + QPS.  Index build (first
+    child only — fingerprint-resume skips it after) and replica
+    construction (index load) happen BEFORE the timed window: the
+    measurement is steady-state serving throughput, the quantity that
+    must scale with replicas."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    try:
+        import ray.data as rd
+
+        from raystorm import build, corpus, serve
+
+        rd.range(num_cpus * 8, override_num_blocks=num_cpus * 2).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).count()
+        synth_dir = corpus.synth_transcripts(n_convs=SERVE_CONVS)
+        idx = synth_dir + "-serveidx"
+        # partition count pinned (not cpus-derived) so every CPU level
+        # serves the IDENTICAL index artifact
+        build.build_index(
+            rd.read_parquet(synth_dir), idx, input_fingerprint=synth_dir,
+            cfg=build.BuildConfig(num_partitions=32, split_target=20_000),
+        )
+        replicas = max(2, num_cpus // 2)
+        name = f"bench-serve-{num_cpus}"
+        h = serve.start(idx, replicas=replicas, name=name)
+        texts = _serve_workload()
+        try:
+            h.topk_many(texts[: replicas * 2])  # warm: index pages faulted in
+            t0 = time.perf_counter()
+            h.topk_many(texts)
+            elapsed = time.perf_counter() - t0
+        finally:
+            serve.stop(replicas=replicas, name=name)
+        return {
+            "elapsed_s": round(elapsed, 3),
+            "qps": round(len(texts) / elapsed, 1),
+            "n_queries": len(texts),
+            "replicas": replicas,
+            "num_cpus": num_cpus,
+        }
+    finally:
+        ray.shutdown()
+
+
+def main_scaling_serve() -> dict:
+    """Fresh-process serve-throughput runs at 8 and 32 CPUs (interleaved,
+    min per level — the main_scaling discipline) over the SAME index;
+    reports QPS at both levels + scaling efficiency (qps32/qps8)/4."""
+    results: dict[int, dict] = {}
+    for _rep in range(SERVE_REPEATS):
+        for cpus in (32, 8):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--serve-child",
+                 "--serve-cpus", str(cpus)],
+                capture_output=True, text=True, timeout=3600,
+            )
+            lines = proc.stdout.strip().splitlines()
+            if not lines:
+                raise RuntimeError(
+                    f"serve child (cpus={cpus}) produced no output: "
+                    f"{proc.stderr[-2000:]}"
+                )
+            run = json.loads(lines[-1])
+            best = results.get(cpus)
+            if best is None or run["elapsed_s"] < best["elapsed_s"]:
+                results[cpus] = run
+    q8, q32 = results[8]["qps"], results[32]["qps"]
+    return {
+        "metric": "serve-tier scaling efficiency, num_cpus 8 -> 32 (N -> 4N)",
+        "value": round((q32 / q8) / 4.0, 4),
+        "unit": "efficiency",
+        "queries": {
+            "serve_qps_8cpu": q8,
+            "serve_qps_32cpu": q32,
+            "serve_elapsed_8cpu_s": results[8]["elapsed_s"],
+            "serve_elapsed_32cpu_s": results[32]["elapsed_s"],
+            "replicas_8cpu": results[8]["replicas"],
+            "replicas_32cpu": results[32]["replicas"],
+            "n_queries": results[32]["n_queries"],
+        },
+        "sf": f"synth-{SERVE_CONVS}convs",
+        "num_cpus": 32,
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-serve", action="store_true",
+                    help="serve-tier (replica pool) two-level scaling run")
+    ap.add_argument("--serve-child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--serve-cpus", type=int, default=NUM_CPUS, help=argparse.SUPPRESS)
     ap.add_argument("--json-only", action="store_true", help="suppress non-JSON output")
     ap.add_argument("--synth-convs", type=int, default=SYNTH_CONVS)
     ap.add_argument("--core-only", action="store_true")
     args = ap.parse_args()
-    if args.scaling:
+    if args.serve_child:
+        out = main_serve_child(args.serve_cpus)
+    elif args.scaling_serve:
+        out = main_scaling_serve()
+    elif args.scaling:
         out = main_scaling(SF_DIR)
     else:
         out = main_single(SF_DIR, NUM_CPUS, args.synth_convs, core_only=args.core_only)

@@ -189,11 +189,16 @@ def cmd_serve(args) -> int:
     )
     info = {"replicas": args.replicas, "name": args.name, **handle.info()}
     if args.http:
+        if bool(args.tls_cert) != bool(args.tls_key):
+            print("serve: --tls-cert and --tls-key go together", file=sys.stderr)
+            return 2
         host, port = serve.start_http(
             args.index_dir, replicas=args.replicas, name=args.name,
             sf_dir=args.sf_dir, port=args.port, detached=args.detached,
+            certfile=args.tls_cert, keyfile=args.tls_key,
         )
-        info["http"] = f"http://{host}:{port}"
+        scheme = "https" if args.tls_cert else "http"
+        info["http"] = f"{scheme}://{host}:{port}"
     print(json.dumps(info))
     for q in args.query or []:
         df = handle.topk(q, args.k, args.mode)
@@ -295,6 +300,60 @@ def cmd_percolate(args) -> int:
         )
     )
     print(json.dumps({"matched": out["query_id"].to_pylist()}))
+    return 0
+
+
+def cmd_rollup(args) -> int:
+    """Build, or incrementally catch up, the persisted hourly events
+    rollup — the ES rollup-job / continuous-transform lifecycle as a
+    CLI verb (mirrors the ``update`` verb's build-then-append shape).
+    ``--delta`` crash-safely merges a new raw-event parquet into an
+    existing rollup (``events.rollup_append`` intent journal;
+    ``--delta-id`` must be stable across retries of the same delta);
+    without it, builds the rollup fresh from ``--events`` (skipping if
+    the manifest already exists, after rolling forward any crashed
+    append)."""
+    import os
+
+    import ray.data as rd
+
+    from . import events, sinks
+
+    _ensure_ray()
+    cols = ["ts", "event_type", "value"]
+    if args.delta:
+        if not args.delta_id:
+            print("rollup: --delta requires --delta-id", file=sys.stderr)
+            return 2
+        events.rollup_append(
+            args.out_dir, rd.read_parquet(args.delta, columns=cols), args.delta_id
+        )
+        action = "append"
+    elif os.path.isfile(os.path.join(args.out_dir, "_rollup_manifest.json")):
+        events.rollforward_pending(args.out_dir)
+        action = "noop"
+    else:
+        if not args.events:
+            print("rollup: initial build requires --events", file=sys.stderr)
+            return 2
+        events._write_rollup(
+            rd.read_parquet(args.events, columns=cols), args.out_dir,
+            source=args.events,
+        )
+        action = "build"
+    pdf = sinks.read_partitioned(
+        args.out_dir, columns=["hour", "event_type", "n_events"]
+    ).to_pandas()
+    print(
+        json.dumps(
+            {
+                "out_dir": args.out_dir,
+                "action": action,
+                "rollup_rows": len(pdf),
+                "n_events": int(pdf["n_events"].sum()),
+            }
+        )
+    )
     return 0
 
 
@@ -402,6 +461,10 @@ def main(argv=None) -> int:
                    help="also start the HTTP front (/search, /info)")
     s.add_argument("--port", type=int, default=0,
                    help="HTTP port (0 = ephemeral)")
+    s.add_argument("--tls-cert", default=None,
+                   help="PEM certificate chain: serve HTTPS (the reference's "
+                        "secure port 443; alternatively terminate TLS at an LB)")
+    s.add_argument("--tls-key", default=None, help="PEM private key for --tls-cert")
     s.add_argument("--query", action="append", help="evaluate via the pool")
     s.add_argument("--k", type=int, default=10)
     s.add_argument(
@@ -441,6 +504,20 @@ def main(argv=None) -> int:
     )
     p.add_argument("text", help="document text to percolate")
     p.set_defaults(fn=cmd_percolate)
+
+    ru = sub.add_parser(
+        "rollup",
+        help="build or incrementally catch up the persisted hourly events rollup",
+    )
+    ru.add_argument("--out-dir", required=True, help="rollup directory")
+    ru.add_argument("--events", default=None,
+                    help="raw events parquet (initial build)")
+    ru.add_argument("--delta", default=None,
+                    help="delta events parquet to append (catch-up)")
+    ru.add_argument("--delta-id", default=None,
+                    help="stable id of the delta batch (required with --delta; "
+                         "retries of the same delta MUST reuse it)")
+    ru.set_defaults(fn=cmd_rollup)
 
     g = sub.add_parser("mget", help="batch point retrieval by conv:turn ids")
     g.add_argument("index_dir")

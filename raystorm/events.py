@@ -1028,12 +1028,17 @@ def rollup_daily(sf_dir: str) -> pd.DataFrame:
     events are never re-read once the rollup exists.  The oracle
     computes the identical report from RAW events, so the gate proves
     the rollup loses nothing.  Gate ``rollup_daily``."""
-    import ray.data as rd
-
-    from . import sinks
-
     out_dir = rollup_events(sf_dir)
     rollforward_pending(out_dir)  # finish any crashed append first
+    return _daily_report(out_dir)
+
+
+def _daily_report(out_dir: str) -> pd.DataFrame:
+    """(hour, type) rollup rows -> the daily per-type report (shared by
+    rollup_daily and rollup_catchup so both gates answer through the
+    identical read path)."""
+    from . import sinks
+
     # manifest-gated shard listing (never orphan tmp dirs) + pruned read
     pdf = sinks.read_partitioned(
         out_dir,
@@ -1054,6 +1059,56 @@ def rollup_daily(sf_dir: str) -> pd.DataFrame:
     out["n_events"] = out["n_events"].astype(np.int64)
     out["sum_value"] = round_half_up(out["sum_value"].to_numpy(), ROUND)
     return out[["day", "event_type", "n_events", "sum_value", "min_value", "max_value"]]
+
+
+def rollup_catchup(sf_dir: str) -> pd.DataFrame:
+    """SQL-exact gate for the INCREMENTAL append path: build the hourly
+    rollup from the FIRST HALF of the raw events, :func:`rollup_append`
+    the second half as a delta, then answer the daily report from the
+    merged rollup — the oracle (:data:`ROLLUP_DAILY_SQL`) computes the
+    same report from ALL raw events, so the gate proves
+    build-then-catch-up loses nothing vs a full rebuild (the round-4
+    verdict's stretch #8; the append==rebuild pytest pins bytes, this
+    pins the driver's rows+schema+hash contract).
+
+    The half/half split is GATE-ONLY plumbing (a real catch-up receives
+    its delta as a stream); the driver-side slice is bounded by the sf
+    fixture, never a production corpus.  The rollup dir is
+    fingerprinted on source identity with a completion marker:
+    re-running the gate reuses the merged rollup (rollup_append is NOT
+    idempotent after its journal clears, so the marker — not the append
+    — is the replay guard), while a regenerated fixture rebuilds fresh
+    and evicts its stale copy."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from .analysis import md5int60
+    from .sinks import evict_fingerprint_siblings
+
+    p = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(p)
+    pathkey = md5int60(os.path.abspath(p))
+    key = md5int60(f"catchup|{os.path.abspath(p)}|{st.st_size}|{st.st_mtime_ns}")
+    out_dir = os.path.join(
+        "/tmp", "raystorm_rollup", f"c{pathkey & 0xFFFFFFFF:08x}-{key:015x}"
+    )
+    done = os.path.join(out_dir, "_catchup_done.json")
+    if not os.path.isfile(done):
+        base = os.path.basename(out_dir)
+        evict_fingerprint_siblings(
+            os.path.dirname(out_dir), base[: base.index("-") + 1], out_dir
+        )
+        tbl = _pq.read_table(p, columns=["ts", "event_type", "value"])
+        half = tbl.num_rows // 2
+        _write_rollup(rd.from_arrow(tbl.slice(0, half)), out_dir, source=sf_dir)
+        rollup_append(
+            out_dir, rd.from_arrow(tbl.slice(half)), delta_id=f"catchup-{key:015x}"
+        )
+        with open(done, "w") as f:
+            _json.dump({"rows": tbl.num_rows, "base_rows": half}, f)
+    return _daily_report(out_dir)
 
 
 ROLLUP_DAILY_SQL = f"""

@@ -134,6 +134,9 @@ def registry() -> dict:
         # --- stream windows ---
         "window_agg": (events.window_agg, events.WINDOW_AGG_SQL),
         "rollup_daily": (events.rollup_daily, events.ROLLUP_DAILY_SQL),
+        # incremental-append parity: build on half, rollup_append the
+        # rest, report == full-raw oracle (same SQL as rollup_daily)
+        "rollup_catchup": (events.rollup_catchup, events.ROLLUP_DAILY_SQL),
         "value_histogram": (events.value_histogram, events.VALUE_HISTOGRAM_SQL),
         "window_sliding": (events.window_sliding, events.WINDOW_SLIDING_SQL),
         "sessionize": (events.sessionize, events.SESSIONIZE_SQL),

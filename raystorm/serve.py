@@ -151,6 +151,18 @@ class ServeHandle:
         self._i += 1
         return ray.get(a.topk.remote(query_text, k, mode))
 
+    def topk_many(self, query_texts, k: int = 10, mode: str = "bm25") -> list:
+        """Fan a batch of query texts across ALL replicas concurrently
+        (round-robin submit, single gather) — the batch-throughput
+        serving path (``bench.py --scaling-serve`` measures it at two
+        parallelism levels); per-call :meth:`topk` stays the latency
+        path."""
+        refs = [
+            self.actors[i % len(self.actors)].topk.remote(q, k, mode)
+            for i, q in enumerate(query_texts)
+        ]
+        return ray.get(refs)
+
     def topk_filtered(
         self, query_text: str, k: int = 10, clauses_json: str = "", mode: str = "bm25"
     ) -> pd.DataFrame:
@@ -216,6 +228,12 @@ class HttpFrontend:
     Runs inside a (detachable) Ray actor so the endpoint outlives the
     starting driver exactly like the replica pool; binds an ephemeral
     port unless given one.
+
+    ``certfile``/``keyfile`` enable TLS (stdlib ``ssl`` wrap of the
+    listening socket) — the reference serves HTTPS on 443
+    (``SearchServer.java:22`` secure port); in a real deployment the
+    usual alternative is terminating TLS at a load balancer in front
+    of the plain-HTTP actor, which is why the option is opt-in.
     """
 
     def __init__(
@@ -225,6 +243,8 @@ class HttpFrontend:
         name: str = "raystorm-server",
         sf_dir: str | None = None,
         port: int = 0,
+        certfile: str | None = None,
+        keyfile: str | None = None,
     ):
         import json
         import threading
@@ -290,6 +310,13 @@ class HttpFrontend:
                     self._send(500, json.dumps({"error": str(e)}))
 
         self._srv = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self._tls = bool(certfile)
+        if certfile:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(certfile, keyfile)
+            self._srv.socket = ctx.wrap_socket(self._srv.socket, server_side=True)
         self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
         self._thread.start()
 
@@ -298,6 +325,9 @@ class HttpFrontend:
 
         host = ray.util.get_node_ip_address()
         return host, int(self._srv.server_address[1])
+
+    def scheme(self) -> str:
+        return "https" if self._tls else "http"
 
     def shutdown(self) -> None:
         self._srv.shutdown()
@@ -316,13 +346,17 @@ def start_http(
     sf_dir: str | None = None,
     port: int = 0,
     detached: bool = False,
+    certfile: str | None = None,
+    keyfile: str | None = None,
 ) -> tuple[str, int]:
-    """Start (or reconnect to) the HTTP front; returns (host, port)."""
+    """Start (or reconnect to) the HTTP(S) front; returns (host, port).
+    ``certfile``/``keyfile`` serve TLS (see HttpFrontend)."""
     opts: dict = {"get_if_exists": True, "name": f"{name}-http"}
     if detached:
         opts["lifetime"] = "detached"
     actor = HttpFrontend.options(**opts).remote(
-        index_dir, replicas=replicas, name=name, sf_dir=sf_dir, port=port
+        index_dir, replicas=replicas, name=name, sf_dir=sf_dir, port=port,
+        certfile=certfile, keyfile=keyfile,
     )
     if not detached:
         _HTTP_ACTORS[name] = actor

@@ -306,3 +306,77 @@ def test_alias_resolution_and_atomic_repoint(index_pair, tmp_path):
     assert not os.path.exists(a)
     with pytest.raises(ValueError):
         admin.delete_alias(str(bad))
+
+
+def test_https_front_tls(index_pair, tmp_path):
+    """TLS on the serving front (the reference's HTTPS-on-443 analog,
+    SearchServer.java:22): with --tls-cert/--tls-key the front wraps
+    its socket in TLS — an HTTPS GET returns the same answers, the
+    scheme reports https, and a plaintext GET against the TLS port
+    fails."""
+    import datetime
+    import json as _json
+    import ssl
+    import urllib.request
+
+    import pytest
+
+    cryptography = pytest.importorskip("cryptography")
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    from raystorm import serve
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "localhost")])
+    t0 = datetime.datetime(2026, 1, 1)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(1)
+        .not_valid_before(t0)
+        .not_valid_after(t0 + datetime.timedelta(days=3650))
+        .sign(key, hashes.SHA256())
+    )
+    cf, kf = tmp_path / "cert.pem", tmp_path / "key.pem"
+    cf.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    kf.write_bytes(
+        key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption(),
+        )
+    )
+
+    _root, live, _cand = index_pair
+    host, port = serve.start_http(
+        live, replicas=2, name="t-tls", certfile=str(cf), keyfile=str(kf)
+    )
+    try:
+        ctx = ssl._create_unverified_context()  # self-signed test cert
+        info = _json.loads(
+            urllib.request.urlopen(
+                f"https://{host}:{port}/info", timeout=30, context=ctx
+            ).read()
+        )
+        assert info["n_terms"] > 0
+        rows = _json.loads(
+            urllib.request.urlopen(
+                f"https://{host}:{port}/search?q=hash%20join&k=5", timeout=30,
+                context=ctx,
+            ).read()
+        )
+        assert len(rows) == 5
+        import ray
+
+        a = ray.get_actor("t-tls-http")
+        assert ray.get(a.scheme.remote()) == "https"
+        # plaintext against the TLS socket must fail, not half-work
+        with pytest.raises(Exception):
+            urllib.request.urlopen(f"http://{host}:{port}/info", timeout=10)
+    finally:
+        assert serve.stop(replicas=2, name="t-tls") == 2

@@ -91,3 +91,40 @@ def test_cli_percolate_no_ray():
         capture_output=True, text=True, timeout=60,
     )
     assert json.loads(n.stdout.strip().splitlines()[-1])["matched"] == []
+
+
+def test_cli_rollup_build_append_noop(tmp_path):
+    """The rollup verb's full lifecycle in fresh subprocesses: initial
+    build from half the events, crash-safe --delta catch-up with the
+    other half, then a manifest-gated noop — final counts equal the
+    whole raw table (the continuous-transform contract)."""
+    import pandas as pd
+
+    raw = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    half = len(raw) // 2
+    base, delta = tmp_path / "base.parquet", tmp_path / "delta.parquet"
+    raw.iloc[:half].to_parquet(base)
+    raw.iloc[half:].to_parquet(delta)
+    out = str(tmp_path / "rollup")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "raystorm.cli", "rollup", "--out-dir", out, *argv],
+            capture_output=True, text=True, timeout=180,
+        )
+        assert r.returncode == 0, r.stderr[-1000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    b = run("--events", str(base))
+    assert b["action"] == "build" and b["n_events"] == half
+    a = run("--delta", str(delta), "--delta-id", "cli-batch-1")
+    assert a["action"] == "append" and a["n_events"] == len(raw)
+    n = run("--events", str(base))  # manifest exists: no rebuild
+    assert n["action"] == "noop" and n["n_events"] == len(raw)
+    # --delta without --delta-id is a usage error, not a silent apply
+    bad = subprocess.run(
+        [sys.executable, "-m", "raystorm.cli", "rollup", "--out-dir", out,
+         "--delta", str(delta)],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert bad.returncode == 2 and "delta-id" in bad.stderr
