@@ -151,17 +151,43 @@ class ServeHandle:
         self._i += 1
         return ray.get(a.topk.remote(query_text, k, mode))
 
-    def topk_many(self, query_texts, k: int = 10, mode: str = "bm25") -> list:
-        """Fan a batch of query texts across ALL replicas concurrently
-        (round-robin submit, single gather) — the batch-throughput
-        serving path (``bench.py --scaling-serve`` measures it at two
-        parallelism levels); per-call :meth:`topk` stays the latency
-        path."""
-        refs = [
-            self.actors[i % len(self.actors)].topk.remote(q, k, mode)
-            for i, q in enumerate(query_texts)
-        ]
-        return ray.get(refs)
+    def topk_many(
+        self, query_texts, k: int = 10, mode: str = "bm25", window: int = 4
+    ) -> list:
+        """Answer a batch of query texts across ALL replicas — the
+        batch-throughput serving path (``bench.py --scaling-serve``
+        measures it at two parallelism levels); per-call :meth:`topk`
+        stays the latency path.
+
+        Dispatch is COMPLETION-DRIVEN, not static round-robin: each
+        replica holds at most ``window`` in-flight queries and the next
+        query goes to whichever replica finishes one.  Query costs over
+        a Zipf vocabulary vary ~100x, so static assignment bounds the
+        batch on the unluckiest replica's queue — measured 0.74 scaling
+        efficiency at 16 replicas x ~94 queries each vs ~1.0 core-hours;
+        work-conserving dispatch removes the straggler term."""
+        results: list = [None] * len(query_texts)
+        it = iter(enumerate(query_texts))
+        pending: dict = {}
+
+        def submit(actor) -> bool:
+            try:
+                i, q = next(it)
+            except StopIteration:
+                return False
+            pending[actor.topk.remote(q, k, mode)] = (i, actor)
+            return True
+
+        for a in self.actors:
+            for _ in range(window):
+                if not submit(a):
+                    break
+        while pending:
+            done, _ = ray.wait(list(pending), num_returns=1)
+            i, actor = pending.pop(done[0])
+            results[i] = ray.get(done[0])
+            submit(actor)
+        return results
 
     def topk_filtered(
         self, query_text: str, k: int = 10, clauses_json: str = "", mode: str = "bm25"

@@ -380,3 +380,26 @@ def test_https_front_tls(index_pair, tmp_path):
             urllib.request.urlopen(f"http://{host}:{port}/info", timeout=10)
     finally:
         assert serve.stop(replicas=2, name="t-tls") == 2
+
+
+def test_topk_many_matches_per_call(index_pair):
+    """The completion-driven batch fan-out returns, in INPUT order, the
+    exact per-call answers — dynamic dispatch must change scheduling
+    only, never results (duplicate queries included)."""
+    from raystorm import query, serve
+
+    _root, live, _cand = index_pair
+    h = serve.start(live, replicas=2, name="t-many")
+    try:
+        texts = ["hash join", "the", "merge sort", "lock table", "hash join"]
+        outs = h.topk_many(texts, 5, "bm25", window=2)
+        direct = query.SegmentIndex(live)
+        assert len(outs) == len(texts)
+        for t, o in zip(texts, outs):
+            pd.testing.assert_frame_equal(
+                o.reset_index(drop=True),
+                direct.topk(t, 5, "bm25").reset_index(drop=True),
+                check_dtype=False,
+            )
+    finally:
+        assert serve.stop(replicas=2, name="t-many") == 2
