@@ -506,6 +506,7 @@ def main_scaling_serve() -> dict:
             "replicas_32cpu": results[32]["replicas"],
             "n_queries": results[32]["n_queries"],
         },
+        "serve_mode": results[32].get("mode", "bm25_pruned"),
         "sf": f"synth-{SERVE_CONVS}convs",
         "num_cpus": 32,
     }
