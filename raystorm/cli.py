@@ -309,7 +309,10 @@ def cmd_rollup(args) -> int:
     CLI verb (mirrors the ``update`` verb's build-then-append shape).
     ``--delta`` crash-safely merges a new raw-event parquet into an
     existing rollup (``events.rollup_append`` intent journal;
-    ``--delta-id`` must be stable across retries of the same delta);
+    ``--delta-id`` must be stable across retries of the same delta —
+    crashed retries roll forward and already-applied retries no-op via
+    the manifest's applied-delta memory, so at-least-once schedulers
+    can re-run this verb freely);
     without it, builds the rollup fresh from ``--events`` (skipping if
     the manifest already exists, after rolling forward any crashed
     append)."""

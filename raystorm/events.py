@@ -893,6 +893,14 @@ def _write_rollup(ds, out_dir: str, source: str, generation: int = 0) -> None:
 
 _PENDING = "_pending_append"
 
+#: how many applied delta_ids the rollup manifest remembers (rolling
+#: window).  Retries normally arrive within the SAME cron cycle or the
+#: next — thousands of batches beyond any realistic retry horizon — so
+#: the window is a deliberate, documented bound (the no-silent-caps
+#: rule): a delta retried after >APPLIED_DELTA_MEMORY newer appends is
+#: indistinguishable from a new delta and would re-apply.
+APPLIED_DELTA_MEMORY = 4096
+
 
 def _apply_staged(out_dir: str) -> None:
     """Roll a staged append FORWARD: rewrite shards from the staged
@@ -921,6 +929,14 @@ def _apply_staged(out_dir: str) -> None:
     man_path = os.path.join(out_dir, "_rollup_manifest.json")
     man = json.load(open(man_path))
     man["generation"] = j["generation"]
+    if j.get("delta_id"):
+        # applied-delta memory: makes a SUCCESS-then-retry of the same
+        # delta a no-op in rollup_append (the journal only guards the
+        # crashed-pending window).  Rolling window, loudly bounded —
+        # see APPLIED_DELTA_MEMORY.
+        mem = man.get("applied_deltas", [])
+        mem.append(j["delta_id"])
+        man["applied_deltas"] = mem[-APPLIED_DELTA_MEMORY:]
     with open(man_path, "w") as f:
         json.dump(man, f)
     shutil.rmtree(jdir)
@@ -957,8 +973,12 @@ def rollup_append(out_dir: str, delta_ds, delta_id: str) -> str:
     be stable across retries of the same delta (e.g. the ingest batch
     name): a pending journal carrying that id means the delta is
     already staged, so the retry finishes the roll-forward instead of
-    double-applying it — an optional id would silently double-count on
-    exactly the retry path this protocol exists for.
+    double-applying it, and the manifest's applied-delta memory
+    (:data:`APPLIED_DELTA_MEMORY` rolling window) makes even a retry
+    AFTER a successful apply a no-op — at-least-once delivery (cron
+    re-runs, redelivering queues) cannot double-count.  An optional id
+    would silently double-count on exactly the retry path this
+    protocol exists for.
 
     Concurrency contract: ONE appender at a time (a lost journal race
     raises instead of corrupting); readers concurrent with an in-flight
@@ -993,6 +1013,11 @@ def rollup_append(out_dir: str, delta_ds, delta_id: str) -> str:
 
     man_path = os.path.join(out_dir, "_rollup_manifest.json")
     man = json.load(open(man_path))
+    if delta_id in man.get("applied_deltas", []):
+        # success-then-retry of the SAME delta (cron re-run, at-least-
+        # once queue): already merged — a second apply would double-
+        # count exactly the rows the id exists to protect
+        return out_dir
     gen = int(man.get("generation", 0)) + 1
     existing = sinks.read_partitioned(out_dir, columns=_ROLLUP_COLS)
     merged = (

@@ -1511,3 +1511,47 @@ def test_rollup_append_crash_rolls_forward(ray_session, tmp_path, monkeypatch):
     assert json.load(open(os.path.join(out, "_rollup_manifest.json")))[
         "generation"
     ] == 1
+
+
+def test_rollup_append_success_retry_is_noop(ray_session, tmp_path):
+    """At-least-once delivery: re-running a SUCCESSFULLY applied delta
+    with the same delta_id must be a no-op (the manifest's
+    applied-delta memory), not a double-count — the journal alone only
+    guards the crashed-pending window.  A genuinely NEW id still
+    applies."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from raystorm import events, sinks
+
+    raw = pd.read_parquet("/root/testdata/sf0.001/events.parquet")[
+        ["ts", "event_type", "value"]
+    ]
+    cutoff = raw["ts"].quantile(0.7)
+    base, delta = raw[raw.ts < cutoff], raw[raw.ts >= cutoff]
+    out = str(tmp_path / "roll")
+    events._write_rollup(rd.from_pandas(base), out, source="base")
+    events.rollup_append(out, rd.from_pandas(delta), delta_id="batch-1")
+
+    def snapshot():
+        return (
+            sinks.read_partitioned(out, columns=events._ROLLUP_COLS)
+            .to_pandas()
+            .sort_values(["hour", "event_type"])
+            .reset_index(drop=True)
+        )
+
+    once = snapshot()
+    man = json.load(open(os.path.join(out, "_rollup_manifest.json")))
+    assert man["applied_deltas"] == ["batch-1"]
+    # cron re-run of the same batch: counts unchanged, generation unchanged
+    events.rollup_append(out, rd.from_pandas(delta), delta_id="batch-1")
+    pd.testing.assert_frame_equal(snapshot(), once)
+    man2 = json.load(open(os.path.join(out, "_rollup_manifest.json")))
+    assert man2["generation"] == man["generation"]
+    # a NEW id is a new delta and must apply
+    events.rollup_append(out, rd.from_pandas(delta.head(50)), delta_id="batch-2")
+    after = snapshot()
+    assert after["n_events"].sum() == once["n_events"].sum() + 50
