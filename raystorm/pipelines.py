@@ -72,6 +72,11 @@ def registry() -> dict:
         "quality_lr_preds": (analysis.quality_lr_preds, analysis.quality_lr_preds_sql()),
         "jsonl_roundtrip": (lambda sf: sinks.jsonl_roundtrip(sf), sinks.JSONL_ROUNDTRIP_SQL),
         "csv_roundtrip": (lambda sf: sinks.csv_roundtrip(sf), sinks.CSV_ROUNDTRIP_SQL),
+        "orc_roundtrip": (lambda sf: sinks.orc_roundtrip(sf), sinks.ORC_ROUNDTRIP_SQL),
+        "feather_roundtrip": (
+            lambda sf: sinks.feather_roundtrip(sf),
+            sinks.FEATHER_ROUNDTRIP_SQL,
+        ),
         # --- sketches (deterministic KMV distinct counts) ---
         "sketch_distinct_users": (sketches.sketch_distinct_users, sketches.SKETCH_DISTINCT_USERS_SQL),
         "sketch_union_users": (sketches.sketch_union_users, sketches.SKETCH_UNION_USERS_SQL),

@@ -57,8 +57,9 @@ def write_partitioned(
 
     ``format``: ``"parquet"`` (columnar, the default), ``"jsonl"``
     (line-delimited JSON — the interchange format training-data
-    pipelines commonly hand off) or ``"csv"``; the sharding,
-    atomic-rename and resume machinery is format-agnostic.
+    pipelines commonly hand off), ``"csv"``, ``"orc"`` or
+    ``"feather"`` (Arrow IPC); the sharding, atomic-rename and resume
+    machinery is format-agnostic.
 
     Returns the shard manifests.  All rows of one key land in one shard
     (the resume unit is a key range, never a partial key).
@@ -102,6 +103,24 @@ def write_partitioned(
             elif format == "csv":
                 body.reset_index(drop=True).to_csv(
                     os.path.join(tmp, "data.csv"), index=False
+                )
+            elif format == "orc":
+                import pyarrow.orc as _orc
+
+                _orc.write_table(
+                    pa.Table.from_pandas(
+                        body.reset_index(drop=True), preserve_index=False
+                    ),
+                    os.path.join(tmp, "data.orc"),
+                )
+            elif format == "feather":
+                import pyarrow.feather as _feather
+
+                _feather.write_feather(
+                    pa.Table.from_pandas(
+                        body.reset_index(drop=True), preserve_index=False
+                    ),
+                    os.path.join(tmp, "data.feather"),
                 )
             else:
                 import pyarrow.parquet as pq
@@ -164,7 +183,12 @@ def read_partitioned(out_dir: str, format: str = "parquet", columns=None):
         raise ValueError(
             f"columns= projection is parquet-only (got format={format!r})"
         )
-    name = {"jsonl": "data.jsonl", "csv": "data.csv"}.get(format, "data.parquet")
+    name = {
+        "jsonl": "data.jsonl",
+        "csv": "data.csv",
+        "orc": "data.orc",
+        "feather": "data.feather",
+    }.get(format, "data.parquet")
     files = []
     for d in sorted(os.listdir(out_dir)):
         if ".tmp-" in d or not os.path.isfile(os.path.join(out_dir, d, name)):
@@ -179,6 +203,28 @@ def read_partitioned(out_dir: str, format: str = "parquet", columns=None):
         return rd.read_json(files)
     if format == "csv":
         return rd.read_csv(files)
+    if format in ("orc", "feather"):
+        # Ray Data (2.49) ships no ORC/Feather reader: stream the shard
+        # files as binary blocks and decode per batch with the pyarrow
+        # kernel — one shard file per task, zero-copy Arrow out, same
+        # streaming shape as the built-in readers
+        def decode(batch: pa.Table) -> pa.Table:
+            tables = []
+            for buf in batch["bytes"]:
+                src = pa.BufferReader(buf.as_py())
+                if format == "orc":
+                    import pyarrow.orc as _orc
+
+                    tables.append(_orc.ORCFile(src).read())
+                else:
+                    import pyarrow.feather as _feather
+
+                    tables.append(_feather.read_table(src))
+            return pa.concat_tables(tables)
+
+        return rd.read_binary_files(files).map_batches(
+            decode, batch_format="pyarrow"
+        )
     return rd.read_parquet(files, columns=columns)
 
 
@@ -256,3 +302,26 @@ def csv_roundtrip(sf_dir: str) -> pd.DataFrame:
 
 
 CSV_ROUNDTRIP_SQL = ROUNDTRIP_SQL
+
+
+def orc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """ORC sink/source parity gate — the Hadoop-ecosystem columnar
+    interchange format (pyarrow.orc kernels; Arrow types round-trip
+    losslessly, unlike CSV).  Reads stream shard files as binary blocks
+    + per-batch Arrow decode (Ray Data has no built-in ORC reader).
+    Gate ``orc_roundtrip``; oracle :data:`ROUNDTRIP_SQL`."""
+    return _interchange_roundtrip(sf_dir, "orc")
+
+
+ORC_ROUNDTRIP_SQL = ROUNDTRIP_SQL
+
+
+def feather_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Feather/Arrow-IPC sink/source parity gate — the zero-copy
+    memory-mappable interchange format (the natural handoff to other
+    Arrow-native engines).  Gate ``feather_roundtrip``; oracle
+    :data:`ROUNDTRIP_SQL`."""
+    return _interchange_roundtrip(sf_dir, "feather")
+
+
+FEATHER_ROUNDTRIP_SQL = ROUNDTRIP_SQL

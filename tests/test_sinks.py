@@ -82,3 +82,36 @@ def test_jsonl_sink_roundtrip_and_resume(ray_session, tmp_path):
                             fingerprint="fp1", format="jsonl")
     for d, t in mt.items():
         assert os.path.getmtime(os.path.join(out, d, "data.jsonl")) == t
+
+
+def test_orc_feather_sink_roundtrip_and_resume(ray_session, tmp_path):
+    """ORC + Feather through the same shard/resume machinery: lossless
+    Arrow-typed roundtrip (no CSV-style string coercion caveat), and a
+    rerun rewrites nothing."""
+    import os
+
+    import pytest
+    import ray.data as rd
+
+    from raystorm import sinks
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    orig = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for fmt in ("orc", "feather"):
+        out = str(tmp_path / fmt)
+        m1 = sinks.write_partitioned(ds, out, "doc_id", num_shards=4,
+                                     fingerprint="fp1", format=fmt)
+        assert len(m1) == 4 and all(m["format"] == fmt for m in m1)
+        back = sinks.read_partitioned(out, format=fmt).to_pandas()
+        back = back.sort_values("doc_id").reset_index(drop=True)[list(orig.columns)]
+        pd.testing.assert_frame_equal(back, orig)
+        fname = f"data.{fmt}"
+        mt = {d: os.path.getmtime(os.path.join(out, d, fname))
+              for d in os.listdir(out)}
+        sinks.write_partitioned(ds, out, "doc_id", num_shards=4,
+                                fingerprint="fp1", format=fmt)
+        for d, t in mt.items():
+            assert os.path.getmtime(os.path.join(out, d, fname)) == t
+        # columns= projection stays a parquet-only contract
+        with pytest.raises(ValueError, match="parquet-only"):
+            sinks.read_partitioned(out, format=fmt, columns=["doc_id"])
