@@ -1136,6 +1136,61 @@ def rollup_catchup(sf_dir: str) -> pd.DataFrame:
     return _daily_report(out_dir)
 
 
+#: moving-average window (hours) for the trend report
+TREND_WINDOW = 7
+
+
+def rollup_trends(sf_dir: str) -> pd.DataFrame:
+    """ES pipeline-aggregation analog (``moving_fn`` + ``derivative``)
+    answered FROM THE ROLLUP: per event type, hourly event count, its
+    :data:`TREND_WINDOW`-hour trailing moving average, and the delta vs
+    the previous PRESENT hour (first hour's delta = 0 — both engines
+    use ``coalesce(lag, current)`` so no NULL crosses the hash gate).
+    Hours with zero events have no rollup row and are absent from the
+    window on BOTH sides (ES ``min_doc_count=1`` semantics).  The
+    windowing runs on the (hours × types)-bounded rollup table — the
+    raw stream is never re-read.  Gate ``rollup_trends``; oracle
+    :data:`ROLLUP_TRENDS_SQL` recomputes from raw events."""
+    out_dir = rollup_events(sf_dir)
+    rollforward_pending(out_dir)
+    from . import sinks
+
+    pdf = sinks.read_partitioned(
+        out_dir, columns=["hour", "event_type", "n_events"]
+    ).to_pandas()
+    pdf = pdf.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    g = pdf.groupby("event_type", sort=False)["n_events"]
+    ma = g.rolling(TREND_WINDOW, min_periods=1).mean().reset_index(drop=True)
+    prev = g.shift(1)
+    delta = (pdf["n_events"] - prev.fillna(pdf["n_events"])).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "hour": pdf["hour"],
+            "event_type": pdf["event_type"],
+            "n_events": pdf["n_events"].astype(np.int64),
+            "ma": round_half_up(ma.to_numpy(np.float64), ROUND),
+            "delta": delta,
+        }
+    )
+
+
+ROLLUP_TRENDS_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, event_type, n_events,
+       round(avg(n_events) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS BETWEEN {TREND_WINDOW - 1} PRECEDING AND CURRENT ROW), {ROUND}) AS ma,
+       n_events - coalesce(lag(n_events) OVER (
+         PARTITION BY event_type ORDER BY hour), n_events) AS delta
+FROM hourly
+ORDER BY event_type, hour
+"""
+
+
 ROLLUP_DAILY_SQL = f"""
 SELECT date_trunc('day', ts) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n_events,

@@ -142,6 +142,7 @@ def registry() -> dict:
         # incremental-append parity: build on half, rollup_append the
         # rest, report == full-raw oracle (same SQL as rollup_daily)
         "rollup_catchup": (events.rollup_catchup, events.ROLLUP_DAILY_SQL),
+        "rollup_trends": (events.rollup_trends, events.ROLLUP_TRENDS_SQL),
         "value_histogram": (events.value_histogram, events.VALUE_HISTOGRAM_SQL),
         "window_sliding": (events.window_sliding, events.WINDOW_SLIDING_SQL),
         "sessionize": (events.sessionize, events.SESSIONIZE_SQL),

@@ -283,10 +283,10 @@ class HttpFrontend:
             def log_message(self, *a):  # quiet
                 pass
 
-            def _send(self, code: int, payload: str):
+            def _send(self, code: int, payload: str, ctype: str = "application/json"):
                 body = payload.encode()
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -325,6 +325,32 @@ class HttpFrontend:
                         qs = parse_qs(u.query)
                         ids = handle.percolate(qs.get("doc", [""])[0])
                         self._send(200, json.dumps({"matched": ids}))
+                    elif u.path == "/ui":
+                        # the reference's HTML results page analog
+                        # (SearchServer.java:225-258: form + ranked
+                        # result list) — same topk as /search, rendered
+                        # server-side; escaping via html.escape
+                        import html as _html
+
+                        qs = parse_qs(u.query)
+                        q = qs.get("q", [""])[0]
+                        k = int(qs.get("k", ["10"])[0])
+                        rows = ""
+                        if q:
+                            df = handle.topk(q, k, qs.get("mode", ["bm25"])[0])
+                            rows = "".join(
+                                "<li><b>%s</b>#%d <small>score %.6f</small></li>"
+                                % (_html.escape(str(r.conv_id)), int(r.turn_idx),
+                                   float(r.score))
+                                for r in df.itertuples()
+                            )
+                        page = (
+                            "<!doctype html><title>raystorm</title>"
+                            "<form action='/ui'><input name='q' value='%s'>"
+                            "<button>Search</button></form><ol>%s</ol>"
+                            % (_html.escape(q, quote=True), rows)
+                        )
+                        self._send(200, page, ctype="text/html; charset=utf-8")
                     elif u.path == "/info":
                         self._send(200, json.dumps(handle.info()))
                     else:

@@ -403,3 +403,32 @@ def test_topk_many_matches_per_call(index_pair):
             )
     finally:
         assert serve.stop(replicas=2, name="t-many") == 2
+
+
+def test_http_ui_results_page(index_pair):
+    """The /ui route (the reference's HTML results page analog,
+    SearchServer.java:225-258) renders the SAME ranked hits as the JSON
+    route, HTML-escaped, with the search form echoing the query."""
+    import urllib.request
+    from urllib.parse import quote
+
+    from raystorm import query, serve
+
+    _root, live, _cand = index_pair
+    host, port = serve.start_http(live, replicas=2, name="t-ui")
+    try:
+        q = "hash join"
+        page = urllib.request.urlopen(
+            f"http://{host}:{port}/ui?q={quote(q)}&k=5", timeout=30
+        ).read().decode()
+        assert "text/html" not in page and page.startswith("<!doctype html>")
+        want = query.SegmentIndex(live).topk(q, 5, "bm25")
+        for conv in want["conv_id"]:
+            assert str(conv) in page
+        assert f"value='{q}'" in page
+        empty = urllib.request.urlopen(
+            f"http://{host}:{port}/ui", timeout=30
+        ).read().decode()
+        assert "<ol></ol>" in empty  # no query: form only, no results
+    finally:
+        assert serve.stop(replicas=2, name="t-ui") == 2
