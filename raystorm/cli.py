@@ -232,12 +232,25 @@ def cmd_run(args) -> int:
     fn, _sql = reg[args.pipeline]
     t0 = time.perf_counter()
     result = fn(args.sf_dir)
+    stats = None
     if hasattr(result, "to_pandas"):  # Dataset / pyarrow.Table -> DataFrame
+        if args.stats and hasattr(result, "stats"):
+            result = result.materialize()
+            stats = result.stats()
         result = result.to_pandas()
+    elif args.stats:
+        stats = (
+            "(pipeline returned a driver-side result; per-stage Ray Data "
+            "stats are available only for Dataset-returning pipelines)"
+        )
     elapsed = time.perf_counter() - t0
     out.output(f"pipeline {args.pipeline}: {len(result)} rows in {elapsed:.2f}s")
     if args.head:
         out.output(result.head(args.head).to_string(index=False))
+    if stats:
+        # the ds.stats() feedback loop as a CLI surface: per-stage wall
+        # time / blocks / rows for tuning batch sizes and pool widths
+        out.output(stats)
     print(out.value())
     print(json.dumps({"pipeline": args.pipeline, "rows": len(result), "elapsed_s": round(elapsed, 3)}))
     return 0
@@ -483,6 +496,8 @@ def main(argv=None) -> int:
     r.add_argument("--pipeline", required=True, help="name from pipelines.registry()")
     r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     r.add_argument("--head", type=int, default=0, help="also print the first N rows")
+    r.add_argument("--stats", action="store_true",
+                   help="print Ray Data per-stage stats (Dataset-returning pipelines)")
     r.set_defaults(fn=cmd_run)
 
     a = sub.add_parser(

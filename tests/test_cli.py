@@ -128,3 +128,18 @@ def test_cli_rollup_build_append_noop(tmp_path):
         capture_output=True, text=True, timeout=60,
     )
     assert bad.returncode == 2 and "delta-id" in bad.stderr
+
+
+def test_cli_run_stats(tmp_path):
+    """`run --stats` prints Ray Data per-stage stats for a
+    Dataset-returning pipeline (the ds.stats() tuning loop as a CLI
+    surface) alongside the normal job output."""
+    r = subprocess.run(
+        [sys.executable, "-m", "raystorm.cli", "run",
+         "--pipeline", "sample_events", "--sf-dir", "/root/testdata/sf0.001",
+         "--stats"],
+        capture_output=True, text=True, timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert "throughput" in r.stdout and "pipeline sample_events" in r.stdout
+    assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] > 0
