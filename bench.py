@@ -384,16 +384,16 @@ def _serve_workload(n: int = SERVE_QUERIES, vocab_size: int = 5000, seed: int = 
     2-4 terms per query drawn Zipf-ish from ranks 10..2000 (the top-10
     ultra-head terms are excluded: a rank-1 term matches ~10% of a
     Zipf corpus, so all-head queries measure one giant numpy scan, not
-    serving throughput), base-26 words matching
-    corpus.synth_transcripts."""
+    serving throughput).  Words come from corpus.synth_word — the ONE
+    vocabulary definition — so queries always name real corpus terms."""
     import numpy as np
+
+    from raystorm.corpus import synth_word as word
 
     rng = np.random.default_rng(seed)
 
-    def word(i: int) -> str:
-        return "".join(chr(97 + (i // 26**k) % 26) for k in reversed(range(4)))
-
-    lo, hi = 10, min(2000, vocab_size)
+    # valid vocab codes are 0..vocab_size-1
+    lo, hi = 10, min(2000, vocab_size - 1)
     ranks = np.arange(lo, hi + 1, dtype=np.float64)
     probs = ranks**-1.1
     probs /= probs.sum()
@@ -422,8 +422,8 @@ def main_serve_child(num_cpus: int, mode: str = "bm25_pruned") -> dict:
     memory bandwidth (measured per-replica query cost RISING 63->84 ms
     with pool width; 0.75 efficiency), a contention term a real
     multi-node cluster doesn't pay because each node brings its own
-    DRAM.  Pruned scans touch a fraction of the postings (0.83+
-    single-box efficiency).  ``--serve-mode bm25`` keeps the exhaustive
+    DRAM.  Pruned scans touch a fraction of the postings (0.82+
+    single-box efficiency, all replicas warmed).  ``--serve-mode bm25`` keeps the exhaustive
     measurement available."""
     import ray
 
@@ -452,7 +452,12 @@ def main_serve_child(num_cpus: int, mode: str = "bm25_pruned") -> dict:
         h = serve.start(idx, replicas=replicas, name=name)
         texts = _serve_workload()
         try:
-            h.topk_many(texts[: replicas * 2], mode=mode)  # warm: index pages faulted in
+            # warm EVERY replica: window=2 with replicas*2 queries fills
+            # each actor with exactly 2 before any completion steal (the
+            # default window=4 would warm only half the pool and bill
+            # the other half's cold index-page faults to the timed
+            # window — asymmetrically across CPU levels)
+            h.topk_many(texts[: replicas * 2], mode=mode, window=2)
             t0 = time.perf_counter()
             h.topk_many(texts, mode=mode)
             elapsed = time.perf_counter() - t0
@@ -470,16 +475,17 @@ def main_serve_child(num_cpus: int, mode: str = "bm25_pruned") -> dict:
         ray.shutdown()
 
 
-def main_scaling_serve() -> dict:
+def main_scaling_serve(mode: str = "bm25_pruned") -> dict:
     """Fresh-process serve-throughput runs at 8 and 32 CPUs (interleaved,
     min per level — the main_scaling discipline) over the SAME index;
-    reports QPS at both levels + scaling efficiency (qps32/qps8)/4."""
+    reports QPS at both levels + scaling efficiency (qps32/qps8)/4.
+    ``mode`` forwards to every child (--serve-mode at the top level)."""
     results: dict[int, dict] = {}
     for _rep in range(SERVE_REPEATS):
         for cpus in (32, 8):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--serve-child",
-                 "--serve-cpus", str(cpus)],
+                 "--serve-cpus", str(cpus), "--serve-mode", mode],
                 capture_output=True, text=True, timeout=3600,
             )
             lines = proc.stdout.strip().splitlines()
@@ -527,7 +533,7 @@ if __name__ == "__main__":
     if args.serve_child:
         out = main_serve_child(args.serve_cpus, mode=args.serve_mode)
     elif args.scaling_serve:
-        out = main_scaling_serve()
+        out = main_scaling_serve(mode=args.serve_mode)
     elif args.scaling:
         out = main_scaling(SF_DIR)
     else:

@@ -179,6 +179,12 @@ def cmd_query(args) -> int:
 def cmd_serve(args) -> int:
     from . import serve
 
+    # usage validation BEFORE any actor launches: a pairing error after
+    # serve.start() would leave the replica pool running (permanently,
+    # with --detached) behind a failed command
+    if args.http and bool(args.tls_cert) != bool(args.tls_key):
+        print("serve: --tls-cert and --tls-key go together", file=sys.stderr)
+        return 2
     _ensure_ray()
     handle = serve.start(
         args.index_dir,
@@ -189,9 +195,6 @@ def cmd_serve(args) -> int:
     )
     info = {"replicas": args.replicas, "name": args.name, **handle.info()}
     if args.http:
-        if bool(args.tls_cert) != bool(args.tls_key):
-            print("serve: --tls-cert and --tls-key go together", file=sys.stderr)
-            return 2
         host, port = serve.start_http(
             args.index_dir, replicas=args.replicas, name=args.name,
             sf_dir=args.sf_dir, port=args.port, detached=args.detached,
@@ -233,16 +236,17 @@ def cmd_run(args) -> int:
     t0 = time.perf_counter()
     result = fn(args.sf_dir)
     stats = None
-    if hasattr(result, "to_pandas"):  # Dataset / pyarrow.Table -> DataFrame
-        if args.stats and hasattr(result, "stats"):
+    if args.stats:
+        if hasattr(result, "stats"):  # a Ray Dataset
             result = result.materialize()
             stats = result.stats()
+        else:  # DataFrame OR pyarrow.Table: both are driver-side results
+            stats = (
+                "(pipeline returned a driver-side result; per-stage Ray Data "
+                "stats are available only for Dataset-returning pipelines)"
+            )
+    if hasattr(result, "to_pandas"):  # Dataset / pyarrow.Table -> DataFrame
         result = result.to_pandas()
-    elif args.stats:
-        stats = (
-            "(pipeline returned a driver-side result; per-stage Ray Data "
-            "stats are available only for Dataset-returning pipelines)"
-        )
     elapsed = time.perf_counter() - t0
     out.output(f"pipeline {args.pipeline}: {len(result)} rows in {elapsed:.2f}s")
     if args.head:

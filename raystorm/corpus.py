@@ -170,6 +170,20 @@ EDGE_TEXTS = (
 )
 
 
+def synth_word(i: int) -> str:
+    """The i-th synthetic-corpus vocabulary word: 4-char base-26 (must
+    survive the pure-alpha body tokenizer).  ONE definition shared by
+    :func:`synth_transcripts` and the serve-bench query workload — a
+    re-derived copy would silently query terms absent from the corpus
+    if the scheme ever changed."""
+    return "".join(chr(97 + (i // 26**k) % 26) for k in reversed(range(4)))
+
+
+def synth_vocab(vocab_size: int) -> np.ndarray:
+    """Vocabulary array for the synthetic corpus (see :func:`synth_word`)."""
+    return np.array([synth_word(i) for i in range(vocab_size)], dtype=object)
+
+
 def synth_transcripts(
     n_convs: int = 200,
     seed: int = 42,
@@ -197,14 +211,7 @@ def synth_transcripts(
     os.makedirs(root, exist_ok=True)
 
     rng = np.random.default_rng(seed)
-    # vocabulary must survive the body tokenizer (^[a-z]+$): base-26 words
-    vocab = np.array(
-        [
-            "".join(chr(97 + (i // 26**k) % 26) for k in reversed(range(4)))
-            for i in range(vocab_size)
-        ],
-        dtype=object,
-    )
+    vocab = synth_vocab(vocab_size)
     ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
     probs = ranks ** (-zipf_s)
     probs /= probs.sum()

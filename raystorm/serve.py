@@ -166,6 +166,8 @@ class ServeHandle:
         batch on the unluckiest replica's queue — measured 0.74 scaling
         efficiency at 16 replicas x ~94 queries each vs ~1.0 core-hours;
         work-conserving dispatch removes the straggler term."""
+        if window < 1:
+            raise ValueError(f"topk_many window must be >= 1, got {window}")
         results: list = [None] * len(query_texts)
         it = iter(enumerate(query_texts))
         pending: dict = {}
@@ -361,14 +363,35 @@ class HttpFrontend:
                     traceback.print_exc()
                     self._send(500, json.dumps({"error": str(e)}))
 
-        self._srv = ThreadingHTTPServer(("0.0.0.0", port), Handler)
         self._tls = bool(certfile)
         if certfile:
             import ssl
 
             ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
             ctx.load_cert_chain(certfile, keyfile)
-            self._srv.socket = ctx.wrap_socket(self._srv.socket, server_side=True)
+
+            class TLSServer(ThreadingHTTPServer):
+                """Per-CONNECTION TLS wrap, deferred handshake: wrapping
+                the LISTENING socket would run the full handshake inside
+                accept() on the single serve_forever thread, so one
+                stalled client (TCP connect, then silence) hangs every
+                other request.  Here accept() stays instant; the
+                handshake happens on first read in the per-request
+                handler thread, bounded by the socket timeout."""
+
+                def get_request(self):
+                    sock, addr = self.socket.accept()
+                    sock.settimeout(30)
+                    return (
+                        ctx.wrap_socket(
+                            sock, server_side=True, do_handshake_on_connect=False
+                        ),
+                        addr,
+                    )
+
+            self._srv = TLSServer(("0.0.0.0", port), Handler)
+        else:
+            self._srv = ThreadingHTTPServer(("0.0.0.0", port), Handler)
         self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
         self._thread.start()
 

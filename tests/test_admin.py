@@ -378,6 +378,21 @@ def test_https_front_tls(index_pair, tmp_path):
         # plaintext against the TLS socket must fail, not half-work
         with pytest.raises(Exception):
             urllib.request.urlopen(f"http://{host}:{port}/info", timeout=10)
+        # a stalled client (TCP connect, then silence) must NOT hang the
+        # front: the handshake runs in the per-request handler thread,
+        # never the accept loop, so a concurrent request still answers
+        import socket
+
+        stalled = socket.create_connection((host, port), timeout=10)
+        try:
+            again = _json.loads(
+                urllib.request.urlopen(
+                    f"https://{host}:{port}/info", timeout=10, context=ctx
+                ).read()
+            )
+            assert again["n_terms"] > 0
+        finally:
+            stalled.close()
     finally:
         assert serve.stop(replicas=2, name="t-tls") == 2
 
@@ -392,6 +407,10 @@ def test_topk_many_matches_per_call(index_pair):
     h = serve.start(live, replicas=2, name="t-many")
     try:
         texts = ["hash join", "the", "merge sort", "lock table", "hash join"]
+        import pytest
+
+        with pytest.raises(ValueError, match="window"):
+            h.topk_many(texts, 5, "bm25", window=0)
         outs = h.topk_many(texts, 5, "bm25", window=2)
         direct = query.SegmentIndex(live)
         assert len(outs) == len(texts)
