@@ -141,3 +141,78 @@ def test_connected_components_matches_union_find(ray_session):
         got = dedup.connected_components(rd.from_pandas(pairs).repartition(4), nodes)
         want = _uf_labels(edges, nodes)
         assert {int(x): int(l) for x, l in zip(nodes, got)} == want, (n_nodes, n_edges)
+
+
+def test_bm25_random_corpus_tie_parity(ray_session, tmp_path):
+    """Randomized-corpus ranking parity: on seeded random corpora with
+    ENGINEERED exact score ties (duplicate texts), the engine's top-k
+    must equal the SQL oracle row for row — the (rounded score desc,
+    conv, turn) tie-break under real collisions, not just the fixed
+    fixtures — and the pruned + BMW paths must stay rank-identical to
+    exhaustive on the same input."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from raystorm import build, corpus, query
+    from raystorm.corpus import synth_word
+
+    for seed in (11, 22):
+        rng = np.random.default_rng(seed)
+        vocab = [synth_word(i) for i in range(40)]
+        texts = [
+            " ".join(rng.choice(vocab, size=int(rng.integers(1, 12))))
+            for _ in range(120)
+        ]
+        for i in range(0, 30, 3):  # exact duplicates => guaranteed ties
+            texts[i + 1] = texts[i]
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(1, 121, dtype=np.int64),
+                "text": texts,
+                "lang": "en",
+                "source": "synthA",
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        sf = tmp_path / f"sf{seed}"
+        sf.mkdir()
+        docs.to_parquet(sf / "documents.parquet")
+        idx = str(sf / "idx")
+        build.build_index(
+            corpus.transcripts_from_documents(str(sf)), idx,
+            input_fingerprint=str(sf),
+            cfg=build.BuildConfig(num_partitions=4, split_target=100),
+        )
+        queries = tuple(
+            (f"q{j:02d}", " ".join(rng.choice(vocab, size=int(rng.integers(1, 4)))),
+             int(rng.integers(1, 15)))
+            for j in range(10)
+        )
+        si = query.SegmentIndex(idx)
+        rows = []
+        for qid, text, k in queries:
+            df = si.topk(text, k, "bm25")
+            df.insert(0, "query_id", qid)
+            rows.append(df)
+        got = pd.concat(rows, ignore_index=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.execute(query.bm25_topk_sql(queries=queries)).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False,
+        )
+        for qid, text, k in queries:  # pruned/BMW rank-identity under ties
+            base = si.topk(text, k, "bm25").reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                base, si.topk(text, k, "bm25_pruned").reset_index(drop=True),
+                check_dtype=False,
+            )
+            pd.testing.assert_frame_equal(
+                base, si.topk_bmw(text, k).reset_index(drop=True),
+                check_dtype=False,
+            )
