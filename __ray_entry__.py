@@ -825,6 +825,14 @@ def _q_topk_bm25_selective(sf_dir: str):
     )
 
 
+def _q_search_overlap(sf_dir: str):
+    """Pairwise query hit-set overlap (related-query analytics): per
+    fixed query pair, distinct-conv hit-set sizes, intersection count
+    and Jaccard — sets never leave the scorer actors
+    (query.batch_overlap; oracle query.overlap_sql)."""
+    return query.batch_overlap(_index_for(sf_dir))
+
+
 def _q_search_count(sf_dir: str):
     """Hit counting (the ES _count API): distinct match-any candidates
     per query via the accumulator, no ranking work; zero-hit queries
@@ -1559,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bm25_selective": _q_topk_bm25_selective,
         "topk_bm25_rollover": _q_topk_bm25_rollover,
         "search_count": _q_search_count,
+        "search_overlap": _q_search_overlap,
         "term_vectors": _q_term_vectors,
         "mget_docs": _q_mget_docs,
         "search_facets_stats": _q_search_facets_stats,
@@ -1702,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_selective": query.bm25_topk_sql(),
         "topk_bm25_rollover": query.bm25_topk_sql(),
         "search_count": query.count_sql(),
+        "search_overlap": query.overlap_sql(),
         "term_vectors": _term_vectors_oracle_sql(),
         "mget_docs": _mget_oracle_sql(),
         "search_facets_stats": facets.facets_stats_sql(),

@@ -2680,6 +2680,129 @@ def batch_count(index_dir: str, queries=REFERENCE_QUERIES, mode: str = "bm25"):
     )
 
 
+#: fixed query pairs for the overlap report — consecutive reference
+#: pairs plus two crossing ones; (q03, q04) and (q04, q05) exercise the
+#: zero-hit side (q04 = zzzabsent)
+OVERLAP_PAIRS = tuple(
+    (f"q{i:02d}", f"q{i + 1:02d}") for i in range(1, 10)
+) + (("q01", "q05"), ("q03", "q08"))
+
+
+class OverlapScorer:
+    """Actor-pool stage: query-pair batch -> hit-CONV-set overlap — the
+    related-query analytics shape (query clustering, intent dedup).
+    The index loads once per actor; per-query conv sets are computed at
+    most once per batch (dict cache), and only SIZES leave the actor —
+    no conv set ever reaches the driver.  At 100 TB the exact sets
+    become KMV sketches (the search_cardinality scale note); this op's
+    output shape is sketch-compatible (counts + ratio)."""
+
+    def __init__(self, index_dir: str, mode: str = "bm25"):
+        self.index = SegmentIndex(index_dir)
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cache: dict = {}
+
+        def convs(text: str) -> np.ndarray:
+            if text not in cache:
+                ids, _ = self.index._score_mode(text, self.mode)
+                conv, _turn = self.index.codec.decode(ids)
+                cache[text] = np.unique(np.asarray(conv).astype(str))
+            return cache[text]
+
+        qa, qb, na, nb, nc, jac = [], [], [], [], [], []
+        for a, b, ta, tb in zip(
+            batch["query_a"].to_pylist(), batch["query_b"].to_pylist(),
+            batch["text_a"].to_pylist(), batch["text_b"].to_pylist(),
+        ):
+            ca, cb = convs(ta), convs(tb)
+            common = len(np.intersect1d(ca, cb, assume_unique=True))
+            union = len(ca) + len(cb) - common
+            qa.append(a); qb.append(b)
+            na.append(len(ca)); nb.append(len(cb)); nc.append(common)
+            jac.append(0.0 if union == 0 else common / union)
+        return pa.table(
+            {
+                "query_a": pa.array(qa, pa.string()),
+                "query_b": pa.array(qb, pa.string()),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+                "n_common": pa.array(nc, pa.int64()),
+                "jaccard": pa.array(round_half_up(np.array(jac), SCORE_ROUND), pa.float64()),
+            }
+        )
+
+
+def batch_overlap(
+    index_dir: str, pairs=OVERLAP_PAIRS, queries=REFERENCE_QUERIES,
+    mode: str = "bm25",
+):
+    """Pairwise hit-set overlap over a query-pair table (gate
+    ``search_overlap``; oracle :func:`overlap_sql`)."""
+    import ray.data as rd
+
+    qtext = {qid: text for qid, text, _k in queries}
+    tbl = pa.table(
+        {
+            "query_a": pa.array([a for a, _b in pairs], pa.string()),
+            "query_b": pa.array([b for _a, b in pairs], pa.string()),
+            "text_a": pa.array([qtext[a] for a, _b in pairs], pa.string()),
+            "text_b": pa.array([qtext[b] for _a, b in pairs], pa.string()),
+        }
+    )
+    return (
+        rd.from_arrow(tbl)
+        .map_batches(
+            OverlapScorer,
+            fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=4,
+        )
+        .to_pandas()
+        .sort_values(["query_a", "query_b"])
+        .reset_index(drop=True)
+    )
+
+
+def overlap_sql(pairs=OVERLAP_PAIRS, queries=REFERENCE_QUERIES) -> str:
+    """Mirror of :func:`batch_overlap`: distinct match-any conv sets per
+    query (the count_sql candidate contract, conv-level), pairwise
+    intersection counts, Jaccard 0.0 when the union is empty (both
+    engines — no NULL crosses the hash gate)."""
+    pair_rows = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    return f"""
+WITH {corpus_ctes()},
+qterms(query_id, term) AS (VALUES {_qterms_values(queries, dedup=True)}),
+hits AS (
+  SELECT DISTINCT q.query_id, t.conv_id
+  FROM qterms q JOIN tfs t ON t.term = q.term
+),
+sizes AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n FROM hits GROUP BY 1),
+pairs(query_a, query_b) AS (VALUES {pair_rows}),
+inter AS (
+  SELECT p.query_a, p.query_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM pairs p
+  JOIN hits a ON a.query_id = p.query_a
+  JOIN hits b ON b.query_id = p.query_b AND b.conv_id = a.conv_id
+  GROUP BY 1, 2
+)
+SELECT p.query_a, p.query_b,
+       CAST(coalesce(sa.n, 0) AS BIGINT) AS n_a,
+       CAST(coalesce(sb.n, 0) AS BIGINT) AS n_b,
+       CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+       round(coalesce(coalesce(i.n_common, 0) * 1.0 /
+             nullif(coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                    - coalesce(i.n_common, 0), 0), 0), {SCORE_ROUND}) AS jaccard
+FROM pairs p
+LEFT JOIN sizes sa ON sa.query_id = p.query_a
+LEFT JOIN sizes sb ON sb.query_id = p.query_b
+LEFT JOIN inter i ON i.query_a = p.query_a AND i.query_b = p.query_b
+ORDER BY p.query_a, p.query_b
+"""
+
+
 def count_sql(queries=REFERENCE_QUERIES) -> str:
     """Mirror of :func:`batch_count`: distinct match-any candidates per
     query, zero-hit queries kept via LEFT JOIN."""
